@@ -1,0 +1,254 @@
+"""Public encoder API: MP3Encoder + EncoderSession (reference API parity).
+
+Mirrors the reference surface (MP3Encoder.swift:132-350): an immutable
+`MP3Encoder` facade creating mutable `EncoderSession`s with
+`encode(samples) -> bytes`, `flush() -> bytes`, frame/byte counters,
+`generate_id3_tag()` and `generate_xing_header()`.
+
+Backends produce fixed-shape FrameResults:
+- "numpy": golden host implementation (swiftmp3_tpu.ops.reference)
+- "tpu": batched JAX pipeline (swiftmp3_tpu.models.pipeline), the default
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, List, Optional
+
+import numpy as np
+
+from .io.framing import FrameAssembler, FrameResult
+from .io.id3 import build_id3_tag
+from .io.sideinfo import GranuleInfo
+from .io.xing import build_xing_header
+from .options import (
+    MP3EncoderOptions,
+    Mode,
+    SAMPLES_PER_FRAME,
+    SAMPLES_PER_GRANULE,
+    SUBBANDS,
+)
+from .ops import reference as ref
+from .tables import bitrate_index, bitrate_value
+
+
+class GoldenBackend:
+    """Pure-numpy frame encoder: the algorithmic spec, frame at a time.
+
+    Owns all integer and DSP state that influences encoding decisions:
+    filterbank buffers, MDCT overlap, VBR history, padding accumulator, and
+    integer mirrors of the reservoir (the byte stream itself lives in the
+    FrameAssembler; the mirrors track its length exactly).
+    """
+
+    def __init__(self, options: MP3EncoderOptions):
+        self.options = options
+        ch = options.channels
+        self.fb_buffers = [np.zeros(512, dtype=np.float32) for _ in range(ch)]
+        self.overlap = [np.zeros((SUBBANDS, 18), dtype=np.float32) for _ in range(ch)]
+        self.vbr = ref.VBRState()
+        self.padding_remainder = 0
+        self.stream_len = 0
+        self.available_bytes = 0
+        self.prev_slot = 0
+        self.has_buffered = False
+
+    def encode_frames(self, frames: np.ndarray, is_final: np.ndarray) -> List[FrameResult]:
+        return [
+            self._encode_frame(frames[i], bool(is_final[i])) for i in range(len(frames))
+        ]
+
+    def notify_flush(self) -> None:
+        """Mirror the assembler's flush_buffered emission."""
+        if self.has_buffered:
+            self.stream_len = max(self.stream_len - self.prev_slot, 0)
+            self.has_buffered = False
+
+    def _encode_frame(self, samples: np.ndarray, is_final: bool) -> FrameResult:
+        opts = self.options
+        channels = opts.channels
+        sr = opts.sample_rate
+
+        energy = ref.frame_energy(samples)
+        if opts.vbr:
+            target = self.vbr.choose_bitrate(opts.bitrate_kbps, energy, opts.quality)
+        else:
+            target = opts.bitrate_kbps
+        br_idx = bitrate_index(target, sr)
+        br_val = bitrate_value(br_idx)
+
+        side_size = 17 if channels == 1 else 32
+        crc_size = 2 if opts.crc_protected else 0
+        numerator = 144 * br_val * 1000
+        base_size = numerator // sr
+        remainder = numerator % sr
+        self.padding_remainder += remainder
+        pad = 0
+        if self.padding_remainder >= sr:
+            self.padding_remainder -= sr
+            pad = 1
+        frame_size = base_size + pad
+        main_data_size = frame_size - 4 - crc_size - side_size
+
+        mdb = 0 if is_final else min(self.stream_len, 511)
+        res_bits = 0 if is_final else self.available_bytes * 8
+        usable = (res_bits * 9) // 10
+        total_bits = main_data_size * 8 + usable
+        bits_per_granule = total_bits // (2 * channels)
+
+        # Deinterleave + per-frame stereo decision
+        if channels == 1:
+            chans = [np.asarray(samples, dtype=np.float32)]
+        else:
+            s = np.asarray(samples, dtype=np.float32)
+            left, right = s[0::2].copy(), s[1::2].copy()
+            _use_ms, c0, c1 = ref.stereo_decide(opts.mode.value, left, right)
+            chans = [c0, c1]
+
+        granules = [[None] * channels for _ in range(2)]
+        quantized = np.zeros((2 * channels, SAMPLES_PER_GRANULE), dtype=np.int32)
+        big_values = np.zeros(2 * channels, dtype=np.int32)
+        total_part_bits = 0
+
+        for gr in range(2):
+            for ch in range(channels):
+                gsamples = chans[ch][gr * SAMPLES_PER_GRANULE : (gr + 1) * SAMPLES_PER_GRANULE]
+                S, self.fb_buffers[ch] = ref.analyze_subbands(gsamples, self.fb_buffers[ch])
+                block, sb_gain = ref.transient_detect(gsamples)
+                spectrum, self.overlap[ch] = ref.mdct_apply(S, self.overlap[ch], block)
+                # Masking thresholds are computed-but-unused in the reference
+                # (MP3Encoder.swift:961 vs :734-744); skipped here — no effect
+                # on any output. See ops.reference.masking_thresholds.
+                gain0 = ref.compute_global_gain(spectrum)
+                self.vbr.update(gain0, ref.frame_energy(gsamples))
+                gain, q, bits = ref.quantize_to_fit_budget(spectrum, gain0, bits_per_granule)
+                preflag = ref.pre_emphasis(spectrum, np.ones(576, dtype=np.float32))
+                bv = ref.big_values_of(q)
+                r0, r1 = ref.region_counts(bv, sr)
+
+                g = gr * channels + ch
+                quantized[g] = q
+                big_values[g] = bv
+                total_part_bits += bits
+                granules[gr][ch] = GranuleInfo(
+                    part23_length=bits,
+                    big_values=bv,
+                    global_gain=gain,
+                    scalefac_compress=0,
+                    window_switching=0 if block == ref.BLOCK_LONG else 1,
+                    block_type=block,
+                    mixed_block_flag=1 if block == ref.BLOCK_MIXED else 0,
+                    table_select=(15, 15, 15),
+                    subblock_gain=tuple(sb_gain),
+                    region0_count=r0,
+                    region1_count=r1,
+                    preflag=1 if preflag else 0,
+                    scalefac_scale=0,
+                    count1table_select=0,
+                )
+
+        huffman_bytes = (total_part_bits + 7) // 8
+        # Reservoir mirrors: append, then splice the previous frame's slot.
+        self.stream_len += huffman_bytes
+        if self.has_buffered:
+            self.stream_len = max(self.stream_len - self.prev_slot, 0)
+        self.available_bytes = min(
+            max(self.available_bytes + main_data_size - huffman_bytes, 0), 511
+        )
+        self.prev_slot = main_data_size
+        self.has_buffered = True
+
+        return FrameResult(
+            bitrate_index=br_idx,
+            padding=pad,
+            main_data_begin=mdb,
+            slot_size=main_data_size,
+            granules=granules,
+            quantized=quantized,
+            big_values=big_values,
+        )
+
+
+def _make_backend(name: str, options: MP3EncoderOptions):
+    if name == "numpy":
+        return GoldenBackend(options)
+    if name == "tpu":
+        from .models.pipeline import TPUBackend
+
+        return TPUBackend(options)
+    raise ValueError(f"unknown backend {name!r}")
+
+
+class EncoderSession:
+    """Mutable per-stream encoding state (MP3Encoder.swift:237-350)."""
+
+    def __init__(self, options: MP3EncoderOptions, backend: str = "tpu"):
+        self.options = options
+        self.assembler = FrameAssembler(options)
+        self.backend = _make_backend(backend, options)
+        self._pcm = np.zeros(0, dtype=np.float32)
+
+    @property
+    def encoded_frame_count(self) -> int:
+        return self.assembler.frame_count
+
+    @property
+    def encoded_byte_count(self) -> int:
+        return self.assembler.total_bytes
+
+    def encode(self, samples) -> bytes:
+        """Buffer interleaved PCM and encode all complete 1152-sample frames."""
+        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+        self._pcm = np.concatenate([self._pcm, samples]) if self._pcm.size else samples
+        n = SAMPLES_PER_FRAME * self.options.channels
+        n_frames = len(self._pcm) // n
+        if n_frames == 0:
+            return b""
+        frames = self._pcm[: n_frames * n].reshape(n_frames, n)
+        self._pcm = self._pcm[n_frames * n :]
+        results = self.backend.encode_frames(frames, np.zeros(n_frames, dtype=bool))
+        out = bytearray()
+        for fr in results:
+            out += self.assembler.push(fr)
+        return bytes(out)
+
+    def flush(self) -> bytes:
+        """Encode any partial frame (zero-padded, reservoir borrowing off) and
+        emit the delayed buffered frame."""
+        out = bytearray()
+        n = SAMPLES_PER_FRAME * self.options.channels
+        if self._pcm.size:
+            frame = np.zeros(n, dtype=np.float32)
+            frame[: len(self._pcm)] = self._pcm
+            self._pcm = np.zeros(0, dtype=np.float32)
+            results = self.backend.encode_frames(
+                frame[None, :], np.ones(1, dtype=bool)
+            )
+            out += self.assembler.push(results[0])
+        out += self.assembler.flush_buffered()
+        self.backend.notify_flush()
+        return bytes(out)
+
+    def generate_id3_tag(self) -> bytes:
+        if self.options.id3_tag is None:
+            return b""
+        return build_id3_tag(self.options.id3_tag)
+
+    def generate_xing_header(self) -> bytes:
+        return build_xing_header(
+            self.options,
+            self.assembler.frame_count,
+            self.assembler.total_bytes,
+            self.assembler.frame_sizes,
+        )
+
+
+class MP3Encoder:
+    """Stateless encoder facade (MP3Encoder.swift:132-145)."""
+
+    def __init__(self, options: Optional[MP3EncoderOptions] = None, backend: str = "tpu"):
+        self.options = options if options is not None else MP3EncoderOptions()
+        self._backend = backend
+
+    def new_session(self) -> EncoderSession:
+        return EncoderSession(self.options, backend=self._backend)

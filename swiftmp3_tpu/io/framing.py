@@ -1,0 +1,142 @@
+"""Host frame assembly: header, CRC, reservoir splice, one-frame delay.
+
+This is the variable-length half of the encoder. A backend (numpy golden or
+the TPU pipeline) produces per-frame `FrameResult`s — fixed-shape integers and
+quantized spectra; this module renders bytes with the exact reference state
+machine (MP3Encoder.swift:465-568):
+
+- Huffman bytes are appended to a contiguous reservoir stream;
+- frame N's *header* is built now, but its main-data slot is filled (from the
+  stream front) and emitted only on frame N+1 (one-frame delay);
+- `main_data_begin` was snapshotted by the backend *before* encoding N;
+- CRC-16, when enabled, covers only the 4 header bytes (reference quirk).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..options import MP3EncoderOptions
+from ..tables import mode_bits, sample_rate_index
+from .bitwriter import BitstreamWriter
+from .crc import crc16_mpeg
+from .huffman_pack import pack_frame_main_data
+from .sideinfo import GranuleInfo, build_side_info
+
+
+@dataclass
+class FrameResult:
+    """Fixed-shape outputs of encoding one frame (device or golden backend)."""
+
+    bitrate_index: int
+    padding: int
+    main_data_begin: int  # reservoir snapshot before this frame's encode
+    slot_size: int  # mainDataSize = frame - header - crc - side info
+    granules: list  # [2][channels] of GranuleInfo
+    quantized: np.ndarray  # [2*channels, 576], granule-major (gr0ch0, gr0ch1, ...)
+    big_values: np.ndarray  # [2*channels]
+
+
+class BitReservoir:
+    """Contiguous Huffman byte stream + borrowing counter
+    (MP3Encoder.swift:2087-2128)."""
+
+    def __init__(self) -> None:
+        self.stream = bytearray()
+        self.available_bytes = 0
+
+    @property
+    def main_data_begin(self) -> int:
+        return min(len(self.stream), 511)
+
+    def append(self, data: bytes) -> None:
+        self.stream += data
+
+    def fill_slot(self, slot_size: int) -> bytes:
+        if len(self.stream) >= slot_size:
+            slot = bytes(self.stream[:slot_size])
+            del self.stream[:slot_size]
+            return slot
+        slot = bytes(self.stream) + bytes(slot_size - len(self.stream))
+        self.stream.clear()
+        return slot
+
+    def update(self, huffman_bytes: int, slot_size: int) -> None:
+        self.available_bytes = min(max(self.available_bytes + slot_size - huffman_bytes, 0), 511)
+
+
+class FrameAssembler:
+    """Turns FrameResults into the emitted MP3 byte stream."""
+
+    def __init__(self, options: MP3EncoderOptions, reservoir: Optional[BitReservoir] = None):
+        self.options = options
+        self.reservoir = reservoir if reservoir is not None else BitReservoir()
+        self._buffered: Optional[tuple[bytes, int]] = None  # (header+sideinfo, slot)
+        self.frame_count = 0
+        self.total_bytes = 0
+        self.frame_sizes: List[int] = []
+
+    def _build_header(self, bitrate_index: int, padding: int) -> bytes:
+        opts = self.options
+        mode, mode_ext = mode_bits(opts.mode.value)
+        h = BitstreamWriter()
+        h.write(0x7FF, 11)
+        h.write(0b11, 2)  # MPEG-1
+        h.write(0b01, 2)  # Layer III
+        h.write(0 if opts.crc_protected else 1, 1)
+        h.write(bitrate_index, 4)
+        h.write(sample_rate_index(opts.sample_rate), 2)
+        h.write(padding, 1)
+        h.write(0, 1)  # private
+        h.write(mode, 2)
+        h.write(mode_ext, 2)
+        h.write(1 if opts.copyright else 0, 1)
+        h.write(1 if opts.original else 0, 1)
+        h.write(0, 2)  # no emphasis
+        return h.data
+
+    def push(self, fr: FrameResult) -> bytes:
+        """Process one encoded frame; returns the previously buffered frame's
+        bytes (empty for the first frame)."""
+        channels = self.options.channels
+        main_data, _part_bits = pack_frame_main_data(fr.quantized, fr.big_values)
+        self.reservoir.append(main_data)
+
+        scfsi = [[0, 0, 0, 0] for _ in range(channels)]
+        side_info = build_side_info(channels, fr.granules, scfsi, fr.main_data_begin)
+
+        header = self._build_header(fr.bitrate_index, fr.padding)
+        head = bytearray(header)
+        if self.options.crc_protected:
+            crc = crc16_mpeg(bytes(head))  # header-only CRC (reference quirk)
+            head += bytes([(crc >> 8) & 0xFF, crc & 0xFF])
+        head += side_info
+
+        emitted = b""
+        if self._buffered is not None:
+            prev_head, prev_slot = self._buffered
+            slot = self.reservoir.fill_slot(prev_slot)
+            emitted = prev_head + slot
+            self.frame_count += 1
+            self.total_bytes += len(emitted)
+            self.frame_sizes.append(len(emitted))
+
+        self._buffered = (bytes(head), fr.slot_size)
+        self.reservoir.update(len(main_data), fr.slot_size)
+        return emitted
+
+    def flush_buffered(self) -> bytes:
+        """Emit the final buffered frame (MP3Encoder.swift:335-347)."""
+        if self._buffered is None:
+            return b""
+        head, slot_size = self._buffered
+        slot = self.reservoir.fill_slot(slot_size)
+        frame = head + slot
+        self.frame_count += 1
+        self.total_bytes += len(frame)
+        self.frame_sizes.append(len(frame))
+        self._buffered = None
+        return frame

@@ -1,0 +1,368 @@
+"""Golden numpy implementation of the granule/frame DSP (the test oracle).
+
+Each function documents the reference behavior it reproduces
+(/root/reference/Sources/SwiftMP3/MP3Encoder.swift). Float ops use float32
+with float64 only where the reference uses Double. Integer outputs (quantized
+values, gains, bit counts, region counts) are the parity surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..options import SAMPLES_PER_GRANULE, SUBBANDS
+from ..tables import (
+    ALIASING_CA,
+    ALIASING_CS,
+    ANALYSIS_MATRIX,
+    ISO_WINDOW,
+    LONG_MDCT_MATRIX,
+    LONG_WINDOW,
+    SHORT_MDCT_MATRIX,
+    SHORT_WINDOW,
+    TABLE15_LEN,
+    band_table,
+)
+
+BLOCK_LONG = 0
+BLOCK_MIXED = 1
+BLOCK_SHORT = 2
+
+
+def frame_energy(samples: np.ndarray) -> np.float32:
+    """Mean-square energy (MP3Encoder.swift:1900-1908)."""
+    samples = np.asarray(samples, dtype=np.float32)
+    if samples.size == 0:
+        return np.float32(0)
+    return np.float32(np.sum(samples * samples, dtype=np.float32) / np.float32(samples.size))
+
+
+def polyphase_analyze(new32: np.ndarray, buffer: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One 32-sample step of the ISO analysis filterbank
+    (MP3Encoder.swift:1367-1411). Returns (subbands[32], new buffer[512])."""
+    buffer = np.asarray(buffer, dtype=np.float32)
+    out_buf = np.empty(512, dtype=np.float32)
+    out_buf[:480] = buffer[32:]
+    n = min(32, len(new32))
+    out_buf[480 : 480 + n] = new32[:n]
+    out_buf[480 + n :] = 0.0
+
+    reversed_buf = out_buf[::-1].copy()
+    windowed = reversed_buf * ISO_WINDOW
+    partial = windowed.reshape(8, 64).sum(axis=0, dtype=np.float32)
+    subbands = (ANALYSIS_MATRIX @ partial).astype(np.float32)
+    return subbands, out_buf
+
+
+def analyze_subbands(samples576: np.ndarray, buffer: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """18 filterbank steps for one granule (MP3Encoder.swift:917-944).
+    Returns (S[32, 18], new buffer)."""
+    S = np.zeros((SUBBANDS, 18), dtype=np.float32)
+    samples576 = np.asarray(samples576, dtype=np.float32)
+    for t in range(18):
+        chunk = samples576[t * 32 : (t + 1) * 32]
+        if len(chunk) < 32:
+            chunk = np.concatenate([chunk, np.zeros(32 - len(chunk), dtype=np.float32)])
+        sb, buffer = polyphase_analyze(chunk, buffer)
+        S[:, t] = sb
+    return S, buffer
+
+
+def transient_detect(samples576: np.ndarray) -> tuple[int, list[int]]:
+    """Block-type decision from 3-subblock energy ratio
+    (MP3Encoder.swift:1944-1968). Returns (block_type, subblock_gain[3])."""
+    samples576 = np.asarray(samples576, dtype=np.float32)
+    size = max(len(samples576) // 3, 1)
+    energies = []
+    for i in range(3):
+        sl = samples576[i * size : min((i + 1) * size, len(samples576))]
+        energies.append(float(frame_energy(sl)))
+    emax = max(energies)
+    emin = min(energies)
+    ratio = emax / max(emin, 1e-4)
+    if ratio > 6.0:
+        block = BLOCK_MIXED if energies.index(emax) == 0 else BLOCK_SHORT
+    else:
+        block = BLOCK_LONG
+    gains = []
+    for e in energies:
+        normalized = min(max(e / max(emax, 1e-4), 0.0), 1.0)
+        gains.append(int((1.0 - normalized) * 7.0))
+    return block, gains
+
+
+def _mdct_long(combined36: np.ndarray) -> np.ndarray:
+    windowed = (combined36 * LONG_WINDOW).astype(np.float32)
+    return ((LONG_MDCT_MATRIX @ windowed) / np.float32(9.0)).astype(np.float32)
+
+
+def _mdct_short(combined36: np.ndarray) -> np.ndarray:
+    out = np.zeros(18, dtype=np.float32)
+    for w in range(3):
+        offset = w * 6 + 6
+        ws = (combined36[offset : offset + 12] * SHORT_WINDOW).astype(np.float32)
+        coeffs = ((SHORT_MDCT_MATRIX @ ws) / np.float32(3.0)).astype(np.float32)
+        for m in range(6):
+            out[w + m * 3] = coeffs[m]
+    return out
+
+
+def mdct_apply(
+    S: np.ndarray, overlap: np.ndarray, block_type: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """MDCT with overlap for all 32 subbands (MP3Encoder.swift:1512-1565).
+
+    S: [32, 18] subband samples. overlap: [32, 18], updated and returned.
+    Output: 576 coefficients (subband-major). Aliasing reduction applied for
+    long blocks only.
+    """
+    out = np.zeros(576, dtype=np.float32)
+    new_overlap = np.zeros_like(overlap)
+    for sb in range(SUBBANDS):
+        current = S[sb].astype(np.float32).copy()
+        if sb & 1:
+            current[1::2] *= -1  # odd-subband frequency inversion
+        combined = np.concatenate([overlap[sb], current]).astype(np.float32)
+        new_overlap[sb] = current  # stored post-inversion, as in the reference
+        if block_type == BLOCK_LONG or (block_type == BLOCK_MIXED and sb < 2):
+            coeffs = _mdct_long(combined)
+        else:
+            coeffs = _mdct_short(combined)
+        out[sb * 18 : sb * 18 + 18] = coeffs
+    if block_type == BLOCK_LONG:
+        out = apply_aliasing_reduction(out)
+    return out, new_overlap
+
+
+def apply_aliasing_reduction(spectrum: np.ndarray) -> np.ndarray:
+    """ISO Table B.9 butterflies across 31 subband boundaries
+    (MP3Encoder.swift:1581-1616). Boundaries touch disjoint coefficients, so
+    order is irrelevant."""
+    s = spectrum.astype(np.float32).copy()
+    for sb in range(31):
+        end = sb * 18 + 17
+        nxt = (sb + 1) * 18
+        upper = s[[end - j for j in range(8)]]
+        lower = s[[nxt + j for j in range(8)]]
+        new_upper = lower * ALIASING_CA + upper * ALIASING_CS
+        new_lower = lower * ALIASING_CS - upper * ALIASING_CA
+        for j in range(8):
+            s[end - j] = new_upper[j]
+            s[nxt + j] = new_lower[j]
+    return s
+
+
+def masking_thresholds(spectrum: np.ndarray, sample_rate: int, quality: int) -> np.ndarray:
+    """Per-coefficient thresholds: band mean energy x quality scale, floor
+    1e-4 (MP3Encoder.swift:1983-2013). Dead downstream, kept for parity."""
+    bands = band_table(sample_rate)
+    quality_scale = np.float32(max(0.1, (10 - quality) / 10.0))
+    thresholds = np.full(len(spectrum), 1e-4, dtype=np.float32)
+    cursor = 0
+    for width in bands:
+        start, end = cursor, min(cursor + int(width), len(spectrum))
+        if end > start:
+            energy = np.sum(
+                spectrum[start:end].astype(np.float32) ** 2, dtype=np.float32
+            )
+            avg = energy / np.float32(end - start)
+            thresholds[start:end] = max(np.float32(avg * quality_scale), np.float32(1e-4))
+        cursor = end
+        if cursor >= len(spectrum):
+            break
+    return thresholds
+
+
+def compute_global_gain(spectrum: np.ndarray) -> int:
+    """Initial gain from peak magnitude: 210 + trunc(4*log2(peak^0.75/15)),
+    clamped 0-255 (MP3Encoder.swift:989-1006)."""
+    peak = np.float32(np.max(np.abs(spectrum))) if len(spectrum) else np.float32(0)
+    if peak <= 0:
+        return 210
+    peak_pow = np.float32(peak) ** np.float32(0.75)
+    ratio = peak_pow / np.float32(15.0)
+    if ratio <= 0:
+        return 210
+    gain = 210 + int(np.trunc(4.0 * np.log2(np.float64(ratio))))
+    return min(max(gain, 0), 255)
+
+
+def quantize_with_gain(spectral: np.ndarray, global_gain: int) -> np.ndarray:
+    """Power-law quantization at a gain (MP3Encoder.swift:797-825).
+
+    step = float32(max(2^((gain-210)/4), 1e-4)) computed in float64;
+    q = min(round_half_away(|x|_floored^0.75 / step), 15), re-signed.
+    """
+    spectral = np.asarray(spectral, dtype=np.float32)
+    step_power = (global_gain - 210) / 4.0
+    step = np.float32(max(2.0**step_power, 0.0001))
+    inv_step = np.float32(1.0) / step
+    absv = np.maximum(np.abs(spectral), np.float32(1e-10))
+    magnitudes = absv ** np.float32(0.75)
+    scaled = magnitudes * inv_step
+    q = np.minimum(np.floor(scaled + np.float32(0.5)).astype(np.int64), 15)
+    return np.where(spectral < 0, -q, q).astype(np.int32)
+
+
+def count_huffman_bits(values: np.ndarray) -> int:
+    """Table-15 bit count: pairwise code lengths + sign bits; odd tail pairs
+    with 0 (MP3Encoder.swift:828-853)."""
+    values = np.asarray(values, dtype=np.int64)
+    if values.size == 0:
+        return 0
+    if values.size % 2:
+        values = np.concatenate([values, np.zeros(1, dtype=np.int64)])
+    ax = np.minimum(np.abs(values[0::2]), 15)
+    ay = np.minimum(np.abs(values[1::2]), 15)
+    lens = TABLE15_LEN[ax * 16 + ay]
+    return int(lens.sum() + (ax != 0).sum() + (ay != 0).sum())
+
+
+def _last_nonzero_count(q: np.ndarray) -> int:
+    nz = np.nonzero(q)[0]
+    return int(nz[-1]) + 1 if nz.size else 0
+
+
+def big_values_of(q: np.ndarray) -> int:
+    """big_values from the last-nonzero count, rounded to even pairs, capped
+    288 (MP3Encoder.swift:692-700, 763-764)."""
+    last = _last_nonzero_count(q)
+    significant = min((last + 1) & ~1, 576)
+    return min(significant // 2, 288)
+
+
+def quantize_to_fit_budget(
+    spectral: np.ndarray, initial_gain: int, max_bits: int
+) -> tuple[int, np.ndarray, int]:
+    """The reference's literal <=20-iteration gain walk
+    (MP3Encoder.swift:734-794). Returns (gain, quantized, bits).
+
+    Reproduced quirks: an all-zero first quantization retries once at gain-40;
+    on overflow the loop exits with the *reported* gain stepped past the gain
+    actually used for the returned quantized values.
+    """
+    gain = min(max(int(initial_gain), 0), 255)
+    quantized = np.zeros(len(spectral), dtype=np.int32)
+    for iteration in range(20):
+        quantized = quantize_with_gain(spectral, gain)
+        last = _last_nonzero_count(quantized)
+        if last == 0 and iteration == 0:
+            gain = max(gain - 40, 0)
+            continue
+        bv = min(min((last + 1) & ~1, 576) // 2, 288)
+        estimated = count_huffman_bits(quantized[: bv * 2])
+        if estimated <= max_bits:
+            break
+        gain = min(gain + 4, 255)
+        if gain >= 255:
+            break
+    bv = big_values_of(quantized)
+    actual_bits = count_huffman_bits(quantized[: bv * 2])
+    return gain, quantized, actual_bits
+
+
+def region_counts(big_values: int, sample_rate: int) -> tuple[int, int]:
+    """Region boundary selection (MP3Encoder.swift:856-887). With strictly
+    increasing band boundaries region1 is always 0; the literal loops are
+    reproduced anyway."""
+    bvr = big_values * 2
+    boundaries = np.cumsum(band_table(sample_rate))
+    region0 = 0
+    for i in range(min(15, len(boundaries))):
+        if boundaries[i] <= bvr:
+            region0 = i
+        else:
+            break
+    region1 = 0
+    start = region0 + 1
+    for i in range(start, min(start + 7, len(boundaries))):
+        if boundaries[i] <= bvr:
+            region1 = i - region0 - 1
+        else:
+            break
+    return min(region0, 15), min(region1, 7)
+
+
+def pre_emphasis(spectral: np.ndarray, scalefactors: np.ndarray) -> bool:
+    """preflag: top-quarter energy > 1.5x rest AND mean scalefactor > 0.5
+    (MP3Encoder.swift:2042-2066). With unity scalefactors the second clause
+    is always true."""
+    spectral = np.asarray(spectral, dtype=np.float32)
+    if spectral.size == 0:
+        return False
+    high_start = max(spectral.size * 3 // 4, 0)
+    high = np.sum(spectral[high_start:] ** 2, dtype=np.float32)
+    low = np.sum(spectral[:high_start] ** 2, dtype=np.float32) if high_start else np.float32(0)
+    sf_avg = (
+        np.sum(scalefactors, dtype=np.float32) / np.float32(max(len(scalefactors), 1))
+        if len(scalefactors)
+        else np.float32(0)
+    )
+    return bool(high > low * np.float32(1.5)) and bool(sf_avg > 0.5)
+
+
+def stereo_decide(mode: str, left: np.ndarray, right: np.ndarray):
+    """Joint-stereo M/S decision (MP3Encoder.swift:2140-2162).
+
+    mid = (L+R)/2, side = (L-R)/2 (vDSP_vsub computes B-A); M/S chosen when
+    side energy < 0.4 * mid energy. Returns (use_ms, ch0, ch1).
+    """
+    left = np.asarray(left, dtype=np.float32)
+    right = np.asarray(right, dtype=np.float32)
+    if mode != "joint_stereo" or left.shape != right.shape:
+        return False, left, right
+    half = np.float32(0.5)
+    mid = ((left + right) * half).astype(np.float32)
+    side = ((left - right) * half).astype(np.float32)
+    if frame_energy(side) < frame_energy(mid) * np.float32(0.4):
+        return True, mid, side
+    return False, left, right
+
+
+def scalefactor_compress(scalefactors: np.ndarray) -> int:
+    """variance/mean^2 -> 0-15 (MP3Encoder.swift:2019-2036). Unused by the
+    pipeline (hardcoded 0), kept for component parity."""
+    sf = np.asarray(scalefactors, dtype=np.float32)
+    if sf.size == 0:
+        return 0
+    mean = np.float32(np.mean(sf, dtype=np.float32))
+    centered = sf - mean
+    variance = np.float32(np.sum(centered * centered, dtype=np.float32) / sf.size)
+    normalized = min(max(float(variance / max(mean * mean, np.float32(1e-4))), 0.0), 1.0)
+    return min(int(normalized * 15.0), 15)
+
+
+@dataclass
+class VBRState:
+    """10-deep gain/energy histories for VBR bitrate choice
+    (MP3Encoder.swift:1139-1189)."""
+
+    gain_history: list = field(default_factory=list)
+    energy_history: list = field(default_factory=list)
+
+    def update(self, global_gain: int, energy: float) -> None:
+        self.gain_history.append(int(global_gain))
+        if len(self.gain_history) > 10:
+            self.gain_history.pop(0)
+        self.energy_history.append(np.float32(energy))
+        if len(self.energy_history) > 10:
+            self.energy_history.pop(0)
+
+    def choose_bitrate(self, base: int, energy: float, quality: int) -> int:
+        energy = np.float32(energy)
+        if self.energy_history:
+            avg = np.float32(
+                np.sum(np.array(self.energy_history, dtype=np.float32), dtype=np.float32)
+                / np.float32(len(self.energy_history))
+            )
+        else:
+            avg = energy
+        ratio = min(max(energy / max(avg, np.float32(1e-4)), np.float32(0.5)), np.float32(2.0))
+        quality_factor = np.float32(9 - quality) / np.float32(9.0)
+        max_adjustment = int(np.float32(32.0) + np.float32(32.0) * quality_factor)
+        adjustment = int((ratio - np.float32(1.0)) * np.float32(max_adjustment))
+        min_bitrate = max(32, base - 64 + quality * 8)
+        max_bitrate = min(320, base + 64 - quality * 4)
+        return max(min_bitrate, min(base + adjustment, max_bitrate))

@@ -1,0 +1,58 @@
+"""L0: ISO/IEC 11172-3 constant tables for MPEG-1 Layer III encoding.
+
+All tables are exposed as numpy arrays (host) and are converted to jnp constants
+by the ops layer. Parity notes cite the reference implementation
+(/root/reference/Sources/SwiftMP3/MP3Encoder.swift).
+"""
+
+from .iso import (
+    ALIASING_CA,
+    ALIASING_CS,
+    BITRATE_TABLE_V1,
+    BITRATE_TABLE_V2,
+    LONG_BANDS,
+    SHORT_BANDS_44100,
+    band_table,
+    band_count,
+    bitrate_index,
+    bitrate_value,
+    mode_bits,
+    sample_rate_index,
+)
+from .filterbank import ANALYSIS_MATRIX, ISO_WINDOW
+from .mdct import (
+    LONG_MDCT_MATRIX,
+    LONG_WINDOW,
+    SHORT_MDCT_MATRIX,
+    SHORT_WINDOW,
+    START_WINDOW,
+    STOP_WINDOW,
+)
+from .huffman import HUFFMAN_TABLES, TABLE15_CODE, TABLE15_LEN, HuffmanTable
+
+__all__ = [
+    "ALIASING_CA",
+    "ALIASING_CS",
+    "ANALYSIS_MATRIX",
+    "BITRATE_TABLE_V1",
+    "BITRATE_TABLE_V2",
+    "HUFFMAN_TABLES",
+    "HuffmanTable",
+    "ISO_WINDOW",
+    "LONG_BANDS",
+    "LONG_MDCT_MATRIX",
+    "LONG_WINDOW",
+    "SHORT_BANDS_44100",
+    "SHORT_MDCT_MATRIX",
+    "SHORT_WINDOW",
+    "START_WINDOW",
+    "STOP_WINDOW",
+    "TABLE15_CODE",
+    "TABLE15_LEN",
+    "band_count",
+    "band_table",
+    "bitrate_index",
+    "bitrate_value",
+    "mode_bits",
+    "sample_rate_index",
+]
