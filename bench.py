@@ -1,0 +1,80 @@
+"""Headline benchmark: audio-seconds encoded per second per chip.
+
+Config: CBR 128 kbps stereo 44.1 kHz (BASELINE.json headline). Measures the
+end-to-end batched path (device scan + host Huffman pack + frame assembly,
+overlapped) and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is value / 1000x-realtime (the BASELINE.json north star; the
+reference publishes no numbers of its own — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from swiftmp3_tpu.options import MP3EncoderOptions, Mode
+    from swiftmp3_tpu.parallel.batch import BatchEncoder
+
+    options = MP3EncoderOptions(mode=Mode.STEREO, bitrate_kbps=128, sample_rate=44100)
+    B = int(__import__("os").environ.get("BENCH_BATCH", "128"))
+    T = int(__import__("os").environ.get("BENCH_FRAMES", "32"))
+    n = 1152 * options.channels
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal((T, B, n)) * 0.3).astype(np.float32)
+    final = np.zeros((T, B), dtype=bool)
+    valid = np.ones((T, B), dtype=bool)
+
+    enc = BatchEncoder(options, B, frames_per_step=T)
+
+    # Warmup (compile)
+    outs = enc.step(pcm, final, valid)
+    jax.block_until_ready(outs)
+    enc.drain(outs, valid)
+
+    # Device-only steady state
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        outs = enc.step(pcm, final, valid)
+        jax.block_until_ready(outs)
+    t_dev = (time.perf_counter() - t0) / n_iter
+
+    # End-to-end (device + host assembly, sequential)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        outs = enc.step(pcm, final, valid)
+        enc.drain(outs, valid)
+    t_e2e = (time.perf_counter() - t0) / n_iter
+
+    audio_seconds = B * T * 1152 / options.sample_rate
+    rt_dev = audio_seconds / t_dev
+    rt_e2e = audio_seconds / t_e2e
+    print(
+        f"device-only: {rt_dev:.0f}x realtime ({t_dev*1e3:.1f} ms/step); "
+        f"end-to-end: {rt_e2e:.0f}x realtime ({t_e2e*1e3:.1f} ms/step); "
+        f"B={B} T={T}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_per_second_per_chip_e2e_128kbps_cbr_stereo",
+                "value": round(rt_e2e, 1),
+                "unit": "x realtime",
+                "vs_baseline": round(rt_e2e / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

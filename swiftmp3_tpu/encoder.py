@@ -252,3 +252,18 @@ class MP3Encoder:
 
     def new_session(self) -> EncoderSession:
         return EncoderSession(self.options, backend=self._backend)
+
+    def encode(self, input):
+        """Async streaming encode: yields MP3 data chunks; no Xing header
+        (MP3Encoder.swift:151-179). `input` is an (a)sync iterable of
+        interleaved PCM buffers."""
+        from .streaming import encode_stream
+
+        return encode_stream(self, input)
+
+    async def encode_to_file(self, input, path) -> None:
+        """Incremental file encode with ID3 + Xing header
+        (MP3Encoder.swift:189-230)."""
+        from .streaming import encode_to_file
+
+        await encode_to_file(self, input, path)

@@ -1,0 +1,436 @@
+"""Batched TPU granule DSP: fixed-shape jnp programs over [N, ...] tensors.
+
+TPU-first reformulation of the reference's per-granule scalar pipeline
+(SURVEY.md §7): all 36 filterbank window positions of a frame are computed as
+one windowed-sum + [64,32] matmul; long/short/mixed MDCT are three fixed
+matmuls selected by masks; aliasing butterflies are a static slice/concat
+pattern (the 31 boundaries touch disjoint coefficients); the reference's
+sequential <=20-iteration gain walk (MP3Encoder.swift:734-794) becomes a
+vectorized 20-candidate gain sweep whose selection rule replicates the walk's
+exact stopping semantics, including its overflow quirks.
+
+Everything here is batch-leading and jit-friendly: no data-dependent shapes,
+matmuls in float32 at highest precision (integer outputs are the parity
+surface; bf16 would flip quantization decisions).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..options import SAMPLES_PER_GRANULE, SUBBANDS
+from ..tables import (
+    ALIASING_CA,
+    ALIASING_CS,
+    ANALYSIS_MATRIX,
+    BITRATE_TABLE_V1,
+    BITRATE_TABLE_V2,
+    ISO_WINDOW,
+    LONG_MDCT_MATRIX,
+    LONG_WINDOW,
+    SHORT_MDCT_MATRIX,
+    SHORT_WINDOW,
+    TABLE15_LEN,
+    band_table,
+)
+
+_F32 = jnp.float32
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# --- Precomputed constants ---------------------------------------------------
+
+# Reversal folded into constants (see polyphase_frame): the reference reverses
+# the 512 buffer before windowing (MP3Encoder.swift:1386-1389); equivalently
+# window with W[511-i] and matrix with M[k, 63-j] on the unreversed buffer.
+_WINDOW_REV = jnp.asarray(ISO_WINDOW[::-1].copy())  # [512]
+_MATRIX_REV_T = jnp.asarray(ANALYSIS_MATRIX[:, ::-1].T.copy())  # [64, 32]
+
+_LONG_WIN = jnp.asarray(LONG_WINDOW)  # [36]
+_LONG_MAT_T = jnp.asarray(LONG_MDCT_MATRIX.T.copy())  # [36, 18]
+_SHORT_WIN = jnp.asarray(SHORT_WINDOW)  # [12]
+_SHORT_MAT_T = jnp.asarray(SHORT_MDCT_MATRIX.T.copy())  # [12, 6]
+_CS = jnp.asarray(ALIASING_CS)  # [8]
+_CA = jnp.asarray(ALIASING_CA)  # [8]
+_T15_LEN = jnp.asarray(TABLE15_LEN.astype(np.int32))  # [256]
+
+BLOCK_LONG = 0
+BLOCK_MIXED = 1
+BLOCK_SHORT = 2
+
+N_GAIN_CANDIDATES = 20  # the reference's maxIterations (MP3Encoder.swift:745)
+
+
+def _quantizer_step_tables() -> tuple[np.ndarray, np.ndarray]:
+    """Per-gain quantizer steps, computed exactly as the reference does
+    (float64 2^((g-210)/4), floored at 1e-4, cast to float32; inverse taken
+    in float32 — MP3Encoder.swift:798-800). A 256-entry table removes any
+    exp/pow transcendental mismatch between backends."""
+    g = np.arange(256, dtype=np.float64)
+    step = np.maximum(2.0 ** ((g - 210.0) / 4.0), 0.0001).astype(np.float32)
+    inv = (np.float32(1.0) / step).astype(np.float32)
+    return step, inv
+
+
+_STEP_TABLE_NP, _INV_STEP_TABLE_NP = _quantizer_step_tables()
+_INV_STEP_TABLE = jnp.asarray(_INV_STEP_TABLE_NP)
+
+
+# --- Polyphase analysis filterbank ------------------------------------------
+
+
+def polyphase_frame(hist: jax.Array, pcm: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """All 36 filterbank outputs of one frame in one shot.
+
+    hist: [..., 480] trailing PCM history; pcm: [..., 1152] new samples.
+    Returns (S [..., 36, 32] subband samples, new hist [..., 480]).
+
+    Equivalent to 36 sequential 32-sample steps of the ISO filterbank
+    (MP3Encoder.swift:1367-1411): window t covers x[32t : 32t+512] of the
+    concatenated (hist | pcm) signal.
+    """
+    x = jnp.concatenate([hist, pcm], axis=-1)  # [..., 1632]
+    windows = jnp.stack(
+        [jax.lax.slice_in_dim(x, t * 32, t * 32 + 512, axis=-1) for t in range(36)],
+        axis=-2,
+    )  # [..., 36, 512]
+    windowed = windows * _WINDOW_REV
+    partial_sums = windowed.reshape(*windowed.shape[:-1], 8, 64).sum(axis=-2)
+    S = jnp.matmul(partial_sums, _MATRIX_REV_T, precision=_HIGHEST)  # [..., 36, 32]
+    new_hist = jax.lax.slice_in_dim(x, 1152, 1632, axis=-1)
+    return S.astype(_F32), new_hist
+
+
+# --- MDCT + aliasing reduction ----------------------------------------------
+
+
+def _freq_inversion_sign() -> jax.Array:
+    """[18, 32] sign pattern: -1 where (within-granule time index odd) and
+    (subband odd) — MP3Encoder.swift:1520-1524."""
+    t_odd = (np.arange(18) % 2 == 1)[:, None]
+    sb_odd = (np.arange(32) % 2 == 1)[None, :]
+    return jnp.asarray(np.where(t_odd & sb_odd, -1.0, 1.0).astype(np.float32))
+
+
+_INV_SIGN = _freq_inversion_sign()
+
+
+def _mdct_long_batch(combined: jax.Array) -> jax.Array:
+    """combined [..., 32, 36] -> [..., 32, 18]."""
+    windowed = combined * _LONG_WIN
+    return (
+        jnp.matmul(windowed, _LONG_MAT_T, precision=_HIGHEST) / _F32(9.0)
+    ).astype(_F32)
+
+
+def _mdct_short_batch(combined: jax.Array) -> jax.Array:
+    """combined [..., 32, 36] -> [..., 32, 18] with output index w + 3m
+    (MP3Encoder.swift:1639-1662)."""
+    outs = []
+    for w in range(3):
+        offset = w * 6 + 6
+        ws = jax.lax.slice_in_dim(combined, offset, offset + 12, axis=-1) * _SHORT_WIN
+        outs.append(
+            (jnp.matmul(ws, _SHORT_MAT_T, precision=_HIGHEST) / _F32(3.0)).astype(_F32)
+        )
+    stacked = jnp.stack(outs, axis=-1)  # [..., 32, 6(m), 3(w)]
+    return stacked.reshape(*stacked.shape[:-2], 18)  # index = 3m + w
+
+
+def _aliasing_reduce(spec: jax.Array) -> jax.Array:
+    """ISO Table B.9 butterflies across the 31 subband boundaries.
+
+    spec: [..., 32, 18]. All butterflies touch disjoint coefficients
+    (positions 10..17 of subband sb and 0..7 of sb+1), so they are applied
+    fully in parallel (MP3Encoder.swift:1581-1616).
+    """
+    upper = spec[..., :31, 17:9:-1]  # [..., 31, 8] = positions 17,16,...,10
+    lower = spec[..., 1:, 0:8]  # [..., 31, 8]
+    new_upper = lower * _CA + upper * _CS
+    new_lower = lower * _CS - upper * _CA
+
+    # Rebuild: positions 0..7 come from the boundary below (subbands 1..31),
+    # 8..9 unchanged, 10..17 from the boundary above (subbands 0..30).
+    lo = jnp.concatenate([spec[..., :1, 0:8], new_lower], axis=-2)  # [..., 32, 8]
+    hi_rev = jnp.concatenate(
+        [new_upper[..., ::-1], spec[..., 31:, 10:18]], axis=-2
+    )  # [..., 32, 8] in position order 10..17
+    return jnp.concatenate([lo, spec[..., 8:10], hi_rev], axis=-1)
+
+
+def mdct_frame(
+    S: jax.Array, overlap: jax.Array, block_type: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """MDCT for both granules of a frame.
+
+    S: [..., 36, 32] subband samples (both granules); overlap: [..., 32, 18]
+    carried from the previous frame (stored post-frequency-inversion, as the
+    reference does — MP3Encoder.swift:1534-1539); block_type: [..., 2] int.
+    Returns (spectra [..., 2, 576] subband-major, new overlap [..., 32, 18]).
+    """
+    g = S.reshape(*S.shape[:-2], 2, 18, 32) * _INV_SIGN  # [..., 2, 18, 32]
+    cur = jnp.swapaxes(g, -1, -2)  # [..., 2, 32, 18]
+    cur0 = cur[..., 0, :, :]
+    cur1 = cur[..., 1, :, :]
+    prev = jnp.stack([overlap, cur0], axis=-3)  # [..., 2, 32, 18]
+    combined = jnp.concatenate([prev, cur], axis=-1)  # [..., 2, 32, 36]
+
+    long_coeffs = _mdct_long_batch(combined)
+    short_coeffs = _mdct_short_batch(combined)
+
+    bt = block_type[..., None]  # [..., 2, 1]
+    sb_idx = jnp.arange(SUBBANDS, dtype=jnp.int32)
+    use_long = (bt == BLOCK_LONG) | ((bt == BLOCK_MIXED) & (sb_idx < 2))
+    coeffs = jnp.where(use_long[..., None], long_coeffs, short_coeffs)
+
+    reduced = _aliasing_reduce(coeffs)
+    coeffs = jnp.where((bt == BLOCK_LONG)[..., None], reduced, coeffs)
+
+    spectra = coeffs.reshape(*coeffs.shape[:-2], 576)
+    return spectra, cur1
+
+
+# --- Transient detection -----------------------------------------------------
+
+
+def transient_frame(granule_pcm: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Block-type decision per granule (MP3Encoder.swift:1944-1968).
+
+    granule_pcm: [..., 2, 576]. Returns (block_type [..., 2] int32,
+    subblock_gain [..., 2, 3] int32).
+    """
+    sub = granule_pcm.reshape(*granule_pcm.shape[:-1], 3, 192)
+    energies = jnp.sum(sub * sub, axis=-1) / _F32(192.0)  # [..., 2, 3]
+    emax = jnp.max(energies, axis=-1)
+    emin = jnp.min(energies, axis=-1)
+    ratio = emax / jnp.maximum(emin, _F32(1e-4))
+    first_loudest = jnp.argmax(energies, axis=-1) == 0  # first-tie, as Swift
+    block = jnp.where(
+        ratio > _F32(6.0),
+        jnp.where(first_loudest, BLOCK_MIXED, BLOCK_SHORT),
+        BLOCK_LONG,
+    ).astype(jnp.int32)
+    normalized = jnp.clip(
+        energies / jnp.maximum(emax[..., None], _F32(1e-4)), 0.0, 1.0
+    )
+    gain = jnp.trunc((_F32(1.0) - normalized) * _F32(7.0)).astype(jnp.int32)
+    return block, gain
+
+
+# --- Gain init, quantization sweep, bit counting -----------------------------
+
+
+def initial_gain(spectrum: jax.Array) -> jax.Array:
+    """210 + trunc(4*log2(peak^0.75/15)), clamped 0-255; 210 for silent
+    granules (MP3Encoder.swift:989-1006)."""
+    peak = jnp.max(jnp.abs(spectrum), axis=-1)
+    peak_pow = jnp.power(peak, _F32(0.75))
+    ratio = peak_pow / _F32(15.0)
+    safe_ratio = jnp.maximum(ratio, _F32(1e-30))
+    gain = 210 + jnp.trunc(4.0 * jnp.log2(safe_ratio)).astype(jnp.int32)
+    gain = jnp.clip(gain, 0, 255)
+    return jnp.where(peak > 0, gain, 210).astype(jnp.int32)
+
+
+def _count_bits_pairs(q: jax.Array) -> jax.Array:
+    """Table-15 bit count per pair: code length + sign bits.
+
+    q: [..., 576] int32. Returns per-pair bits [..., 288] int32.
+    """
+    x = q[..., 0::2]
+    y = q[..., 1::2]
+    ax = jnp.minimum(jnp.abs(x), 15)
+    ay = jnp.minimum(jnp.abs(y), 15)
+    lens = jnp.take(_T15_LEN, ax * 16 + ay, axis=0)
+    return lens + (ax != 0).astype(jnp.int32) + (ay != 0).astype(jnp.int32)
+
+
+def _last_nonzero_count(q: jax.Array) -> jax.Array:
+    """Count through the last nonzero coefficient: 0 if all zero."""
+    idx = jnp.arange(1, q.shape[-1] + 1, dtype=jnp.int32)
+    return jnp.max(jnp.where(q != 0, idx, 0), axis=-1)
+
+
+def big_values_from_quantized(q: jax.Array) -> jax.Array:
+    """min(((last_nonzero+1) & ~1) // 2, 288) (MP3Encoder.swift:692-700)."""
+    last = _last_nonzero_count(q)
+    significant = jnp.minimum((last + 1) & ~1, 576)
+    return jnp.minimum(significant // 2, 288)
+
+
+def quantize_at_gains(mag: jax.Array, sign_neg: jax.Array, gains: jax.Array) -> jax.Array:
+    """Quantize |x|^0.75 magnitudes at several gains.
+
+    mag: [..., 576] precomputed max(|x|,1e-10)^0.75 (shared across gains —
+    the reference recomputes the pow every iteration, but it is
+    gain-independent); sign_neg: [..., 576] bool; gains: [..., K] int32.
+    Returns q [..., K, 576] int32 (signed, clamped to +-15).
+    """
+    inv = jnp.take(_INV_STEP_TABLE, jnp.clip(gains, 0, 255), axis=0)  # [..., K]
+    scaled = mag[..., None, :] * inv[..., :, None]
+    q = jnp.minimum(jnp.floor(scaled + _F32(0.5)).astype(jnp.int32), 15)
+    return jnp.where(sign_neg[..., None, :], -q, q)
+
+
+def rate_loop(
+    spectrum: jax.Array, init_gain: jax.Array, max_bits: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Vectorized replica of the reference's gain walk (MP3Encoder.swift:734-794).
+
+    spectrum: [..., 576] f32; init_gain, max_bits: [...] int32.
+    Returns (gain [...], quantized [..., 576] int32, part23_bits [...],
+    big_values [...]).
+
+    Walk semantics reproduced exactly:
+    - candidates are gstart + 4k, k = 0..19 (gstart = initial gain, or
+      max(g-40, 0) if the initial quantization is all-zero, consuming one
+      iteration);
+    - a candidate is only 'evaluated' if the walk would reach it (k == 0 or
+      its gain < 255);
+    - first evaluated candidate fitting the budget wins;
+    - if none fits, the returned quantized spectrum comes from the *last
+      evaluated* candidate while the reported gain is stepped once more and
+      capped at 255 (the reference's overflow quirk).
+    """
+    absx = jnp.maximum(jnp.abs(spectrum), _F32(1e-10))
+    mag = jnp.power(absx, _F32(0.75))
+    sign_neg = spectrum < 0
+
+    g0 = jnp.clip(init_gain, 0, 255)
+    q0 = quantize_at_gains(mag, sign_neg, g0[..., None])[..., 0, :]
+    allzero0 = _last_nonzero_count(q0) == 0
+
+    gstart = jnp.where(allzero0, jnp.maximum(g0 - 40, 0), g0)
+    k_budget = jnp.where(allzero0, N_GAIN_CANDIDATES - 1, N_GAIN_CANDIDATES)
+
+    k = jnp.arange(N_GAIN_CANDIDATES, dtype=jnp.int32)
+    gains = gstart[..., None] + 4 * k  # [..., 20]
+    qk = quantize_at_gains(mag, sign_neg, gains)  # [..., 20, 576]
+
+    pair_bits = _count_bits_pairs(qk)  # [..., 20, 288]
+    bv = big_values_from_quantized(qk)  # [..., 20]
+    pair_idx = jnp.arange(288, dtype=jnp.int32)
+    bits = jnp.sum(
+        jnp.where(pair_idx < bv[..., None], pair_bits, 0), axis=-1
+    )  # [..., 20]
+
+    evaluated = (k == 0) | (gains < 255)
+    in_budget = k < k_budget[..., None]
+    fits = evaluated & in_budget & (bits <= max_bits[..., None])
+    has_fit = jnp.any(fits, axis=-1)
+    k_fit = jnp.argmax(fits, axis=-1)  # first fit
+
+    k_eval = jnp.where(evaluated & in_budget, k, -1)
+    k_last = jnp.max(k_eval, axis=-1)  # last evaluated candidate
+
+    k_sel = jnp.where(has_fit, k_fit, k_last)
+    q_sel = jnp.take_along_axis(qk, k_sel[..., None, None], axis=-2)[..., 0, :]
+    bits_sel = jnp.take_along_axis(bits, k_sel[..., None], axis=-1)[..., 0]
+    bv_sel = jnp.take_along_axis(bv, k_sel[..., None], axis=-1)[..., 0]
+    gain_fit = jnp.take_along_axis(gains, k_sel[..., None], axis=-1)[..., 0]
+    gain_out = jnp.where(has_fit, gain_fit, jnp.minimum(gain_fit + 4, 255))
+    return gain_out.astype(jnp.int32), q_sel, bits_sel, bv_sel
+
+
+# --- Region counts, preflag --------------------------------------------------
+
+
+def region_counts(big_values: jax.Array, sample_rate: int) -> tuple[jax.Array, jax.Array]:
+    """region0/region1 from band boundaries (MP3Encoder.swift:856-887).
+
+    Boundaries are strictly increasing, so each loop walks a prefix:
+    region0 = (count of the first 15 boundaries <= big_values*2) - 1, and
+    region1 counts consecutive satisfying boundaries in the next 7 slots
+    (nonzero once big_values*2 exceeds boundary 14 — the loop's 15-cap).
+    """
+    bounds_np = np.cumsum(band_table(sample_rate)).astype(np.int32)
+    boundaries = jnp.asarray(bounds_np)  # [21]
+    n_bounds = bounds_np.shape[0]
+    bvr = (big_values * 2)[..., None]
+    c_all = jnp.sum((boundaries <= bvr).astype(jnp.int32), axis=-1)
+    region0 = jnp.maximum(jnp.minimum(c_all, 15) - 1, 0)
+    start = region0 + 1
+    # consecutive satisfying boundaries in [start, min(start+7, n_bounds))
+    n_sat = jnp.maximum(jnp.minimum(jnp.minimum(c_all, start + 7), n_bounds) - start, 0)
+    region1 = jnp.maximum(n_sat - 1, 0)
+    return region0, jnp.minimum(region1, 7)
+
+
+def preflag(spectrum: jax.Array) -> jax.Array:
+    """Top-quarter energy > 1.5x rest (MP3Encoder.swift:2042-2066; the
+    scalefactor clause is constant-true with unity scalefactors)."""
+    high = jnp.sum(spectrum[..., 432:] ** 2, axis=-1)
+    low = jnp.sum(spectrum[..., :432] ** 2, axis=-1)
+    return (high > low * _F32(1.5)).astype(jnp.int32)
+
+
+# --- Stereo decision ---------------------------------------------------------
+
+
+def stereo_decide(left: jax.Array, right: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Joint-stereo M/S decision per frame (MP3Encoder.swift:2140-2162).
+
+    left/right: [..., 1152]. Returns (use_ms [...] bool, ch0, ch1).
+    mid = (L+R)/2, side = (L-R)/2; M/S when side energy < 0.4 * mid energy.
+    """
+    half = _F32(0.5)
+    mid = (left + right) * half
+    side = (left - right) * half
+    n = _F32(left.shape[-1])
+    mid_e = jnp.sum(mid * mid, axis=-1) / n
+    side_e = jnp.sum(side * side, axis=-1) / n
+    use_ms = side_e < mid_e * _F32(0.4)
+    ch0 = jnp.where(use_ms[..., None], mid, left)
+    ch1 = jnp.where(use_ms[..., None], side, right)
+    return use_ms, ch0, ch1
+
+
+# --- Frame energy & VBR ------------------------------------------------------
+
+
+def mean_square(x: jax.Array) -> jax.Array:
+    return jnp.sum(x * x, axis=-1) / _F32(x.shape[-1])
+
+
+def vbr_choose_bitrate(
+    energy: jax.Array,
+    ehist: jax.Array,
+    ecount: jax.Array,
+    base: int,
+    quality: int,
+) -> jax.Array:
+    """VBR bitrate from energy vs running average (MP3Encoder.swift:1177-1189).
+
+    ehist: [..., 10] with zeros in unused slots; ecount: [...] valid count.
+    """
+    have = ecount > 0
+    avg = jnp.where(
+        have, jnp.sum(ehist, axis=-1) / jnp.maximum(ecount, 1).astype(_F32), energy
+    )
+    ratio = jnp.clip(energy / jnp.maximum(avg, _F32(1e-4)), _F32(0.5), _F32(2.0))
+    quality_factor = np.float32(9 - quality) / np.float32(9.0)
+    max_adjustment = int(np.float32(32.0) + np.float32(32.0) * quality_factor)
+    adjustment = jnp.trunc((ratio - _F32(1.0)) * _F32(max_adjustment)).astype(jnp.int32)
+    min_bitrate = max(32, base - 64 + quality * 8)
+    max_bitrate = min(320, base + 64 - quality * 4)
+    # max-of-min, NOT clip: when min_bitrate > max_bitrate (e.g. base=320,
+    # quality=9) the reference's max() wins (MP3Encoder.swift:1188).
+    return jnp.maximum(min_bitrate, jnp.minimum(base + adjustment, max_bitrate))
+
+
+def bitrate_index_device(bitrate: jax.Array, sample_rate: int) -> jax.Array:
+    """Closest-match bitrate index (MP3Encoder.swift:2509-2523): exact match
+    first (== earliest minimal distance, which argmin provides)."""
+    table = BITRATE_TABLE_V1 if sample_rate >= 32000 else BITRATE_TABLE_V2
+    t = jnp.asarray(table)
+    return jnp.argmin(jnp.abs(t - bitrate[..., None]), axis=-1).astype(jnp.int32)
+
+
+_BITRATE_VALUES = jnp.asarray(BITRATE_TABLE_V1)
+
+
+def bitrate_value_device(index: jax.Array) -> jax.Array:
+    return jnp.take(_BITRATE_VALUES, index, axis=0)

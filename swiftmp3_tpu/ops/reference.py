@@ -75,21 +75,21 @@ def transient_detect(samples576: np.ndarray) -> tuple[int, list[int]]:
     (MP3Encoder.swift:1944-1968). Returns (block_type, subblock_gain[3])."""
     samples576 = np.asarray(samples576, dtype=np.float32)
     size = max(len(samples576) // 3, 1)
-    energies = []
+    energies = np.zeros(3, dtype=np.float32)
     for i in range(3):
         sl = samples576[i * size : min((i + 1) * size, len(samples576))]
-        energies.append(float(frame_energy(sl)))
-    emax = max(energies)
-    emin = min(energies)
-    ratio = emax / max(emin, 1e-4)
-    if ratio > 6.0:
-        block = BLOCK_MIXED if energies.index(emax) == 0 else BLOCK_SHORT
+        energies[i] = frame_energy(sl)
+    emax = np.float32(energies.max())
+    emin = np.float32(energies.min())
+    ratio = emax / max(emin, np.float32(1e-4))
+    if ratio > np.float32(6.0):
+        block = BLOCK_MIXED if int(np.argmax(energies)) == 0 else BLOCK_SHORT
     else:
         block = BLOCK_LONG
     gains = []
     for e in energies:
-        normalized = min(max(e / max(emax, 1e-4), 0.0), 1.0)
-        gains.append(int((1.0 - normalized) * 7.0))
+        normalized = min(max(e / max(emax, np.float32(1e-4)), np.float32(0.0)), np.float32(1.0))
+        gains.append(int((np.float32(1.0) - normalized) * np.float32(7.0)))
     return block, gains
 
 

@@ -1,0 +1,57 @@
+"""Batch-parallel encoding tests: mesh sharding + lockstep multi-stream."""
+
+import numpy as np
+import pytest
+
+from swiftmp3_tpu import MP3Encoder, MP3EncoderOptions, Mode
+from swiftmp3_tpu.parallel import encode_batch, make_mesh
+
+
+def test_mesh_has_virtual_devices():
+    import jax
+
+    assert len(jax.devices()) == 8  # conftest forces 8 virtual CPU devices
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+
+
+def test_batch_matches_sessions_sharded():
+    opts = MP3EncoderOptions(mode=Mode.MONO)
+    rng = np.random.default_rng(0)
+    streams = [
+        (rng.standard_normal(1152 * (2 + i % 3) + (211 * i) % 1000) * 0.4).astype(
+            np.float32
+        )
+        for i in range(5)
+    ]
+    mesh = make_mesh()
+    batched = encode_batch(opts, streams, frames_per_step=4, mesh=mesh)
+    for i, s in enumerate(streams):
+        sess = MP3Encoder(opts, backend="tpu").new_session()
+        expect = sess.encode(s) + sess.flush()
+        assert batched[i] == expect, f"stream {i}"
+
+
+def test_batch_unsharded_stereo():
+    opts = MP3EncoderOptions(mode=Mode.STEREO)
+    rng = np.random.default_rng(1)
+    streams = [
+        (rng.standard_normal(2 * 1152 * 3) * 0.3).astype(np.float32),
+        (rng.standard_normal(2 * 1152 * 2 + 500) * 0.3).astype(np.float32),
+    ]
+    batched = encode_batch(opts, streams, frames_per_step=4)
+    for i, s in enumerate(streams):
+        sess = MP3Encoder(opts, backend="tpu").new_session()
+        expect = sess.encode(s) + sess.flush()
+        assert batched[i] == expect
+
+
+def test_empty_stream_in_batch():
+    opts = MP3EncoderOptions(mode=Mode.MONO)
+    streams = [
+        np.zeros(0, dtype=np.float32),
+        (np.sin(np.arange(1152 * 2) * 0.1) * 0.4).astype(np.float32),
+    ]
+    out = encode_batch(opts, streams, frames_per_step=2)
+    assert out[0] == b""
+    assert len(out[1]) > 0
