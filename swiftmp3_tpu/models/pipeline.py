@@ -1,11 +1,24 @@
-"""The frame-encode pipeline: carry pytree + jittable per-frame step + scan.
+"""The frame-encode pipeline: chunk-parallel DSP + tiny integer scan.
 
-Architecture (SURVEY.md §7): the time axis is a `lax.scan` over frames — MP3
-state (filterbank history, MDCT overlap, bit reservoir counters, padding
-accumulator, VBR history) is a strict serial chain per stream — while the
-batch axis holds independent streams and is sharded over chips. The host
-receives fixed-shape integer/spectra outputs per frame and renders bytes
-(swiftmp3_tpu.io.framing).
+TPU-first structure (SURVEY.md §7, refined): per chunk of T frames x B
+streams, almost everything is data-parallel —
+
+  Phase 1 (parallel): stereo decision, whole-chunk polyphase filterbank
+    (the filterbank 'state' is just trailing PCM), transient detection,
+    whole-chunk MDCT (the overlap chain is 'previous granule's subbands'),
+    initial gains and the 20-candidate rate-sweep bit counts
+    (budget-independent).
+  Phase 2 (lax.scan over T, integers only): VBR bitrate choice, frame
+    sizing/padding, reservoir snapshot + budget, candidate selection
+    (O(20) int ops/granule), reservoir mirror update, VBR history push.
+    This is the *only* sequential dependence in MP3 encoding.
+  Phase 3 (parallel): re-quantize at the selected gains, big_values,
+    region counts, preflag; assemble outputs.
+
+Chunk masking contract: `valid[t, b]` must be a PREFIX in t for each stream
+(invalid frames only at the tail of a chunk). Both the session backend and
+encode_batch construct chunks this way; the carry-out state is gathered at
+each stream's last valid frame.
 
 Carry layout (per stream):
     fb_hist   [B, ch, 480]  f32  trailing PCM for the polyphase filterbank
@@ -21,8 +34,6 @@ Carry layout (per stream):
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import List
 
 import jax
@@ -51,12 +62,11 @@ def init_carry(batch: int, options: MP3EncoderOptions):
     }
 
 
-def make_frame_step(options: MP3EncoderOptions):
-    """Build the per-frame step function (carry, inputs) -> (carry, outputs).
+def make_chunk_fn(options: MP3EncoderOptions):
+    """Build the chunk encode function
+    (carry, pcm [T,B,1152*ch], final [T,B], valid [T,B]) -> (carry, outputs).
 
-    inputs: {"pcm": [B, 1152*ch] f32, "final": [B] bool, "valid": [B] bool}.
-    Invalid frames leave the carry untouched (used to run fixed-shape scans
-    over partially-filled chunks).
+    `valid` must be a prefix along T per stream (see module docstring).
     """
     sr = options.sample_rate
     ch = options.channels
@@ -70,143 +80,216 @@ def make_frame_step(options: MP3EncoderOptions):
     cbr_index = bitrate_index(base_kbps, sr)
     cbr_value = bitrate_value(cbr_index)
 
-    def step(carry, inp):
-        pcm = inp["pcm"].astype(jnp.float32)  # [B, 1152*ch]
-        final = inp["final"]
-        valid = inp["valid"]
-        B = pcm.shape[0]
+    def run(carry, pcm, final, valid):
+        pcm = pcm.astype(jnp.float32)
+        T, B = pcm.shape[0], pcm.shape[1]
 
-        # --- Bitrate (VBR) + frame sizing + padding ---
-        if is_vbr:
-            frame_e = dsp.mean_square(pcm)
-            target = dsp.vbr_choose_bitrate(
-                frame_e, carry["vbr_ehist"], carry["vbr_count"], base_kbps, quality
-            )
-            br_idx = dsp.bitrate_index_device(target, sr)
-            br_val = dsp.bitrate_value_device(br_idx)
-        else:
-            br_idx = jnp.full(B, cbr_index, dtype=jnp.int32)
-            br_val = jnp.full(B, cbr_value, dtype=jnp.int32)
-
-        numerator = 144 * br_val * 1000
-        base_size = numerator // sr
-        remainder = numerator % sr
-        pad_acc = carry["pad_rem"] + remainder
-        padding = (pad_acc >= sr).astype(jnp.int32)
-        pad_rem = pad_acc - padding * sr
-        frame_size = base_size + padding
-        main_data_size = frame_size - 4 - crc_size - side_size
-
-        # --- Reservoir snapshot + bit budget ---
-        mdb = jnp.where(final, 0, jnp.minimum(carry["stream_len"], 511))
-        res_bits = jnp.where(final, 0, carry["avail"] * 8)
-        usable = (res_bits * 9) // 10
-        total_bits = main_data_size * 8 + usable
-        bits_per_granule = total_bits // n_gran
-
-        # --- Deinterleave + stereo decision ---
+        # ---------------- Phase 1: parallel DSP ----------------
         if ch == 1:
-            chans = pcm[:, None, :]  # [B, 1, 1152]
+            chans = pcm[:, :, None, :]  # [T, B, 1, 1152]
         else:
-            left = pcm[:, 0::2]
-            right = pcm[:, 1::2]
+            left = pcm[:, :, 0::2]
+            right = pcm[:, :, 1::2]
             if mode is Mode.JOINT_STEREO:
                 _use_ms, c0, c1 = dsp.stereo_decide(left, right)
             else:
                 c0, c1 = left, right
-            chans = jnp.stack([c0, c1], axis=1)  # [B, 2, 1152]
+            chans = jnp.stack([c0, c1], axis=2)  # [T, B, 2, 1152]
 
-        granule_pcm = chans.reshape(B, ch, 2, 576)
+        granule_pcm = chans.reshape(T, B, ch, 2, 576)
+        # [B, ch, T*1152] time-contiguous per channel
+        pcm_chunk = jnp.moveaxis(chans, 0, 2).reshape(B, ch, T * 1152 * 1)
 
-        # --- Granule DSP (both granules batched) ---
-        S, fb_hist = dsp.polyphase_frame(carry["fb_hist"], chans)  # [B,ch,36,32]
-        block, sb_gain = dsp.transient_frame(granule_pcm)  # [B,ch,2], [B,ch,2,3]
-        spectra, overlap = dsp.mdct_frame(S, carry["overlap"], block)  # [B,ch,2,576]
+        S, full_x = dsp.polyphase_chunk(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
 
-        g0 = dsp.initial_gain(spectra)  # [B,ch,2]
-        max_bits = jnp.broadcast_to(bits_per_granule[:, None, None], g0.shape)
-        gain, quantized, part23, big_values = dsp.rate_loop(spectra, g0, max_bits)
-        pre = dsp.preflag(spectra)
-        region0, region1 = dsp.region_counts(big_values, sr)
+        block_t, sb_gain_t = dsp.transient_frame(granule_pcm)  # [T,B,ch,2],[T,B,ch,2,3]
+        # granule-sequence order for the MDCT: [B, ch, 2T]
+        block_seq = jnp.moveaxis(block_t, 0, 2).reshape(B, ch, 2 * T)
+        spectra_seq, cur = dsp.mdct_chunk(S, carry["overlap"], block_seq)
+        # [B, ch, 2T, 576] -> granule-major [T, B, G, 576] with G = gr*ch + c
+        spectra = jnp.moveaxis(
+            spectra_seq.reshape(B, ch, T, 2, 576), (2, 3, 1), (0, 2, 3)
+        ).reshape(T, B, n_gran, 576)
 
-        # --- Reservoir mirror update (MP3Encoder.swift:511, 549, 565) ---
-        total_used = jnp.sum(part23.reshape(B, -1), axis=-1)
-        huffman_bytes = (total_used + 7) // 8
-        stream_len = carry["stream_len"] + huffman_bytes
-        stream_len = jnp.where(
-            carry["has_buffered"],
-            jnp.maximum(stream_len - carry["prev_slot"], 0),
-            stream_len,
+        g0 = dsp.initial_gain(spectra)  # [T, B, G]
+        pre = dsp.rate_loop_precompute(spectra, g0)
+
+        frame_e = dsp.mean_square(pcm) if is_vbr else jnp.zeros((T, B), jnp.float32)
+        granule_e = jnp.swapaxes(dsp.mean_square(granule_pcm), 2, 3).reshape(
+            T, B, n_gran
         )
-        avail = jnp.clip(carry["avail"] + main_data_size - huffman_bytes, 0, 511)
 
-        # --- VBR energy history push (granule-major order) ---
-        granule_e = dsp.mean_square(granule_pcm)  # [B, ch, 2]
-        push = jnp.swapaxes(granule_e, 1, 2).reshape(B, n_gran)
-        vbr_ehist = jnp.concatenate([carry["vbr_ehist"][:, n_gran:], push], axis=1)
-        vbr_count = jnp.minimum(carry["vbr_count"] + n_gran, 10)
-
-        new_carry = {
-            "fb_hist": fb_hist,
-            "overlap": overlap,
-            "stream_len": stream_len,
-            "avail": avail,
-            "pad_rem": pad_rem,
-            "prev_slot": main_data_size,
-            "has_buffered": jnp.ones_like(carry["has_buffered"]),
-            "vbr_ehist": vbr_ehist,
-            "vbr_count": vbr_count,
+        # ---------------- Phase 2: integer scan over T ----------------
+        int_carry = {
+            k: carry[k]
+            for k in (
+                "stream_len",
+                "avail",
+                "pad_rem",
+                "prev_slot",
+                "has_buffered",
+                "vbr_ehist",
+                "vbr_count",
+            )
         }
-        # Masked (invalid) lanes keep their old state.
-        def keep(new, old):
-            v = valid.reshape((B,) + (1,) * (new.ndim - 1))
-            return jnp.where(v, new, old)
 
-        merged = jax.tree_util.tree_map(keep, new_carry, carry)
+        def step(c, x):
+            bits_k, evaluated, k_budget, fe, ge, fin, val = x
+            if is_vbr:
+                target = dsp.vbr_choose_bitrate(
+                    fe, c["vbr_ehist"], c["vbr_count"], base_kbps, quality
+                )
+                br_idx = dsp.bitrate_index_device(target, sr)
+                br_val = dsp.bitrate_value_device(br_idx)
+            else:
+                br_idx = jnp.full(B, cbr_index, dtype=jnp.int32)
+                br_val = jnp.full(B, cbr_value, dtype=jnp.int32)
 
-        def gm(x):  # [B, ch, 2, ...] -> granule-major [B, 2*ch, ...]
-            return jnp.swapaxes(x, 1, 2).reshape((B, n_gran) + x.shape[3:])
+            numerator = 144 * br_val * 1000
+            base_size = numerator // sr
+            remainder = numerator % sr
+            pad_acc = c["pad_rem"] + remainder
+            padding = (pad_acc >= sr).astype(jnp.int32)
+            pad_rem = pad_acc - padding * sr
+            slot = base_size + padding - 4 - crc_size - side_size
 
-        outputs = {
-            "bitrate_index": br_idx,
-            "padding": padding,
-            "mdb": mdb,
-            "slot": main_data_size,
-            "quantized": gm(quantized).astype(jnp.int8),
-            "big_values": gm(big_values),
-            "part23": gm(part23),
-            "gain": gm(gain),
-            "block_type": gm(block),
-            "subblock_gain": gm(sb_gain),
-            "preflag": gm(pre),
-            "region0": gm(region0),
-            "region1": gm(region1),
-        }
-        return merged, outputs
+            mdb = jnp.where(fin, 0, jnp.minimum(c["stream_len"], 511))
+            res_bits = jnp.where(fin, 0, c["avail"] * 8)
+            usable = (res_bits * 9) // 10
+            bits_per_granule = (slot * 8 + usable) // n_gran
 
-    return step
+            k_sel, has_fit, bits_sel = dsp.rate_loop_select(
+                bits_k, evaluated, k_budget, bits_per_granule[:, None]
+            )
+
+            total_used = jnp.sum(bits_sel, axis=-1)
+            huffman_bytes = (total_used + 7) // 8
+            stream_len = c["stream_len"] + huffman_bytes
+            stream_len = jnp.where(
+                c["has_buffered"],
+                jnp.maximum(stream_len - c["prev_slot"], 0),
+                stream_len,
+            )
+            avail = jnp.clip(c["avail"] + slot - huffman_bytes, 0, 511)
+            vbr_ehist = jnp.concatenate([c["vbr_ehist"][:, n_gran:], ge], axis=1)
+            vbr_count = jnp.minimum(c["vbr_count"] + n_gran, 10)
+
+            new_c = {
+                "stream_len": stream_len,
+                "avail": avail,
+                "pad_rem": pad_rem,
+                "prev_slot": slot,
+                "has_buffered": jnp.ones_like(c["has_buffered"]),
+                "vbr_ehist": vbr_ehist,
+                "vbr_count": vbr_count,
+            }
+
+            def keep(new, old):
+                v = val.reshape((B,) + (1,) * (new.ndim - 1))
+                return jnp.where(v, new, old)
+
+            merged = jax.tree_util.tree_map(keep, new_c, c)
+            ys = (br_idx, padding, mdb, slot, k_sel, has_fit, bits_sel)
+            return merged, ys
+
+        int_carry, ys = jax.lax.scan(
+            step,
+            int_carry,
+            (pre["bits"], pre["evaluated"], pre["k_budget"], frame_e, granule_e, final, valid),
+        )
+        br_idx, padding, mdb, slot, k_sel, has_fit, bits_sel = ys
+
+        # ---------------- Phase 3: parallel finalize ----------------
+        gain, quantized, big_values = dsp.rate_loop_finalize(pre, k_sel, has_fit)
+        region0, region1 = dsp.region_counts(big_values, sr)
+        pref = dsp.preflag(spectra)
+
+        def gm(x):  # [T, B, ch, 2, ...] -> granule-major [T, B, G, ...]
+            return jnp.swapaxes(x, 2, 3).reshape((T, B, n_gran) + x.shape[4:])
+
+        # Pack all integer outputs into ONE int32 tensor: the tunnel to the
+        # device charges per-transfer latency, so 12 small arrays cost ~90x
+        # more wall clock than one packed array (measured 916 ms -> ~60 ms).
+        # Layout must match _unpack_meta below.
+        meta = jnp.concatenate(
+            [
+                br_idx[..., None],
+                padding[..., None],
+                mdb[..., None],
+                slot[..., None],
+                bits_sel,
+                big_values,
+                gain,
+                gm(block_t),
+                pref,
+                region0,
+                region1,
+                gm(sb_gain_t).reshape(T, B, 3 * n_gran),
+            ],
+            axis=-1,
+        ).astype(jnp.int32)
+        outputs = {"meta": meta, "quantized": quantized.astype(jnp.int8)}
+
+        # ---------------- Carry-out state at each stream's last valid ----
+        count_valid = jnp.sum(valid.astype(jnp.int32), axis=0)  # [B]
+        idx = count_valid[:, None, None] * 1152 + jnp.arange(480)[None, None, :]
+        fb_hist = jnp.take_along_axis(full_x, jnp.broadcast_to(idx, (B, ch, 480)), axis=-1)
+        all_ov = jnp.concatenate([carry["overlap"][:, :, None], cur], axis=2)
+        ov_idx = (2 * count_valid)[:, None, None, None, None]
+        overlap = jnp.take_along_axis(
+            all_ov, jnp.broadcast_to(ov_idx, (B, ch, 1, 32, 18)), axis=2
+        )[:, :, 0]
+
+        new_carry = dict(int_carry)
+        new_carry["fb_hist"] = fb_hist
+        new_carry["overlap"] = overlap
+        return new_carry, outputs
+
+    return run
 
 
 def make_chunk_encoder(options: MP3EncoderOptions, chunk: int):
-    """jit-compiled scan over a fixed-size chunk of frames."""
-    step = make_frame_step(options)
+    """jit-compiled chunk encoder (the `chunk` length is set by the caller's
+    array shapes; one compiled program per distinct T)."""
+    return jax.jit(make_chunk_fn(options))
 
-    @jax.jit
-    def run(carry, pcm, final, valid):
-        # pcm: [T, B, n], final/valid: [T, B]
-        return jax.lax.scan(
-            lambda c, x: step(c, {"pcm": x[0], "final": x[1], "valid": x[2]}),
-            carry,
-            (pcm, final, valid),
-        )
 
-    return run
+_GRANULE_FIELDS = (
+    "part23",
+    "big_values",
+    "gain",
+    "block_type",
+    "preflag",
+    "region0",
+    "region1",
+)
+
+
+def fetch_outputs(outs, options: MP3EncoderOptions) -> dict:
+    """Transfer packed chunk outputs to host and unpack to named arrays."""
+    n_gran = 2 * options.channels
+    meta = np.asarray(outs["meta"])
+    quantized = np.asarray(outs["quantized"])
+    T, B = meta.shape[0], meta.shape[1]
+    d = {
+        "bitrate_index": meta[..., 0],
+        "padding": meta[..., 1],
+        "mdb": meta[..., 2],
+        "slot": meta[..., 3],
+        "quantized": quantized,
+    }
+    o = 4
+    for name in _GRANULE_FIELDS:
+        d[name] = meta[..., o : o + n_gran]
+        o += n_gran
+    d["subblock_gain"] = meta[..., o : o + 3 * n_gran].reshape(T, B, n_gran, 3)
+    return d
 
 
 def frame_results_from_outputs(
     outs: dict, options: MP3EncoderOptions, t: int, b: int
 ) -> FrameResult:
-    """Convert one (time, batch) slice of stacked scan outputs to a
+    """Convert one (time, batch) slice of stacked chunk outputs to a
     FrameResult for the host assembler."""
     ch = options.channels
     n_gran = 2 * ch
@@ -268,7 +351,7 @@ class TPUBackend:
             fin[:count, 0] = is_final[start : start + count]
             val[:count, 0] = True
             self.carry, outs = self._run(self.carry, pcm, fin, val)
-            outs = jax.tree_util.tree_map(np.asarray, outs)
+            outs = fetch_outputs(outs, self.options)
             for t in range(count):
                 results.append(frame_results_from_outputs(outs, self.options, t, 0))
         return results

@@ -1,0 +1,279 @@
+// Native frame renderer: the host-side byte path of the TPU MP3 framework.
+//
+// Renders fixed-shape device outputs (quantized spectra + side-info integers)
+// into MP3 frame bytes: table-15 Huffman packing, ISO 2.4.1.7 side info,
+// frame headers, CRC-16, bit-reservoir slot splicing and the one-frame
+// delay. Byte-for-byte equivalent to the Python path in
+// swiftmp3_tpu/io/framing.py (verified by tests/test_native.py).
+//
+// Behavior parity notes mirror the reference encoder:
+//  - CRC-16 covers only the 4 header bytes (MP3Encoder.swift:540-543)
+//  - side info padded to 136/256 bits (MP3Encoder.swift:618-624)
+//  - one-frame delayed emission + reservoir fillSlot (MP3Encoder.swift:546-565)
+//
+// Build: g++ -O3 -shared -fPIC -o libmp3render.so frame_render.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "tables_gen.h"
+
+namespace {
+
+struct BitWriter {
+    std::vector<uint8_t> bytes;
+    uint64_t acc = 0;
+    int nbits = 0;
+
+    void write(uint32_t bits, int count) {
+        if (count <= 0) return;
+        acc = (acc << count) | (bits & ((1u << count) - 1u));
+        nbits += count;
+        while (nbits >= 8) {
+            nbits -= 8;
+            bytes.push_back(static_cast<uint8_t>((acc >> nbits) & 0xFF));
+        }
+        acc &= (1u << nbits) - 1u;
+    }
+    void pad_to_byte() {
+        if (nbits > 0) {
+            bytes.push_back(static_cast<uint8_t>((acc << (8 - nbits)) & 0xFF));
+            acc = 0;
+            nbits = 0;
+        }
+    }
+};
+
+uint16_t crc_table[256];
+bool crc_init_done = false;
+
+void crc_init() {
+    if (crc_init_done) return;
+    for (int i = 0; i < 256; i++) {
+        uint16_t crc = static_cast<uint16_t>(i << 8);
+        for (int b = 0; b < 8; b++)
+            crc = (crc & 0x8000) ? static_cast<uint16_t>((crc << 1) ^ 0x8005)
+                                 : static_cast<uint16_t>(crc << 1);
+        crc_table[i] = crc;
+    }
+    crc_init_done = true;
+}
+
+uint16_t crc16_mpeg(const uint8_t* data, size_t n) {
+    crc_init();
+    uint16_t crc = 0xFFFF;
+    for (size_t i = 0; i < n; i++)
+        crc = static_cast<uint16_t>((crc << 8) ^ crc_table[((crc >> 8) ^ data[i]) & 0xFF]);
+    return crc;
+}
+
+struct StreamState {
+    // static config
+    int channels;
+    int sample_rate_index;
+    int crc_protected;
+    int copyright_bit;
+    int original_bit;
+    int mode_bits;
+    int mode_ext;
+    // reservoir + delay
+    std::vector<uint8_t> reservoir;
+    std::vector<uint8_t> buffered_head;
+    int buffered_slot = 0;
+    bool has_buffered = false;
+    // counters
+    uint32_t frame_count = 0;
+    uint32_t total_bytes = 0;
+};
+
+// Pack one granule's big-values region with table 15 (signs appended).
+void pack_granule(BitWriter& w, const int8_t* q, int big_values) {
+    int n = big_values * 2;
+    for (int i = 0; i + 1 < n; i += 2) {
+        int x = q[i], y = q[i + 1];
+        int ax = x < 0 ? -x : x;
+        int ay = y < 0 ? -y : y;
+        if (ax > 15) ax = 15;
+        if (ay > 15) ay = 15;
+        int idx = ax * 16 + ay;
+        w.write(TABLE15_CODE[idx], TABLE15_LEN[idx]);
+        if (ax) w.write(x < 0 ? 1 : 0, 1);
+        if (ay) w.write(y < 0 ? 1 : 0, 1);
+    }
+}
+
+void build_header(StreamState* s, int bitrate_index, int padding, uint8_t out[4]) {
+    BitWriter h;
+    h.write(0x7FF, 11);
+    h.write(0b11, 2);  // MPEG-1
+    h.write(0b01, 2);  // Layer III
+    h.write(s->crc_protected ? 0 : 1, 1);
+    h.write(static_cast<uint32_t>(bitrate_index), 4);
+    h.write(static_cast<uint32_t>(s->sample_rate_index), 2);
+    h.write(static_cast<uint32_t>(padding), 1);
+    h.write(0, 1);  // private
+    h.write(static_cast<uint32_t>(s->mode_bits), 2);
+    h.write(static_cast<uint32_t>(s->mode_ext), 2);
+    h.write(s->copyright_bit ? 1 : 0, 1);
+    h.write(s->original_bit ? 1 : 0, 1);
+    h.write(0, 2);  // no emphasis
+    std::memcpy(out, h.bytes.data(), 4);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
+                     int copyright_bit, int original_bit, int mode_bits,
+                     int mode_ext) {
+    auto* s = new StreamState();
+    s->channels = channels;
+    s->sample_rate_index = sample_rate_index;
+    s->crc_protected = crc_protected;
+    s->copyright_bit = copyright_bit;
+    s->original_bit = original_bit;
+    s->mode_bits = mode_bits;
+    s->mode_ext = mode_ext;
+    return s;
+}
+
+void mp3_stream_free(void* p) { delete static_cast<StreamState*>(p); }
+
+uint32_t mp3_frame_count(void* p) { return static_cast<StreamState*>(p)->frame_count; }
+uint32_t mp3_total_bytes(void* p) { return static_cast<StreamState*>(p)->total_bytes; }
+
+// Render F frames; writes emitted bytes to `out` (caller-sized), per-emitted-
+// frame sizes to frame_sizes_out (one entry per emitted frame; count via
+// n_emitted_out). Returns total bytes written, or -1 if out_capacity is too
+// small.
+int64_t mp3_render_frames(void* p, int F,
+                          const int32_t* bitrate_index, const int32_t* padding,
+                          const int32_t* mdb, const int32_t* slot,
+                          const int32_t* part23, const int32_t* big_values,
+                          const int32_t* gain, const int32_t* block_type,
+                          const int32_t* preflag, const int32_t* region0,
+                          const int32_t* region1, const int32_t* subblock_gain,
+                          const int8_t* quantized, uint8_t* out,
+                          int64_t out_capacity, int32_t* frame_sizes_out,
+                          int32_t* n_emitted_out) {
+    auto* s = static_cast<StreamState*>(p);
+    const int ch = s->channels;
+    const int G = 2 * ch;
+    const int side_bytes = (ch == 1) ? 17 : 32;
+    int64_t written = 0;
+    int n_emitted = 0;
+
+    for (int f = 0; f < F; f++) {
+        // --- main data: all granules packed into one bitstream, pad to byte
+        BitWriter md;
+        for (int g = 0; g < G; g++) {
+            pack_granule(md, quantized + (static_cast<int64_t>(f) * G + g) * 576,
+                         big_values[f * G + g]);
+        }
+        md.pad_to_byte();
+        s->reservoir.insert(s->reservoir.end(), md.bytes.begin(), md.bytes.end());
+
+        // --- side info (ISO 2.4.1.7)
+        BitWriter si;
+        int m = mdb[f];
+        si.write(static_cast<uint32_t>(m > 511 ? 511 : m), 9);
+        si.write(0, ch == 1 ? 5 : 3);
+        for (int c = 0; c < ch; c++) si.write(0, 4);  // scfsi
+        for (int gr = 0; gr < 2; gr++) {
+            for (int c = 0; c < ch; c++) {
+                int g = gr * ch + c;
+                int64_t o = static_cast<int64_t>(f) * G + g;
+                int bt = block_type[o];
+                int ws = (bt == 0) ? 0 : 1;
+                si.write(static_cast<uint32_t>(part23[o]), 12);
+                si.write(static_cast<uint32_t>(big_values[o]), 9);
+                si.write(static_cast<uint32_t>(gain[o]), 8);
+                si.write(0, 4);  // scalefac_compress
+                si.write(static_cast<uint32_t>(ws), 1);
+                if (ws) {
+                    si.write(static_cast<uint32_t>(bt), 2);
+                    si.write(bt == 1 ? 1u : 0u, 1);  // mixed_block_flag
+                    si.write(15, 5);
+                    si.write(15, 5);
+                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 0]), 3);
+                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 1]), 3);
+                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 2]), 3);
+                } else {
+                    si.write(15, 5);
+                    si.write(15, 5);
+                    si.write(15, 5);
+                    si.write(static_cast<uint32_t>(region0[o]), 4);
+                    si.write(static_cast<uint32_t>(region1[o]), 3);
+                }
+                si.write(static_cast<uint32_t>(preflag[o]), 1);
+                si.write(0, 1);  // scalefac_scale
+                si.write(0, 1);  // count1table_select
+            }
+        }
+        si.pad_to_byte();
+        while (static_cast<int>(si.bytes.size()) < side_bytes) si.bytes.push_back(0);
+
+        // --- header (+CRC)
+        uint8_t head[4];
+        build_header(s, bitrate_index[f], padding[f], head);
+        std::vector<uint8_t> head_side;
+        head_side.insert(head_side.end(), head, head + 4);
+        if (s->crc_protected) {
+            uint16_t crc = crc16_mpeg(head, 4);
+            head_side.push_back(static_cast<uint8_t>(crc >> 8));
+            head_side.push_back(static_cast<uint8_t>(crc & 0xFF));
+        }
+        head_side.insert(head_side.end(), si.bytes.begin(), si.bytes.end());
+
+        // --- emit previous buffered frame with its reservoir slot
+        if (s->has_buffered) {
+            size_t slot_n = static_cast<size_t>(s->buffered_slot);
+            size_t take = s->reservoir.size() < slot_n ? s->reservoir.size() : slot_n;
+            int64_t frame_size =
+                static_cast<int64_t>(s->buffered_head.size()) + s->buffered_slot;
+            if (written + frame_size > out_capacity) return -1;
+            std::memcpy(out + written, s->buffered_head.data(), s->buffered_head.size());
+            written += s->buffered_head.size();
+            std::memcpy(out + written, s->reservoir.data(), take);
+            std::memset(out + written + take, 0, slot_n - take);
+            written += slot_n;
+            s->reservoir.erase(s->reservoir.begin(), s->reservoir.begin() + take);
+            s->frame_count += 1;
+            s->total_bytes += static_cast<uint32_t>(frame_size);
+            frame_sizes_out[n_emitted++] = static_cast<int32_t>(frame_size);
+        }
+
+        s->buffered_head = std::move(head_side);
+        s->buffered_slot = slot[f];
+        s->has_buffered = true;
+    }
+    *n_emitted_out = n_emitted;
+    return written;
+}
+
+// Emit the final buffered frame (flush). Returns bytes written (0 if none).
+int64_t mp3_flush_buffered(void* p, uint8_t* out, int64_t out_capacity,
+                           int32_t* frame_size_out) {
+    auto* s = static_cast<StreamState*>(p);
+    *frame_size_out = 0;
+    if (!s->has_buffered) return 0;
+    size_t slot_n = static_cast<size_t>(s->buffered_slot);
+    size_t take = s->reservoir.size() < slot_n ? s->reservoir.size() : slot_n;
+    int64_t frame_size = static_cast<int64_t>(s->buffered_head.size()) + s->buffered_slot;
+    if (frame_size > out_capacity) return -1;
+    std::memcpy(out, s->buffered_head.data(), s->buffered_head.size());
+    std::memcpy(out + s->buffered_head.size(), s->reservoir.data(), take);
+    std::memset(out + s->buffered_head.size() + take, 0, slot_n - take);
+    s->reservoir.erase(s->reservoir.begin(), s->reservoir.begin() + take);
+    s->frame_count += 1;
+    s->total_bytes += static_cast<uint32_t>(frame_size);
+    s->has_buffered = false;
+    s->buffered_head.clear();
+    s->buffered_slot = 0;
+    *frame_size_out = static_cast<int32_t>(frame_size);
+    return frame_size;
+}
+
+}  // extern "C"

@@ -79,6 +79,88 @@ _STEP_TABLE_NP, _INV_STEP_TABLE_NP = _quantizer_step_tables()
 _INV_STEP_TABLE = jnp.asarray(_INV_STEP_TABLE_NP)
 
 
+# --- Gather-free lookups -----------------------------------------------------
+# XLA's TPU gather runs at ~10 ns/element; at ~100M lookups per chunk the
+# 256-entry Huffman-length gather alone dominated the pipeline (measured
+# 937 ms of a 980 ms step). Both hot lookups are replaced with fused
+# elementwise computations:
+#  - table-15 lengths: 4-bit values nibble-packed into 32 uint32 words,
+#    selected with a 5-level binary where-tree + variable shift (~33 VPU ops
+#    per element, fully fusable).
+#  - quantizer inverse steps: 2^((g-210)/4) factors exactly as
+#    2^q * 2^(frac/4); power-of-two scaling is exact in float32, so
+#    ldexp(1/2^(frac/4), -q) reproduces the float64-built table bit-exactly
+#    (asserted below at import time).
+
+
+def _pack_nibbles(values: np.ndarray) -> np.ndarray:
+    assert values.max() < 16 and len(values) % 8 == 0
+    words = np.zeros(len(values) // 8, dtype=np.uint32)
+    for i, v in enumerate(values):
+        words[i // 8] |= np.uint32(int(v) << ((i % 8) * 4))
+    return words
+
+
+_T15_LEN_WORDS = _pack_nibbles(TABLE15_LEN)  # 32 uint32 words
+
+
+def _select_tree(idx: jax.Array, values: np.ndarray, lo: int, hi: int) -> jax.Array:
+    """Balanced binary where-tree: values[idx] for constant `values`."""
+    if hi - lo == 1:
+        return jnp.full(idx.shape, int(values[lo]), dtype=jnp.uint32)
+    mid = (lo + hi) // 2
+    return jnp.where(
+        idx < mid, _select_tree(idx, values, lo, mid), _select_tree(idx, values, mid, hi)
+    )
+
+
+def t15_length_lookup(idx: jax.Array) -> jax.Array:
+    """TABLE15_LEN[idx] for idx in [0, 256), gather-free."""
+    word = _select_tree(idx >> 3, _T15_LEN_WORDS, 0, 32)
+    shift = ((idx & 7) * 4).astype(jnp.uint32)
+    return ((word >> shift) & 15).astype(jnp.int32)
+
+
+def _inv_quarter_constants() -> np.ndarray:
+    # f32(1.0) / f32(2^(frac/4)) for frac = 0..3, matching the table build.
+    c = (2.0 ** (np.arange(4) / 4.0)).astype(np.float32)
+    return (np.float32(1.0) / c).astype(np.float32)
+
+
+_INV_QUARTER = _inv_quarter_constants()
+_INV_STEP_FLOOR = np.float32(1.0) / np.float32(0.0001)  # gain < 157 regime
+
+
+def inv_step_lookup(gains: jax.Array) -> jax.Array:
+    """float32 1/step for integer gains in [0, 255], gather-free.
+
+    step = f32(max(2^((g-210)/4), 1e-4)) built in float64; the power-of-two
+    factorization makes the float32 reconstruction exact (validated against
+    the table at import time)."""
+    d = gains - 210
+    q = d >> 2  # floor division (d can be negative)
+    frac = d - (q << 2)  # 0..3
+    c0, c1, c2, c3 = (float(x) for x in _INV_QUARTER)
+    invc = jnp.where(
+        frac < 2,
+        jnp.where(frac == 0, c0, c1),
+        jnp.where(frac == 2, c2, c3),
+    ).astype(jnp.float32)
+    val = jnp.ldexp(invc, -q).astype(jnp.float32)
+    return jnp.where(gains < 157, _INV_STEP_FLOOR, val)
+
+
+def validate_gather_free_lookups() -> None:
+    """Assert the arithmetic lookups reproduce the tables exactly (called
+    from tests; cheap)."""
+    g = np.arange(256, dtype=np.int32)
+    got = np.asarray(inv_step_lookup(jnp.asarray(g)))
+    assert np.array_equal(got, _INV_STEP_TABLE_NP), "inv_step_lookup mismatch"
+    idx = np.arange(256, dtype=np.int32)
+    got_len = np.asarray(t15_length_lookup(jnp.asarray(idx)))
+    assert np.array_equal(got_len, TABLE15_LEN), "t15_length_lookup mismatch"
+
+
 # --- Polyphase analysis filterbank ------------------------------------------
 
 
@@ -102,6 +184,34 @@ def polyphase_frame(hist: jax.Array, pcm: jax.Array) -> tuple[jax.Array, jax.Arr
     S = jnp.matmul(partial_sums, _MATRIX_REV_T, precision=_HIGHEST)  # [..., 36, 32]
     new_hist = jax.lax.slice_in_dim(x, 1152, 1632, axis=-1)
     return S.astype(_F32), new_hist
+
+
+_W8 = jnp.asarray(ISO_WINDOW[::-1].copy().reshape(8, 64))  # [8, 64] reversed window
+
+
+def polyphase_chunk(hist: jax.Array, pcm: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """All filterbank outputs of a whole chunk of frames in one shot.
+
+    hist: [..., 480]; pcm: [..., T*1152]. Returns (S [..., 36T, 32],
+    full signal x [..., 480 + T*1152] for carry-out gathering).
+
+    Key reformulation: window position t needs x[32t : 32t+512], and the
+    partial sum is partial[t, j] = sum_m x[32(t+2m) + j] * Wrev[64m + j]
+    (j < 64). With A = x reshaped to 32-sample rows and Y[u] = (A[u], A[u+1])
+    the whole chunk is 8 shifted multiply-adds on Y plus one [64,32] matmul —
+    no sequential state, no 512-wide window materialization.
+    """
+    x = jnp.concatenate([hist, pcm], axis=-1)
+    n_steps = x.shape[-1] // 32  # 15 + 36T
+    T36 = n_steps - 15
+    A = x.reshape(*x.shape[:-1], n_steps, 32)
+    Y = jnp.concatenate([A[..., :-1, :], A[..., 1:, :]], axis=-1)  # [..., n-1, 64]
+    partial = None
+    for m in range(8):
+        term = jax.lax.slice_in_dim(Y, 2 * m, 2 * m + T36, axis=-2) * _W8[m]
+        partial = term if partial is None else partial + term
+    S = jnp.matmul(partial, _MATRIX_REV_T, precision=_HIGHEST)  # [..., 36T, 32]
+    return S.astype(_F32), x
 
 
 # --- MDCT + aliasing reduction ----------------------------------------------
@@ -193,6 +303,38 @@ def mdct_frame(
     return spectra, cur1
 
 
+def mdct_chunk(
+    S: jax.Array, overlap: jax.Array, block_type: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """MDCT for all 2T granules of a chunk at once.
+
+    S: [..., 36T, 32]; overlap: [..., 32, 18] carried into the chunk;
+    block_type: [..., 2T]. The overlap chain across granules is just
+    'previous granule's (frequency-inverted) subband samples', so the whole
+    chunk is parallel: prev_g = cur_{g-1} with g = -1 the incoming overlap.
+
+    Returns (spectra [..., 2T, 576], cur [..., 2T, 32, 18] post-inversion
+    subband samples — gather index 2*valid_count - 1 for the carry-out).
+    """
+    lead = S.shape[:-2]
+    n_gran = S.shape[-2] // 18
+    g = S.reshape(*lead, n_gran, 18, 32) * _INV_SIGN
+    cur = jnp.swapaxes(g, -1, -2)  # [..., 2T, 32, 18]
+    prev = jnp.concatenate([overlap[..., None, :, :], cur[..., :-1, :, :]], axis=-3)
+    combined = jnp.concatenate([prev, cur], axis=-1)  # [..., 2T, 32, 36]
+
+    long_coeffs = _mdct_long_batch(combined)
+    short_coeffs = _mdct_short_batch(combined)
+
+    bt = block_type[..., None]
+    sb_idx = jnp.arange(SUBBANDS, dtype=jnp.int32)
+    use_long = (bt == BLOCK_LONG) | ((bt == BLOCK_MIXED) & (sb_idx < 2))
+    coeffs = jnp.where(use_long[..., None], long_coeffs, short_coeffs)
+    reduced = _aliasing_reduce(coeffs)
+    coeffs = jnp.where((bt == BLOCK_LONG)[..., None], reduced, coeffs)
+    return coeffs.reshape(*coeffs.shape[:-2], 576), cur
+
+
 # --- Transient detection -----------------------------------------------------
 
 
@@ -244,7 +386,7 @@ def _count_bits_pairs(q: jax.Array) -> jax.Array:
     y = q[..., 1::2]
     ax = jnp.minimum(jnp.abs(x), 15)
     ay = jnp.minimum(jnp.abs(y), 15)
-    lens = jnp.take(_T15_LEN, ax * 16 + ay, axis=0)
+    lens = t15_length_lookup(ax * 16 + ay)  # gather-free LUT
     return lens + (ax != 0).astype(jnp.int32) + (ay != 0).astype(jnp.int32)
 
 
@@ -269,10 +411,94 @@ def quantize_at_gains(mag: jax.Array, sign_neg: jax.Array, gains: jax.Array) -> 
     gain-independent); sign_neg: [..., 576] bool; gains: [..., K] int32.
     Returns q [..., K, 576] int32 (signed, clamped to +-15).
     """
-    inv = jnp.take(_INV_STEP_TABLE, jnp.clip(gains, 0, 255), axis=0)  # [..., K]
+    inv = inv_step_lookup(jnp.clip(gains, 0, 255))  # [..., K], gather-free
     scaled = mag[..., None, :] * inv[..., :, None]
     q = jnp.minimum(jnp.floor(scaled + _F32(0.5)).astype(jnp.int32), 15)
     return jnp.where(sign_neg[..., None, :], -q, q)
+
+
+def rate_loop_precompute(spectrum: jax.Array, init_gain: jax.Array) -> dict:
+    """Budget-independent half of the gain walk: candidate bit counts.
+
+    This is the heavy part (20 quantization+bit-count passes per granule) and
+    depends only on the spectrum, NOT on the bit budget — so it runs fully
+    parallel across all frames of a chunk while the budget (reservoir) chain
+    stays in a cheap integer scan (see rate_loop_select).
+
+    Returns dict with: mag, sign_neg [..., 576]; gstart, k_budget [...];
+    bits, bv, evaluated [..., 20].
+    """
+    absx = jnp.maximum(jnp.abs(spectrum), _F32(1e-10))
+    mag = jnp.power(absx, _F32(0.75))
+    sign_neg = spectrum < 0
+
+    g0 = jnp.clip(init_gain, 0, 255)
+    q0 = quantize_at_gains(mag, sign_neg, g0[..., None])[..., 0, :]
+    allzero0 = _last_nonzero_count(q0) == 0
+
+    gstart = jnp.where(allzero0, jnp.maximum(g0 - 40, 0), g0).astype(jnp.int32)
+    k_budget = jnp.where(allzero0, N_GAIN_CANDIDATES - 1, N_GAIN_CANDIDATES)
+
+    k = jnp.arange(N_GAIN_CANDIDATES, dtype=jnp.int32)
+    gains = gstart[..., None] + 4 * k  # [..., 20]
+    qk = quantize_at_gains(mag, sign_neg, gains)  # [..., 20, 576]
+
+    pair_bits = _count_bits_pairs(qk)  # [..., 20, 288]
+    bv = big_values_from_quantized(qk)  # [..., 20]
+    pair_idx = jnp.arange(288, dtype=jnp.int32)
+    bits = jnp.sum(jnp.where(pair_idx < bv[..., None], pair_bits, 0), axis=-1)
+
+    evaluated = (k == 0) | (gains < 255)
+    return {
+        "mag": mag,
+        "sign_neg": sign_neg,
+        "gstart": gstart,
+        "k_budget": k_budget.astype(jnp.int32),
+        "bits": bits.astype(jnp.int32),
+        "bv": bv.astype(jnp.int32),
+        "evaluated": evaluated,
+    }
+
+
+def rate_loop_select(
+    bits: jax.Array,
+    evaluated: jax.Array,
+    k_budget: jax.Array,
+    max_bits: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Budget-dependent selection: O(20) integer work per granule.
+
+    Returns (k_sel, has_fit, bits_sel). Walk semantics (MP3Encoder.swift:
+    745-776): first evaluated in-budget candidate fitting wins; otherwise the
+    last evaluated candidate's quantization is kept.
+    """
+    k = jnp.arange(N_GAIN_CANDIDATES, dtype=jnp.int32)
+    in_budget = k < k_budget[..., None]
+    fits = evaluated & in_budget & (bits <= max_bits[..., None])
+    has_fit = jnp.any(fits, axis=-1)
+    k_fit = jnp.argmax(fits, axis=-1)
+    k_eval = jnp.where(evaluated & in_budget, k, -1)
+    k_last = jnp.max(k_eval, axis=-1)
+    k_sel = jnp.where(has_fit, k_fit, k_last).astype(jnp.int32)
+    bits_sel = jnp.take_along_axis(bits, k_sel[..., None], axis=-1)[..., 0]
+    return k_sel, has_fit, bits_sel
+
+
+def rate_loop_finalize(
+    pre: dict, k_sel: jax.Array, has_fit: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Recompute the selected quantization (cheaper than materializing all 20
+    candidates). Returns (gain_reported, quantized, big_values).
+
+    Reported-gain quirk reproduced: on overflow (no fit) the reported gain is
+    stepped once past the gain actually used, capped at 255."""
+    gains_sel = pre["gstart"] + 4 * k_sel
+    q_sel = quantize_at_gains(pre["mag"], pre["sign_neg"], gains_sel[..., None])[
+        ..., 0, :
+    ]
+    bv_sel = jnp.take_along_axis(pre["bv"], k_sel[..., None], axis=-1)[..., 0]
+    gain_out = jnp.where(has_fit, gains_sel, jnp.minimum(gains_sel + 4, 255))
+    return gain_out.astype(jnp.int32), q_sel, bv_sel
 
 
 def rate_loop(
@@ -295,44 +521,12 @@ def rate_loop(
       evaluated* candidate while the reported gain is stepped once more and
       capped at 255 (the reference's overflow quirk).
     """
-    absx = jnp.maximum(jnp.abs(spectrum), _F32(1e-10))
-    mag = jnp.power(absx, _F32(0.75))
-    sign_neg = spectrum < 0
-
-    g0 = jnp.clip(init_gain, 0, 255)
-    q0 = quantize_at_gains(mag, sign_neg, g0[..., None])[..., 0, :]
-    allzero0 = _last_nonzero_count(q0) == 0
-
-    gstart = jnp.where(allzero0, jnp.maximum(g0 - 40, 0), g0)
-    k_budget = jnp.where(allzero0, N_GAIN_CANDIDATES - 1, N_GAIN_CANDIDATES)
-
-    k = jnp.arange(N_GAIN_CANDIDATES, dtype=jnp.int32)
-    gains = gstart[..., None] + 4 * k  # [..., 20]
-    qk = quantize_at_gains(mag, sign_neg, gains)  # [..., 20, 576]
-
-    pair_bits = _count_bits_pairs(qk)  # [..., 20, 288]
-    bv = big_values_from_quantized(qk)  # [..., 20]
-    pair_idx = jnp.arange(288, dtype=jnp.int32)
-    bits = jnp.sum(
-        jnp.where(pair_idx < bv[..., None], pair_bits, 0), axis=-1
-    )  # [..., 20]
-
-    evaluated = (k == 0) | (gains < 255)
-    in_budget = k < k_budget[..., None]
-    fits = evaluated & in_budget & (bits <= max_bits[..., None])
-    has_fit = jnp.any(fits, axis=-1)
-    k_fit = jnp.argmax(fits, axis=-1)  # first fit
-
-    k_eval = jnp.where(evaluated & in_budget, k, -1)
-    k_last = jnp.max(k_eval, axis=-1)  # last evaluated candidate
-
-    k_sel = jnp.where(has_fit, k_fit, k_last)
-    q_sel = jnp.take_along_axis(qk, k_sel[..., None, None], axis=-2)[..., 0, :]
-    bits_sel = jnp.take_along_axis(bits, k_sel[..., None], axis=-1)[..., 0]
-    bv_sel = jnp.take_along_axis(bv, k_sel[..., None], axis=-1)[..., 0]
-    gain_fit = jnp.take_along_axis(gains, k_sel[..., None], axis=-1)[..., 0]
-    gain_out = jnp.where(has_fit, gain_fit, jnp.minimum(gain_fit + 4, 255))
-    return gain_out.astype(jnp.int32), q_sel, bits_sel, bv_sel
+    pre = rate_loop_precompute(spectrum, init_gain)
+    k_sel, has_fit, bits_sel = rate_loop_select(
+        pre["bits"], pre["evaluated"], pre["k_budget"], max_bits
+    )
+    gain_out, q_sel, bv_sel = rate_loop_finalize(pre, k_sel, has_fit)
+    return gain_out, q_sel, bits_sel, bv_sel
 
 
 # --- Region counts, preflag --------------------------------------------------
@@ -357,6 +551,36 @@ def region_counts(big_values: jax.Array, sample_rate: int) -> tuple[jax.Array, j
     n_sat = jnp.maximum(jnp.minimum(jnp.minimum(c_all, start + 7), n_bounds) - start, 0)
     region1 = jnp.maximum(n_sat - 1, 0)
     return region0, jnp.minimum(region1, 7)
+
+
+def masking_thresholds(
+    spectrum: jax.Array, sample_rate: int, quality: int
+) -> jax.Array:
+    """Psychoacoustic masking thresholds: per-band mean energy x quality
+    scale, floor 1e-4 (MP3Encoder.swift:1983-2013).
+
+    Component parity note: the reference computes this every granule but its
+    output never influences quantization (thresholds are passed to, and
+    ignored by, the rate loop — MP3Encoder.swift:734-744). The op exists for
+    the future spec-strict mode and for API completeness; the pipeline skips
+    it by default since it cannot affect any output byte.
+    """
+    bands = band_table(sample_rate)
+    quality_scale = np.float32(max(0.1, (10 - quality) / 10.0))
+    starts = np.concatenate([[0], np.cumsum(bands)[:-1]]).astype(np.int32)
+    ends = np.cumsum(bands).astype(np.int32)
+    coef = np.arange(576, dtype=np.int32)
+    # [n_bands, 576] membership mask (static)
+    member = jnp.asarray((coef[None, :] >= starts[:, None]) & (coef[None, :] < ends[:, None]))
+    widths = jnp.asarray(bands.astype(np.float32))
+    e = spectrum * spectrum
+    band_energy = jnp.einsum(
+        "...c,bc->...b", e, member.astype(jnp.float32), precision=_HIGHEST
+    )
+    avg = band_energy / widths
+    thr_band = jnp.maximum(avg * quality_scale, _F32(1e-4))
+    thr = jnp.einsum("...b,bc->...c", thr_band, member.astype(jnp.float32))
+    return jnp.where(jnp.any(member, axis=0), thr, _F32(1e-4))
 
 
 def preflag(spectrum: jax.Array) -> jax.Array:

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..io.framing import FrameAssembler
 from ..models.pipeline import (
+    fetch_outputs,
     frame_results_from_outputs,
     init_carry,
     make_chunk_encoder,
@@ -27,7 +28,12 @@ from .mesh import carry_sharding, make_mesh, time_major_sharding
 
 
 class BatchEncoder:
-    """Encode a fixed-size batch of streams with one compiled scan program."""
+    """Encode a fixed-size batch of streams with one compiled scan program.
+
+    Host rendering uses the native C++ renderer when available (use_native
+    defaults to auto); the Python FrameAssembler path is the behavioral
+    reference and fallback.
+    """
 
     def __init__(
         self,
@@ -35,6 +41,7 @@ class BatchEncoder:
         batch: int,
         frames_per_step: int = 64,
         mesh=None,
+        use_native: bool | None = None,
     ):
         self.options = options
         self.batch = batch
@@ -46,12 +53,27 @@ class BatchEncoder:
             sh = carry_sharding(mesh)
             carry = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), carry)
         self.carry = carry
-        self.assemblers = [FrameAssembler(options) for _ in range(batch)]
+        if use_native is None:
+            from ..native import native_available
+
+            use_native = native_available()
+        self.use_native = use_native
+        if use_native:
+            from ..native import NativeStreamRenderer
+
+            self.renderers = [NativeStreamRenderer(options) for _ in range(batch)]
+            self.assemblers = None
+        else:
+            self.renderers = None
+            self.assemblers = [FrameAssembler(options) for _ in range(batch)]
         self._xm = time_major_sharding(mesh) if mesh is not None else None
 
     def _put(self, arr):
+        # Explicit device_put even unsharded: passing numpy straight into jit
+        # uses a slow synchronous transfer path on the tunneled TPU runtime
+        # (measured ~900 ms vs ~60 ms for 38 MB).
         if self._xm is None:
-            return arr
+            return jax.device_put(arr)
         return jax.device_put(arr, self._xm)
 
     def step(self, pcm: np.ndarray, final: np.ndarray, valid: np.ndarray):
@@ -64,8 +86,31 @@ class BatchEncoder:
 
     def drain(self, outs, valid: np.ndarray) -> List[bytes]:
         """Render one chunk's outputs to bytes per stream."""
-        outs = jax.tree_util.tree_map(np.asarray, outs)
+        outs = fetch_outputs(outs, self.options)
         T, B = valid.shape
+        if self.use_native:
+            counts = valid.sum(axis=0)  # valid is a prefix along T
+            emitted = []
+            for b in range(B):
+                F = int(counts[b])
+                emitted.append(
+                    self.renderers[b].render(
+                        outs["bitrate_index"][:F, b],
+                        outs["padding"][:F, b],
+                        outs["mdb"][:F, b],
+                        outs["slot"][:F, b],
+                        outs["part23"][:F, b],
+                        outs["big_values"][:F, b],
+                        outs["gain"][:F, b],
+                        outs["block_type"][:F, b],
+                        outs["preflag"][:F, b],
+                        outs["region0"][:F, b],
+                        outs["region1"][:F, b],
+                        outs["subblock_gain"][:F, b],
+                        outs["quantized"][:F, b],
+                    )
+                )
+            return emitted
         emitted = [bytearray() for _ in range(B)]
         for t in range(T):
             for b in range(B):
@@ -76,6 +121,8 @@ class BatchEncoder:
         return [bytes(e) for e in emitted]
 
     def flush(self) -> List[bytes]:
+        if self.use_native:
+            return [r.flush_buffered() for r in self.renderers]
         return [a.flush_buffered() for a in self.assemblers]
 
 
@@ -103,38 +150,50 @@ def encode_batch(
         n_dev = mesh.devices.size
         B = ((n_streams + n_dev - 1) // n_dev) * n_dev
 
-    lengths = [len(s) for s in streams]
-    n_full = [l // frame_len for l in lengths]
-    rem = [l % frame_len for l in lengths]
-    n_frames = [f + (1 if r else 0) for f, r in zip(n_full, rem)]
-    T_total = max(n_frames) if n_frames else 0
+    lengths = np.array([len(s) for s in streams], dtype=np.int64)
+    rem = lengths % frame_len
+    n_frames = np.zeros(B, dtype=np.int64)
+    n_frames[:n_streams] = lengths // frame_len + (rem > 0)
+    T_total = int(n_frames.max()) if n_streams else 0
 
     enc = BatchEncoder(options, B, frames_per_step, mesh)
     out = [bytearray() for _ in range(n_streams)]
-
     Tc = frames_per_step
-    for start in range(0, max(T_total, 1), Tc):
+
+    def build_chunk(start: int):
         count = min(Tc, T_total - start)
-        if count <= 0:
-            break
         pcm = np.zeros((Tc, B, frame_len), dtype=np.float32)
+        t_idx = start + np.arange(Tc, dtype=np.int64)
+        valid = t_idx[:, None] < n_frames[None, :]
         final = np.zeros((Tc, B), dtype=bool)
-        valid = np.zeros((Tc, B), dtype=bool)
         for b in range(n_streams):
-            for tt in range(count):
-                t = start + tt
-                if t >= n_frames[b]:
-                    continue
-                valid[tt, b] = True
-                lo = t * frame_len
-                hi = min(lo + frame_len, lengths[b])
-                pcm[tt, b, : hi - lo] = streams[b][lo:hi]
-                if t == n_frames[b] - 1 and rem[b]:
-                    final[tt, b] = True
+            lo = start * frame_len
+            hi = min((start + count) * frame_len, int(lengths[b]))
+            if hi > lo:
+                seg = np.asarray(streams[b][lo:hi], dtype=np.float32)
+                nrows = (hi - lo + frame_len - 1) // frame_len
+                buf = np.zeros(nrows * frame_len, dtype=np.float32)
+                buf[: hi - lo] = seg
+                pcm[:nrows, b] = buf.reshape(nrows, frame_len)
+            if rem[b] and start <= n_frames[b] - 1 < start + Tc:
+                final[int(n_frames[b] - 1 - start), b] = True
+        return pcm, final, valid
+
+    # Software pipeline: dispatch chunk k+1 to the device before draining
+    # chunk k — host byte rendering overlaps device compute.
+    pending = None  # (outs, valid)
+    for start in range(0, T_total, Tc):
+        pcm, final, valid = build_chunk(start)
         outs = enc.step(pcm, final, valid)
-        chunk_bytes = enc.drain(outs, valid)
-        for b in range(n_streams):
-            out[b] += chunk_bytes[b]
+        if pending is not None:
+            for b, chunk in enumerate(enc.drain(*pending)):
+                if b < n_streams:
+                    out[b] += chunk
+        pending = (outs, valid)
+    if pending is not None:
+        for b, chunk in enumerate(enc.drain(*pending)):
+            if b < n_streams:
+                out[b] += chunk
 
     for b, tail in enumerate(enc.flush()):
         if b < n_streams:

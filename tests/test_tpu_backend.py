@@ -207,3 +207,9 @@ class TestDSPParity:
                 r0_g, r1_g = ref.region_counts(int(bv), sr)
                 assert int(r0_d[i]) == r0_g, (sr, bv)
                 assert int(r1_d[i]) == r1_g, (sr, bv)
+
+
+def test_gather_free_lookups_exact():
+    from swiftmp3_tpu.ops.dsp import validate_gather_free_lookups
+
+    validate_gather_free_lookups()
