@@ -29,7 +29,8 @@ def main() -> None:
     n = 1152 * options.channels
 
     rng = np.random.default_rng(0)
-    pcm = (rng.standard_normal((T, B, n)) * 0.3).astype(np.float32)
+    # int16 PCM (the common source format; halves host->device transfer)
+    pcm = (rng.standard_normal((T, B, n)) * 0.3 * 32767).astype(np.int16)
     final = np.zeros((T, B), dtype=bool)
     valid = np.ones((T, B), dtype=bool)
 

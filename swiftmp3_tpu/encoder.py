@@ -64,6 +64,31 @@ class GoldenBackend:
             self.stream_len = max(self.stream_len - self.prev_slot, 0)
             self.has_buffered = False
 
+    def state_dict(self) -> dict:
+        return {
+            "fb_buffers": [b.copy() for b in self.fb_buffers],
+            "overlap": [o.copy() for o in self.overlap],
+            "vbr_gain_history": list(self.vbr.gain_history),
+            "vbr_energy_history": [float(e) for e in self.vbr.energy_history],
+            "padding_remainder": self.padding_remainder,
+            "stream_len": self.stream_len,
+            "available_bytes": self.available_bytes,
+            "prev_slot": self.prev_slot,
+            "has_buffered": self.has_buffered,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.fb_buffers = [np.asarray(b, dtype=np.float32).copy() for b in state["fb_buffers"]]
+        self.overlap = [np.asarray(o, dtype=np.float32).copy() for o in state["overlap"]]
+        self.vbr = ref.VBRState()
+        self.vbr.gain_history = list(state["vbr_gain_history"])
+        self.vbr.energy_history = [np.float32(e) for e in state["vbr_energy_history"]]
+        self.padding_remainder = int(state["padding_remainder"])
+        self.stream_len = int(state["stream_len"])
+        self.available_bytes = int(state["available_bytes"])
+        self.prev_slot = int(state["prev_slot"])
+        self.has_buffered = bool(state["has_buffered"])
+
     def _encode_frame(self, samples: np.ndarray, is_final: bool) -> FrameResult:
         opts = self.options
         channels = opts.channels
@@ -228,6 +253,41 @@ class EncoderSession:
         out += self.assembler.flush_buffered()
         self.backend.notify_flush()
         return bytes(out)
+
+    # --- Checkpoint / resume -------------------------------------------------
+    # The reference's closest analogue is that copying the session value type
+    # snapshots all state (SURVEY.md §5). Here the state is explicit: the
+    # backend's carry pytree + the assembler's byte-level state.
+
+    def state_dict(self) -> dict:
+        """Snapshot all session state as plain numpy arrays / bytes."""
+        a = self.assembler
+        state = {
+            "pcm": self._pcm.copy(),
+            "reservoir_stream": bytes(a.reservoir.stream),
+            "reservoir_avail": a.reservoir.available_bytes,
+            "buffered_head": a._buffered[0] if a._buffered else b"",
+            "buffered_slot": a._buffered[1] if a._buffered else -1,
+            "frame_count": a.frame_count,
+            "total_bytes": a.total_bytes,
+            "frame_sizes": list(a.frame_sizes),
+            "backend": self.backend.state_dict(),
+        }
+        return state
+
+    def load_state_dict(self, state: dict) -> None:
+        a = self.assembler
+        self._pcm = np.asarray(state["pcm"], dtype=np.float32).copy()
+        a.reservoir.stream = bytearray(state["reservoir_stream"])
+        a.reservoir.available_bytes = int(state["reservoir_avail"])
+        if int(state["buffered_slot"]) >= 0:
+            a._buffered = (bytes(state["buffered_head"]), int(state["buffered_slot"]))
+        else:
+            a._buffered = None
+        a.frame_count = int(state["frame_count"])
+        a.total_bytes = int(state["total_bytes"])
+        a.frame_sizes = list(state["frame_sizes"])
+        self.backend.load_state_dict(state["backend"])
 
     def generate_id3_tag(self) -> bytes:
         if self.options.id3_tag is None:

@@ -66,6 +66,70 @@ def pack_chunks(chunks: np.ndarray, nbits: np.ndarray) -> tuple[bytes, int]:
     return np.packbits(bits, bitorder="big").tobytes(), total_bits
 
 
+def pair_chunks_generic(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pair chunks with automatic smallest-table selection.
+
+    Mirrors the reference's generic HuffmanEncoder.encode/selectTable
+    (MP3Encoder.swift:1740-1806): per pair, the smallest table covering
+    max(|x|, |y|) is chosen from 1 -> 2 -> 5 -> 7 -> 10 -> 15. Present for
+    component parity — the pipeline's hot path is table 15 only (the
+    reference writes table_select=[15,15,15], so a decoder would misread
+    streams packed this way; kept for the future spec-strict mode, where
+    table_select must be emitted accordingly).
+    """
+    from ..tables import HUFFMAN_TABLES
+
+    values = np.asarray(values, dtype=np.int64)
+    if values.size % 2:
+        values = np.concatenate([values, np.zeros(1, dtype=np.int64)])
+    x = values[0::2]
+    y = values[1::2]
+    ax = np.minimum(np.abs(x), 15)
+    ay = np.minimum(np.abs(y), 15)
+    m = np.maximum(ax, ay)
+    chunks = np.zeros(len(x), dtype=np.int64)
+    nbits = np.zeros(len(x), dtype=np.int64)
+    for i in range(len(x)):
+        for tid in (1, 2, 5, 7, 10, 15):
+            t = HUFFMAN_TABLES[tid]
+            if m[i] <= t.max_value:
+                break
+        code = int(t.codes[ax[i], ay[i]])
+        ln = int(t.lengths[ax[i], ay[i]])
+        chunk = code
+        if ax[i]:
+            chunk = (chunk << 1) | (1 if x[i] < 0 else 0)
+            ln += 1
+        if ay[i]:
+            chunk = (chunk << 1) | (1 if y[i] < 0 else 0)
+            ln += 1
+        chunks[i] = chunk
+        nbits[i] = ln
+    return chunks, nbits
+
+
+def pack_pairs_table1(values: np.ndarray) -> tuple[bytes, int]:
+    """Table-1 pairwise encoding (values 0-1), mirroring
+    MP3Encoder.swift:1670-1702. Unused by the pipeline; component parity."""
+    from ..tables import HUFFMAN_TABLES
+
+    t1 = HUFFMAN_TABLES[1]
+    values = np.asarray(values, dtype=np.int64)
+    if values.size % 2:
+        values = np.concatenate([values, np.zeros(1, dtype=np.int64)])
+    x = values[0::2]
+    y = values[1::2]
+    ax = np.minimum(np.abs(x), 1)
+    ay = np.minimum(np.abs(y), 1)
+    code = t1.codes[ax, ay].astype(np.int64)
+    nbits = t1.lengths[ax, ay].astype(np.int64)
+    chunk = np.where(ax != 0, (code << 1) | (x < 0), code)
+    nbits = nbits + (ax != 0)
+    chunk = np.where(ay != 0, (chunk << 1) | (y < 0), chunk)
+    nbits = nbits + (ay != 0)
+    return pack_chunks(chunk, nbits)
+
+
 def pack_frame_main_data(
     quantized: np.ndarray, big_values: np.ndarray
 ) -> tuple[bytes, np.ndarray]:

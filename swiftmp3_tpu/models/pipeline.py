@@ -81,7 +81,12 @@ def make_chunk_fn(options: MP3EncoderOptions):
     cbr_value = bitrate_value(cbr_index)
 
     def run(carry, pcm, final, valid):
-        pcm = pcm.astype(jnp.float32)
+        if pcm.dtype == jnp.int16:
+            # int16 ingestion: devices normalize by 1/32768 (exact in f32);
+            # halves host->device transfer for the common PCM16 case.
+            pcm = pcm.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        else:
+            pcm = pcm.astype(jnp.float32)
         T, B = pcm.shape[0], pcm.shape[1]
 
         # ---------------- Phase 1: parallel DSP ----------------
@@ -363,3 +368,10 @@ class TPUBackend:
         sl = np.where(hb, np.maximum(sl - ps, 0), sl)
         self.carry["stream_len"] = jnp.asarray(sl)
         self.carry["has_buffered"] = jnp.zeros_like(self.carry["has_buffered"])
+
+    def state_dict(self) -> dict:
+        """The scan-carry pytree IS the checkpoint (SURVEY.md §5)."""
+        return {k: np.asarray(v) for k, v in self.carry.items()}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.carry = {k: jnp.asarray(v) for k, v in state.items()}

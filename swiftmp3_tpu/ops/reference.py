@@ -334,6 +334,42 @@ def scalefactor_compress(scalefactors: np.ndarray) -> int:
     return min(int(normalized * 15.0), 15)
 
 
+def scalefactor_band_scale(
+    spectrum: np.ndarray, sample_rate: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-band peak normalization (MP3Encoder.swift:1831-1876).
+
+    Unused by the pipeline (scalefactors are unity with scalefac_compress=0);
+    kept for component parity and the future spec-strict mode. Returns
+    (normalized spectrum, per-coefficient scale factors with 1e-4 default
+    beyond the banded region).
+    """
+    bands = band_table(sample_rate)
+    spectrum = np.asarray(spectrum, dtype=np.float32)
+    scaled = spectrum.copy()
+    per_band = []
+    cursor = 0
+    for width in bands:
+        start, end = cursor, min(cursor + int(width), len(spectrum))
+        if start >= len(spectrum):
+            break
+        peak = np.float32(np.max(np.abs(spectrum[start:end]))) if end > start else np.float32(0)
+        scale = max(peak, np.float32(1e-4))
+        per_band.append(scale)
+        scaled[start:end] = spectrum[start:end] / scale
+        cursor = end
+    expanded = np.full(len(spectrum), 1e-4, dtype=np.float32)
+    cursor = 0
+    for idx, width in enumerate(bands):
+        start, end = cursor, min(cursor + int(width), len(spectrum))
+        if idx < len(per_band):
+            expanded[start:end] = per_band[idx]
+        cursor = end
+        if cursor >= len(spectrum):
+            break
+    return scaled, expanded
+
+
 @dataclass
 class VBRState:
     """10-deep gain/energy histories for VBR bitrate choice
@@ -349,6 +385,21 @@ class VBRState:
         self.energy_history.append(np.float32(energy))
         if len(self.energy_history) > 10:
             self.energy_history.pop(0)
+
+    def global_gain(self, quality: int) -> int:
+        """Average-gain suggestion (MP3Encoder.swift:1156-1159). Never called
+        by the reference pipeline; kept for component parity."""
+        avg = (
+            sum(self.gain_history) // len(self.gain_history)
+            if self.gain_history
+            else 180
+        )
+        return min(max(avg + (9 - quality) * 2, 0), 255)
+
+    def estimate_part23_length(self, quality: int) -> int:
+        """Quality-based length estimate (MP3Encoder.swift:1162-1165).
+        Unused by the pipeline; component parity."""
+        return max(0, 450 - quality * 30)
 
     def choose_bitrate(self, base: int, energy: float, quality: int) -> int:
         energy = np.float32(energy)

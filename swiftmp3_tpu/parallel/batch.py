@@ -77,11 +77,19 @@ class BatchEncoder:
         return jax.device_put(arr, self._xm)
 
     def step(self, pcm: np.ndarray, final: np.ndarray, valid: np.ndarray):
-        """Run one device scan chunk. pcm: [T, B, 1152*ch]; final/valid:
-        [T, B]. Returns stacked outputs (device arrays)."""
+        """Run one device scan chunk. pcm: [T, B, 1152*ch] float32 or int16
+        (normalized by 1/32768 on device); final/valid: [T, B]. Returns
+        stacked outputs (device arrays, host copy already in flight)."""
         self.carry, outs = self._run(
             self.carry, self._put(pcm), self._put(final), self._put(valid)
         )
+        # Start the device->host copies now so they overlap the next chunk's
+        # compute; fetch_outputs() later finds them complete.
+        for leaf in jax.tree_util.tree_leaves(outs):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                break
         return outs
 
     def drain(self, outs, valid: np.ndarray) -> List[bytes]:
@@ -160,9 +168,17 @@ def encode_batch(
     out = [bytearray() for _ in range(n_streams)]
     Tc = frames_per_step
 
+    # int16 streams ride the tunnel raw (device normalizes by 1/32768);
+    # mixed dtypes fall back to float32.
+    pcm_dtype = (
+        np.int16
+        if n_streams and all(np.asarray(s).dtype == np.int16 for s in streams)
+        else np.float32
+    )
+
     def build_chunk(start: int):
         count = min(Tc, T_total - start)
-        pcm = np.zeros((Tc, B, frame_len), dtype=np.float32)
+        pcm = np.zeros((Tc, B, frame_len), dtype=pcm_dtype)
         t_idx = start + np.arange(Tc, dtype=np.int64)
         valid = t_idx[:, None] < n_frames[None, :]
         final = np.zeros((Tc, B), dtype=bool)
@@ -170,9 +186,11 @@ def encode_batch(
             lo = start * frame_len
             hi = min((start + count) * frame_len, int(lengths[b]))
             if hi > lo:
-                seg = np.asarray(streams[b][lo:hi], dtype=np.float32)
+                seg = np.asarray(streams[b][lo:hi])
+                if seg.dtype == np.int16 and pcm_dtype == np.float32:
+                    seg = seg.astype(np.float32) / np.float32(32768.0)
                 nrows = (hi - lo + frame_len - 1) // frame_len
-                buf = np.zeros(nrows * frame_len, dtype=np.float32)
+                buf = np.zeros(nrows * frame_len, dtype=pcm_dtype)
                 buf[: hi - lo] = seg
                 pcm[:nrows, b] = buf.reshape(nrows, frame_len)
             if rem[b] and start <= n_frames[b] - 1 < start + Tc:
