@@ -29,15 +29,20 @@ from .sideinfo import GranuleInfo, build_side_info
 
 @dataclass
 class FrameResult:
-    """Fixed-shape outputs of encoding one frame (device or golden backend)."""
+    """Fixed-shape outputs of encoding one frame (device or golden backend).
+
+    Either `main_data` (device-packed Huffman bytes) or `quantized` +
+    `big_values` (host packs) must be provided.
+    """
 
     bitrate_index: int
     padding: int
     main_data_begin: int  # reservoir snapshot before this frame's encode
     slot_size: int  # mainDataSize = frame - header - crc - side info
     granules: list  # [2][channels] of GranuleInfo
-    quantized: np.ndarray  # [2*channels, 576], granule-major (gr0ch0, gr0ch1, ...)
-    big_values: np.ndarray  # [2*channels]
+    quantized: Optional[np.ndarray] = None  # [2*ch, 576], granule-major
+    big_values: Optional[np.ndarray] = None  # [2*ch]
+    main_data: Optional[bytes] = None  # pre-packed Huffman bytes (device)
 
 
 class BitReservoir:
@@ -102,7 +107,10 @@ class FrameAssembler:
         """Process one encoded frame; returns the previously buffered frame's
         bytes (empty for the first frame)."""
         channels = self.options.channels
-        main_data, _part_bits = pack_frame_main_data(fr.quantized, fr.big_values)
+        if fr.main_data is not None:
+            main_data = fr.main_data
+        else:
+            main_data, _part_bits = pack_frame_main_data(fr.quantized, fr.big_values)
         self.reservoir.append(main_data)
 
         scfsi = [[0, 0, 0, 0] for _ in range(channels)]

@@ -62,6 +62,30 @@ def init_carry(batch: int, options: MP3EncoderOptions):
     }
 
 
+def main_data_cap(options: MP3EncoderOptions) -> int:
+    """Static per-frame cap (bytes) for the device-packed main_data image.
+
+    A frame's Huffman bytes are bounded by its slot plus the maximum
+    reservoir borrow (511 bytes); the rate loop's overflow quirk can in
+    principle exceed the budget, so the host verifies hb <= cap when
+    rendering and raises rather than emitting a corrupt stream. Hard upper
+    bound: 1152 pair slots x 15 bits = 2160 bytes.
+    """
+    from ..ops.dsp import MAX_FRAME_MAIN_BITS
+
+    sr = options.sample_rate
+    if options.vbr:
+        max_kbps = min(320, options.bitrate_kbps + 64 - options.quality * 4)
+    else:
+        max_kbps = options.bitrate_kbps
+    br_val = bitrate_value(bitrate_index(max_kbps, sr))
+    side = 17 if options.channels == 1 else 32
+    crc = 2 if options.crc_protected else 0
+    slot_max = (144 * br_val * 1000) // sr + 1 - 4 - crc - side
+    cap = min(MAX_FRAME_MAIN_BITS // 8, slot_max + 512)
+    return cap + (cap & 1)  # even (halfword-aligned)
+
+
 def make_chunk_fn(options: MP3EncoderOptions):
     """Build the chunk encode function
     (carry, pcm [T,B,1152*ch], final [T,B], valid [T,B]) -> (carry, outputs).
@@ -79,6 +103,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
     mode = options.mode
     cbr_index = bitrate_index(base_kbps, sr)
     cbr_value = bitrate_value(cbr_index)
+    cap_bytes = main_data_cap(options)
 
     def run(carry, pcm, final, valid):
         if pcm.dtype == jnp.int16:
@@ -209,13 +234,22 @@ def make_chunk_fn(options: MP3EncoderOptions):
         region0, region1 = dsp.region_counts(big_values, sr)
         pref = dsp.preflag(spectra)
 
+        # Device-side Huffman packing: each frame's main_data byte image.
+        chunks, nb = dsp.pair_chunks_device(quantized, big_values)
+        main_data, _total_bits = dsp.pack_main_data(
+            chunks.reshape(T * B, n_gran * 288),
+            nb.reshape(T * B, n_gran * 288),
+            cap_bytes,
+        )
+        main_data = main_data.reshape(T, B, cap_bytes)
+
         def gm(x):  # [T, B, ch, 2, ...] -> granule-major [T, B, G, ...]
             return jnp.swapaxes(x, 2, 3).reshape((T, B, n_gran) + x.shape[4:])
 
         # Pack all integer outputs into ONE int32 tensor: the tunnel to the
         # device charges per-transfer latency, so 12 small arrays cost ~90x
         # more wall clock than one packed array (measured 916 ms -> ~60 ms).
-        # Layout must match _unpack_meta below.
+        # Layout must match fetch_outputs below.
         meta = jnp.concatenate(
             [
                 br_idx[..., None],
@@ -233,7 +267,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
             ],
             axis=-1,
         ).astype(jnp.int32)
-        outputs = {"meta": meta, "quantized": quantized.astype(jnp.int8)}
+        outputs = {"meta": meta, "main_data": main_data}
 
         # ---------------- Carry-out state at each stream's last valid ----
         count_valid = jnp.sum(valid.astype(jnp.int32), axis=0)  # [B]
@@ -274,20 +308,22 @@ def fetch_outputs(outs, options: MP3EncoderOptions) -> dict:
     """Transfer packed chunk outputs to host and unpack to named arrays."""
     n_gran = 2 * options.channels
     meta = np.asarray(outs["meta"])
-    quantized = np.asarray(outs["quantized"])
+    main_data = np.asarray(outs["main_data"])
     T, B = meta.shape[0], meta.shape[1]
     d = {
         "bitrate_index": meta[..., 0],
         "padding": meta[..., 1],
         "mdb": meta[..., 2],
         "slot": meta[..., 3],
-        "quantized": quantized,
+        "main_data": main_data,
     }
     o = 4
     for name in _GRANULE_FIELDS:
         d[name] = meta[..., o : o + n_gran]
         o += n_gran
     d["subblock_gain"] = meta[..., o : o + 3 * n_gran].reshape(T, B, n_gran, 3)
+    # per-frame Huffman byte counts; pack truncation is checked by renderers
+    d["hb"] = (d["part23"].sum(axis=-1) + 7) // 8
     return d
 
 
@@ -318,14 +354,22 @@ def frame_results_from_outputs(
             scalefac_scale=0,
             count1table_select=0,
         )
+    hb = int(outs["hb"][t, b])
+    cap = outs["main_data"].shape[-1]
+    if hb > cap:
+        raise RuntimeError(
+            f"frame main_data ({hb} B) exceeds the device pack cap ({cap} B); "
+            "rate-loop overflow beyond the reservoir bound — raise "
+            "main_data_cap for this configuration"
+        )
     return FrameResult(
         bitrate_index=int(outs["bitrate_index"][t, b]),
         padding=int(outs["padding"][t, b]),
         main_data_begin=int(outs["mdb"][t, b]),
         slot_size=int(outs["slot"][t, b]),
         granules=granules,
-        quantized=np.asarray(outs["quantized"][t, b], dtype=np.int32),
         big_values=np.asarray(outs["big_values"][t, b], dtype=np.int32),
+        main_data=outs["main_data"][t, b, :hb].tobytes(),
     )
 
 

@@ -253,6 +253,109 @@ int64_t mp3_render_frames(void* p, int F,
     return written;
 }
 
+// Variant consuming device-packed main_data: the TPU already rendered each
+// frame's Huffman byte image (swiftmp3_tpu.ops.dsp.pack_main_data); the host
+// only splices reservoir slots and assembles headers/side info.
+// main_data: [F][cap] byte images; hb: [F] used byte counts. Returns bytes
+// written, -1 on overflow, -2 if any hb exceeds cap (device pack truncated).
+int64_t mp3_render_frames_packed(void* p, int F,
+                                 const int32_t* bitrate_index, const int32_t* padding,
+                                 const int32_t* mdb, const int32_t* slot,
+                                 const int32_t* part23, const int32_t* big_values,
+                                 const int32_t* gain, const int32_t* block_type,
+                                 const int32_t* preflag, const int32_t* region0,
+                                 const int32_t* region1, const int32_t* subblock_gain,
+                                 const uint8_t* main_data, int cap,
+                                 const int32_t* hb, uint8_t* out,
+                                 int64_t out_capacity, int32_t* frame_sizes_out,
+                                 int32_t* n_emitted_out) {
+    auto* s = static_cast<StreamState*>(p);
+    const int ch = s->channels;
+    const int G = 2 * ch;
+    const int side_bytes = (ch == 1) ? 17 : 32;
+    int64_t written = 0;
+    int n_emitted = 0;
+
+    for (int f = 0; f < F; f++) {
+        if (hb[f] > cap) return -2;
+        const uint8_t* md = main_data + static_cast<int64_t>(f) * cap;
+        s->reservoir.insert(s->reservoir.end(), md, md + hb[f]);
+
+        BitWriter si;
+        int m = mdb[f];
+        si.write(static_cast<uint32_t>(m > 511 ? 511 : m), 9);
+        si.write(0, ch == 1 ? 5 : 3);
+        for (int c = 0; c < ch; c++) si.write(0, 4);
+        for (int gr = 0; gr < 2; gr++) {
+            for (int c = 0; c < ch; c++) {
+                int g = gr * ch + c;
+                int64_t o = static_cast<int64_t>(f) * G + g;
+                int bt = block_type[o];
+                int ws = (bt == 0) ? 0 : 1;
+                si.write(static_cast<uint32_t>(part23[o]), 12);
+                si.write(static_cast<uint32_t>(big_values[o]), 9);
+                si.write(static_cast<uint32_t>(gain[o]), 8);
+                si.write(0, 4);
+                si.write(static_cast<uint32_t>(ws), 1);
+                if (ws) {
+                    si.write(static_cast<uint32_t>(bt), 2);
+                    si.write(bt == 1 ? 1u : 0u, 1);
+                    si.write(15, 5);
+                    si.write(15, 5);
+                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 0]), 3);
+                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 1]), 3);
+                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 2]), 3);
+                } else {
+                    si.write(15, 5);
+                    si.write(15, 5);
+                    si.write(15, 5);
+                    si.write(static_cast<uint32_t>(region0[o]), 4);
+                    si.write(static_cast<uint32_t>(region1[o]), 3);
+                }
+                si.write(static_cast<uint32_t>(preflag[o]), 1);
+                si.write(0, 1);
+                si.write(0, 1);
+            }
+        }
+        si.pad_to_byte();
+        while (static_cast<int>(si.bytes.size()) < side_bytes) si.bytes.push_back(0);
+
+        uint8_t head[4];
+        build_header(s, bitrate_index[f], padding[f], head);
+        std::vector<uint8_t> head_side;
+        head_side.insert(head_side.end(), head, head + 4);
+        if (s->crc_protected) {
+            uint16_t crc = crc16_mpeg(head, 4);
+            head_side.push_back(static_cast<uint8_t>(crc >> 8));
+            head_side.push_back(static_cast<uint8_t>(crc & 0xFF));
+        }
+        head_side.insert(head_side.end(), si.bytes.begin(), si.bytes.end());
+
+        if (s->has_buffered) {
+            size_t slot_n = static_cast<size_t>(s->buffered_slot);
+            size_t take = s->reservoir.size() < slot_n ? s->reservoir.size() : slot_n;
+            int64_t frame_size =
+                static_cast<int64_t>(s->buffered_head.size()) + s->buffered_slot;
+            if (written + frame_size > out_capacity) return -1;
+            std::memcpy(out + written, s->buffered_head.data(), s->buffered_head.size());
+            written += s->buffered_head.size();
+            std::memcpy(out + written, s->reservoir.data(), take);
+            std::memset(out + written + take, 0, slot_n - take);
+            written += slot_n;
+            s->reservoir.erase(s->reservoir.begin(), s->reservoir.begin() + take);
+            s->frame_count += 1;
+            s->total_bytes += static_cast<uint32_t>(frame_size);
+            frame_sizes_out[n_emitted++] = static_cast<int32_t>(frame_size);
+        }
+
+        s->buffered_head = std::move(head_side);
+        s->buffered_slot = slot[f];
+        s->has_buffered = true;
+    }
+    *n_emitted_out = n_emitted;
+    return written;
+}
+
 // Emit the final buffered frame (flush). Returns bytes written (0 if none).
 int64_t mp3_flush_buffered(void* p, uint8_t* out, int64_t out_capacity,
                            int32_t* frame_size_out) {

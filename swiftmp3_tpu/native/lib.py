@@ -65,6 +65,19 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p,                    # frame_sizes_out
             np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS"),
         ]
+        lib.mp3_render_frames_packed.restype = ctypes.c_int64
+        lib.mp3_render_frames_packed.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            i32p, i32p, i32p, i32p,  # bitrate_index, padding, mdb, slot
+            i32p, i32p, i32p, i32p,  # part23, big_values, gain, block_type
+            i32p, i32p, i32p, i32p,  # preflag, region0, region1, subblock_gain
+            u8p, ctypes.c_int,       # main_data, cap
+            i32p,                    # hb
+            u8p, ctypes.c_int64,     # out, capacity
+            i32p,                    # frame_sizes_out
+            np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS"),
+        ]
         lib.mp3_flush_buffered.restype = ctypes.c_int64
         lib.mp3_flush_buffered.argtypes = [
             ctypes.c_void_p, u8p, ctypes.c_int64, i32p
@@ -148,6 +161,53 @@ class NativeStreamRenderer:
             c(quantized, np.int8),
             out, cap, sizes, n_emitted,
         )
+        if n < 0:
+            raise RuntimeError("native render buffer overflow")
+        self.frame_sizes.extend(int(s) for s in sizes[: int(n_emitted[0])])
+        return out[:n].tobytes()
+
+    def render_packed(
+        self,
+        bitrate_index: np.ndarray,  # [F]
+        padding: np.ndarray,
+        mdb: np.ndarray,
+        slot: np.ndarray,
+        part23: np.ndarray,  # [F, G]
+        big_values: np.ndarray,
+        gain: np.ndarray,
+        block_type: np.ndarray,
+        preflag: np.ndarray,
+        region0: np.ndarray,
+        region1: np.ndarray,
+        subblock_gain: np.ndarray,  # [F, G, 3]
+        main_data: np.ndarray,  # [F, cap] uint8 (device-packed)
+        hb: np.ndarray,  # [F]
+    ) -> bytes:
+        F = len(bitrate_index)
+        if F == 0:
+            return b""
+        cap = main_data.shape[-1]
+        out_cap = int(slot.sum()) + F * 40 + 8192
+        out = np.empty(out_cap, dtype=np.uint8)
+        sizes = np.zeros(F, dtype=np.int32)
+        n_emitted = np.zeros(1, dtype=np.int32)
+
+        def c(a, dt=np.int32):
+            return np.ascontiguousarray(a, dtype=dt)
+
+        n = self._lib.mp3_render_frames_packed(
+            self._h, F,
+            c(bitrate_index), c(padding), c(mdb), c(slot),
+            c(part23), c(big_values), c(gain), c(block_type),
+            c(preflag), c(region0), c(region1), c(subblock_gain),
+            c(main_data, np.uint8), cap, c(hb),
+            out, out_cap, sizes, n_emitted,
+        )
+        if n == -2:
+            raise RuntimeError(
+                "device pack cap exceeded (rate-loop overflow); raise "
+                "main_data_cap for this configuration"
+            )
         if n < 0:
             raise RuntimeError("native render buffer overflow")
         self.frame_sizes.extend(int(s) for s in sizes[: int(n_emitted[0])])

@@ -529,6 +529,140 @@ def rate_loop(
     return gain_out, q_sel, bits_sel, bv_sel
 
 
+# --- Device-side Huffman bit packing ------------------------------------------
+# The north-star architecture (BASELINE.json): a device-side pack stage with
+# host finalization. Variable-length codes are placed into the frame's
+# main_data byte image entirely on the TPU:
+#   1. per pair: chunk = codeword | sign bits (<= 15 bits), length l
+#   2. bit offsets O = exclusive cumsum over the frame's 1152 pair slots
+#   3. each chunk straddles <= 2 16-bit halfwords: h = O >> 4, s = O & 15;
+#      the 32-bit window (chunk << (32-s-l)) splits into hi/lo halfwords
+#   4. out_half[h] = sum of hi parts with h_p == h  +  lo parts with
+#      h_p+1 == h. Bits are disjoint, so OR == SUM, and per 8-bit plane the
+#      sums stay < 256 — exact in float32.
+#   5. the scatter is factorized: one-hot(h) = one-hot(h>>5) x one-hot(h&31),
+#      so each plane reduces to a [34,P]x[P,32] batched matmul on the MXU —
+#      no gathers, no scatters.
+
+def _pack_code_words() -> np.ndarray:
+    """Table-15 codewords (<=13 bits) packed 2 per uint32 word: 128 words."""
+    from ..tables import TABLE15_CODE as codes
+
+    words = np.zeros(128, dtype=np.uint32)
+    for i, c in enumerate(codes):
+        words[i // 2] |= np.uint32(int(c) << ((i % 2) * 16))
+    return words
+
+
+_T15_CODE_WORDS = _pack_code_words()
+
+
+def t15_code_lookup(idx: jax.Array) -> jax.Array:
+    """TABLE15_CODE[idx] for idx in [0, 256), gather-free (7-level tree)."""
+    word = _select_tree(idx >> 1, _T15_CODE_WORDS, 0, 128)
+    shift = ((idx & 1) * 16).astype(jnp.uint32)
+    return ((word >> shift) & 0xFFFF).astype(jnp.int32)
+
+
+MAX_FRAME_MAIN_BITS = 1152 * 15  # hard upper bound: all pair slots, 15 bits
+_N_HALF = MAX_FRAME_MAIN_BITS // 16 + 2  # 1082 halfwords (+straddle margin)
+_HI_DIM = (_N_HALF + 31) // 32  # 34
+_LO_DIM = 32
+
+
+def pair_chunks_device(q: jax.Array, big_values: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-pair (chunk, nbits) for table-15 coding, masked beyond big_values.
+
+    q: [..., 576] int32; big_values: [...]. Returns chunk [..., 288] int32,
+    nbits [..., 288] int32 (0 for masked pairs). Chunk layout matches the
+    host packer: codeword, then sign of x if |x|>0, then sign of y.
+    """
+    x = q[..., 0::2]
+    y = q[..., 1::2]
+    ax = jnp.minimum(jnp.abs(x), 15)
+    ay = jnp.minimum(jnp.abs(y), 15)
+    idx = ax * 16 + ay
+    code = t15_code_lookup(idx)
+    nbits = t15_length_lookup(idx)
+    sx = (x < 0).astype(jnp.int32)
+    has_x = ax != 0
+    chunk = jnp.where(has_x, (code << 1) | sx, code)
+    nbits = nbits + has_x.astype(jnp.int32)
+    sy = (y < 0).astype(jnp.int32)
+    has_y = ay != 0
+    chunk = jnp.where(has_y, (chunk << 1) | sy, chunk)
+    nbits = nbits + has_y.astype(jnp.int32)
+    pair_idx = jnp.arange(288, dtype=jnp.int32)
+    mask = pair_idx < big_values[..., None]
+    return jnp.where(mask, chunk, 0), jnp.where(mask, nbits, 0)
+
+
+def pack_main_data(chunks: jax.Array, nbits: jax.Array, cap_bytes: int) -> tuple[jax.Array, jax.Array]:
+    """Pack each frame's chunks into its main_data byte image on device.
+
+    chunks/nbits: [F, P] (P = n_granules*288, granule-major — the frame's
+    full write order). cap_bytes: static output width (must be even).
+    Returns (bytes [F, cap_bytes] uint8, total_bits [F] int32). Frames whose
+    byte image exceeds cap_bytes are truncated — callers size cap_bytes from
+    the config and verify hb <= cap_bytes host-side.
+    """
+    F, P = chunks.shape
+    offsets = jnp.cumsum(nbits, axis=-1) - nbits  # exclusive prefix sum
+    total_bits = offsets[:, -1] + nbits[:, -1]
+
+    h = offsets >> 4  # [F, P] halfword index
+    s = offsets & 15
+    win = (chunks.astype(jnp.uint32)) << (32 - s - nbits).astype(jnp.uint32)
+    win = jnp.where(nbits > 0, win, 0)
+    hi = (win >> 16).astype(jnp.int32)
+    lo = (win & 0xFFFF).astype(jnp.int32)
+
+    n_half = cap_bytes // 2
+
+    def scatter_halfwords(values: jax.Array, target: jax.Array) -> jax.Array:
+        """sum_{p: target_p == h} values_p for h < n_half, via factorized
+        one-hot matmuls. One-hots and byte-plane values are exact in
+        bfloat16 (integers <= 255); accumulation is f32 on the MXU."""
+        t_hi = (target >> 5)[..., None] == jnp.arange(_HI_DIM, dtype=jnp.int32)
+        t_lo = (target & 31)[..., None] == jnp.arange(_LO_DIM, dtype=jnp.int32)
+        Bm = t_lo.astype(jnp.bfloat16)  # [blk, P, 32]
+        out = 0
+        for plane_shift in (0, 8):
+            v = ((values >> plane_shift) & 0xFF).astype(jnp.bfloat16)
+            Av = t_hi.astype(jnp.bfloat16) * v[..., None]  # [blk, P, 34]
+            S = jax.lax.dot_general(
+                Av,
+                Bm,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [blk, 34, 32]
+            plane = S.reshape(S.shape[0], _HI_DIM * _LO_DIM).astype(jnp.int32)
+            out = out + (plane << plane_shift)
+        return out[:, :n_half]
+
+    # Block over frames: materializing the one-hots for all frames at once
+    # would cost O(F * P * 66) floats (~1 GB at F=4096); 256-frame blocks
+    # keep it ~40 MB while each block is still a beefy MXU matmul.
+    BLK = 256
+    F_pad = ((F + BLK - 1) // BLK) * BLK
+    def pad(a):
+        return jnp.pad(a, ((0, F_pad - F), (0, 0)))
+
+    hi_b = pad(hi).reshape(F_pad // BLK, BLK, P)
+    lo_b = pad(lo).reshape(F_pad // BLK, BLK, P)
+    h_b = pad(h).reshape(F_pad // BLK, BLK, P)
+
+    def pack_block(args):
+        hi_i, lo_i, h_i = args
+        return scatter_halfwords(hi_i, h_i) + scatter_halfwords(lo_i, h_i + 1)
+
+    halfwords = jax.lax.map(pack_block, (hi_b, lo_b, h_b)).reshape(F_pad, n_half)[:F]
+    hi8 = (halfwords >> 8).astype(jnp.uint8)
+    lo8 = (halfwords & 0xFF).astype(jnp.uint8)
+    out_bytes = jnp.stack([hi8, lo8], axis=-1).reshape(F, cap_bytes)
+    return out_bytes, total_bits.astype(jnp.int32)
+
+
 # --- Region counts, preflag --------------------------------------------------
 
 

@@ -10,12 +10,13 @@ shards over DCN.
 """
 
 from .mesh import batch_sharding, carry_sharding, make_mesh
-from .batch import BatchEncoder, encode_batch
+from .batch import BatchEncoder, encode_batch, encode_corpus
 
 __all__ = [
     "BatchEncoder",
     "batch_sharding",
     "carry_sharding",
     "encode_batch",
+    "encode_corpus",
     "make_mesh",
 ]

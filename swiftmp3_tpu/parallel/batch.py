@@ -102,7 +102,7 @@ class BatchEncoder:
             for b in range(B):
                 F = int(counts[b])
                 emitted.append(
-                    self.renderers[b].render(
+                    self.renderers[b].render_packed(
                         outs["bitrate_index"][:F, b],
                         outs["padding"][:F, b],
                         outs["mdb"][:F, b],
@@ -115,7 +115,8 @@ class BatchEncoder:
                         outs["region0"][:F, b],
                         outs["region1"][:F, b],
                         outs["subblock_gain"][:F, b],
-                        outs["quantized"][:F, b],
+                        outs["main_data"][:F, b],
+                        outs["hb"][:F, b],
                     )
                 )
             return emitted
@@ -140,7 +141,8 @@ def encode_batch(
     frames_per_step: int = 64,
     mesh=None,
     use_mesh: bool = False,
-) -> List[bytes]:
+    _return_encoder: bool = False,
+):
     """Encode N independent PCM streams; returns MP3 bytes per stream.
 
     Equivalent to running one EncoderSession per stream (encode + flush),
@@ -216,4 +218,37 @@ def encode_batch(
     for b, tail in enumerate(enc.flush()):
         if b < n_streams:
             out[b] += tail
-    return [bytes(o) for o in out]
+    result = [bytes(o) for o in out]
+    if _return_encoder:
+        return result, enc
+    return result
+
+
+def encode_corpus(
+    options: MP3EncoderOptions,
+    streams: Sequence[np.ndarray],
+    tags=None,
+    frames_per_step: int = 64,
+    mesh=None,
+) -> List[bytes]:
+    """Encode N streams into COMPLETE MP3 files: per stream
+    [ID3v2.3 tag][Xing/Info header][frames] — the batched equivalent of the
+    reference's file-encode mode (MP3Encoder.swift:189-230) for e.g. a
+    podcast corpus. `tags` is an optional per-stream list of ID3Tag.
+    """
+    from ..io.id3 import build_id3_tag
+    from ..io.xing import build_xing_header
+
+    frames, enc = encode_batch(
+        options, streams, frames_per_step=frames_per_step, mesh=mesh,
+        _return_encoder=True,
+    )
+    renderers = enc.renderers if enc.use_native else enc.assemblers
+    files = []
+    for b, audio in enumerate(frames):
+        r = renderers[b]
+        tag = tags[b] if tags else options.id3_tag
+        id3 = build_id3_tag(tag) if tag else b""
+        xing = build_xing_header(options, r.frame_count, r.total_bytes, r.frame_sizes)
+        files.append(id3 + xing + audio)
+    return files

@@ -55,3 +55,27 @@ def test_empty_stream_in_batch():
     out = encode_batch(opts, streams, frames_per_step=2)
     assert out[0] == b""
     assert len(out[1]) > 0
+
+
+def test_encode_corpus_complete_files():
+    from swiftmp3_tpu import ID3Tag
+    from swiftmp3_tpu.decoder import decode_mp3
+    from swiftmp3_tpu.parallel import encode_corpus
+
+    opts = MP3EncoderOptions(mode=Mode.MONO)
+    rng = np.random.default_rng(4)
+    streams = [
+        (rng.standard_normal(1152 * 3) * 0.4).astype(np.float32),
+        (rng.standard_normal(1152 * 2 + 500) * 0.4).astype(np.float32),
+    ]
+    tags = [ID3Tag(title=f"Episode {i}", artist="Pod") for i in range(2)]
+    files = encode_corpus(opts, streams, tags=tags, frames_per_step=2)
+    for i, blob in enumerate(files):
+        assert blob[:3] == b"ID3"
+        assert f"Episode {i}".encode() in blob[:200]
+        dec = decode_mp3(blob)  # skips ID3 + Info frame
+        assert dec.frame_count > 0
+        # Xing declared counts match
+        off = blob.index(b"Info")
+        declared = int.from_bytes(blob[off + 8 : off + 12], "big")
+        assert declared == dec.frame_count + 1
