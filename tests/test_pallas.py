@@ -1,0 +1,57 @@
+"""Pallas kernel tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from swiftmp3_tpu.ops import dsp
+
+
+def test_polyphase_pallas_matches_jnp():
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.ops.pallas_kernels import polyphase_chunk_pallas
+
+    rng = np.random.default_rng(0)
+    B, ch, T = 3, 2, 8
+    hist = (rng.standard_normal((B, ch, 480)) * 0.2).astype(np.float32)
+    pcm = (rng.standard_normal((B, ch, T * 1152)) * 0.5).astype(np.float32)
+    S_ref, x_ref = dsp.polyphase_chunk(jnp.asarray(hist), jnp.asarray(pcm))
+    S_pal, x_pal = polyphase_chunk_pallas(
+        jnp.asarray(hist), jnp.asarray(pcm), interpret=True
+    )
+    assert S_pal.shape == S_ref.shape
+    assert np.abs(np.asarray(S_ref) - np.asarray(S_pal)).max() < 2e-5
+    assert np.array_equal(np.asarray(x_ref), np.asarray(x_pal))
+
+
+def test_device_pack_matches_host_pack():
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.io.huffman_pack import pack_frame_main_data
+
+    rng = np.random.default_rng(1)
+    F, G = 5, 4
+    q = rng.integers(-15, 16, size=(F, G, 576)).astype(np.int32)
+    bv = rng.integers(0, 289, size=(F, G)).astype(np.int32)
+    chunks, nbits = dsp.pair_chunks_device(jnp.asarray(q), jnp.asarray(bv))
+    by, total = dsp.pack_main_data(
+        jnp.asarray(np.asarray(chunks).reshape(F, G * 288)),
+        jnp.asarray(np.asarray(nbits).reshape(F, G * 288)),
+        2160,
+    )
+    by = np.asarray(by)
+    total = np.asarray(total)
+    for f in range(F):
+        host_bytes, part_bits = pack_frame_main_data(q[f], bv[f])
+        assert total[f] == part_bits.sum()
+        assert by[f, : len(host_bytes)].tobytes() == host_bytes
+
+
+def test_t15_code_lookup_exact():
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.tables import TABLE15_CODE
+
+    idx = np.arange(256, dtype=np.int32)
+    got = np.asarray(dsp.t15_code_lookup(jnp.asarray(idx)))
+    assert np.array_equal(got, TABLE15_CODE)
