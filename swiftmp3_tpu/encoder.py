@@ -224,9 +224,14 @@ class EncoderSession:
     def encode(self, samples) -> bytes:
         """Buffer interleaved PCM and encode all complete 1152-sample frames.
 
+        Accepts float PCM in [-1, 1] or int16 PCM (normalized by 1/32768).
         Non-finite samples are zeroed (the reference would trap on them;
         a deterministic stream is strictly more useful)."""
-        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+        arr = np.asarray(samples)
+        if arr.dtype == np.int16:
+            samples = arr.astype(np.float32).reshape(-1) / np.float32(32768.0)
+        else:
+            samples = arr.astype(np.float32).reshape(-1)
         if not np.isfinite(samples).all():
             samples = np.nan_to_num(samples, nan=0.0, posinf=0.0, neginf=0.0)
         self._pcm = np.concatenate([self._pcm, samples]) if self._pcm.size else samples

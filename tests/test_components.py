@@ -122,3 +122,12 @@ def test_throughput_meter():
     assert s["frames"] == 100
     assert s["audio_seconds"] == pytest.approx(100 * 1152 / 44100, abs=1e-3)
     assert s["realtime_factor"] > 0
+
+
+def test_session_accepts_int16():
+    rng = np.random.default_rng(3)
+    i16 = (rng.standard_normal(1152 * 3) * 8000).astype(np.int16)
+    f32 = i16.astype(np.float32) / np.float32(32768.0)
+    s1 = MP3Encoder(MP3EncoderOptions(mode=Mode.MONO), backend="numpy").new_session()
+    s2 = MP3Encoder(MP3EncoderOptions(mode=Mode.MONO), backend="numpy").new_session()
+    assert (s1.encode(i16) + s1.flush()) == (s2.encode(f32) + s2.flush())
