@@ -12,8 +12,7 @@ Backends produce fixed-shape FrameResults:
 
 from __future__ import annotations
 
-import math
-from typing import Iterable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..options import SAMPLES_PER_GRANULE, SUBBANDS
+from ..options import SUBBANDS
 from ..tables import (
     ALIASING_CA,
     ALIASING_CS,

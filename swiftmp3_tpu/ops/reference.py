@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..options import SAMPLES_PER_GRANULE, SUBBANDS
+from ..options import SUBBANDS
 from ..tables import (
     ALIASING_CA,
     ALIASING_CS,

@@ -11,7 +11,7 @@ trailing partial frame and the delayed-frame flush).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import numpy as np

@@ -15,7 +15,6 @@ Synchronous iterables are also accepted for convenience.
 
 from __future__ import annotations
 
-import inspect
 import os
 from typing import AsyncIterable, AsyncIterator, Iterable, Union
 

@@ -119,3 +119,56 @@ def test_id3_prefix_skipped():
     full = s.generate_id3_tag() + data
     dec = decode_mp3(full)
     assert dec.frame_count == s.encoded_frame_count
+
+
+def test_sine_sweep_wav_roundtrip(tmp_path):
+    """BASELINE config 1: CBR 128kbps mono 44.1kHz sine-sweep via WAV."""
+    from swiftmp3_tpu.utils import read_wav, write_wav
+
+    sr = 44100
+    n = sr  # 1 second
+    t = np.arange(n) / sr
+    freq = 100 + (4000 - 100) * t  # linear sweep
+    phase = 2 * np.pi * np.cumsum(freq) / sr
+    pcm = (0.5 * np.sin(phase)).astype(np.float32)
+
+    wav_path = tmp_path / "sweep.wav"
+    write_wav(wav_path, pcm, sr, channels=1)
+    loaded, got_sr, got_ch = read_wav(wav_path)
+    assert got_sr == sr and got_ch == 1
+    assert np.abs(loaded - pcm).max() < 1e-4  # PCM16 quantization
+
+    data, n_frames = encode(loaded, mode=Mode.MONO)
+    dec = decode_mp3(data)
+    assert dec.frame_count == n_frames
+    x = dec.pcm[:, 0]
+    assert np.abs(x).max() > 0.05 and np.sqrt(np.mean(x**2)) > 0.01
+
+
+def test_transient_short_blocks_decode():
+    """Sharp attacks force short/mixed blocks; the stream must stay
+    parseable and decodable (window_switching side info path)."""
+    from swiftmp3_tpu.io.framing import FrameResult  # noqa: F401
+    from .util import parse_frames
+
+    rng = np.random.default_rng(9)
+    pcm = np.zeros(1152 * 10, dtype=np.float32)
+    # silence -> loud burst within a granule (max/min energy ratio > 6)
+    for k in range(1, 10, 2):
+        start = k * 1152 + 400
+        pcm[start : start + 150] = (rng.standard_normal(150) * 0.9).astype(np.float32)
+    data, n_frames = encode(pcm, mode=Mode.MONO)
+    parse_frames(data)
+    dec = decode_mp3(data)
+    assert dec.frame_count == n_frames
+
+    # confirm short/mixed blocks actually occurred
+    from swiftmp3_tpu.decoder.decoder import _iter_frames
+
+    ws = [
+        g.window_switching
+        for fi in _iter_frames(data)
+        for gr in fi.granules
+        for g in gr
+    ]
+    assert any(ws), "expected at least one window-switching granule"
