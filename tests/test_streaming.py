@@ -158,3 +158,26 @@ def test_async_cancellation():
             return "cancelled"
 
     assert asyncio.run(go()) == "cancelled"
+
+
+def test_cli_end_to_end(tmp_path):
+    import numpy as np
+
+    from swiftmp3_tpu.cli import main as cli_main
+    from swiftmp3_tpu.decoder import decode_mp3
+    from swiftmp3_tpu.utils import write_wav
+
+    sr = 44100
+    t = np.arange(sr // 2) / sr
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    wav = tmp_path / "in.wav"
+    mp3 = tmp_path / "out.mp3"
+    write_wav(wav, pcm, sr, 1)
+    rc = cli_main([str(wav), str(mp3), "--backend", "numpy", "--quiet",
+                   "--title", "T"])
+    assert rc == 0
+    blob = mp3.read_bytes()
+    assert blob[:3] == b"ID3"
+    dec = decode_mp3(blob)
+    assert dec.frame_count > 0
+    assert np.abs(dec.pcm).max() > 0.05
