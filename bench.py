@@ -1,20 +1,50 @@
 """Headline benchmark: audio-seconds encoded per second per chip.
 
 Config: CBR 128 kbps stereo 44.1 kHz (BASELINE.json headline). Measures the
-end-to-end batched path (device scan + host Huffman pack + frame assembly,
-overlapped) and prints ONE JSON line:
+end-to-end batched path first (device scan + host byte rendering, 3-stage
+software pipeline), then informational decompositions, and prints ONE JSON
+line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is value / 1000x-realtime (the BASELINE.json north star; the
 reference publishes no numbers of its own — BASELINE.md).
+
+Measurement notes (tunneled single-chip rig): transfers of unique data run
+at ~25-45 MB/s with ~45 ms per-transfer latency, which binds the e2e number;
+the device-compute figure (resident inputs) is what a PCIe-attached
+production host would see. Loops are ordered headline-first so async-copy
+backlogs don't contaminate the reported number.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _make_audio(rng, B, T, n, channels, sample_rate):
+    """Realistic correlated audio (speech/music-like), int16 interleaved."""
+    t_ax = np.arange(T * 1152) / sample_rate
+    base = sum(
+        a * np.sin(2 * np.pi * f * t_ax)
+        for a, f in [(0.35, 220.0), (0.2, 467.0), (0.1, 1313.0)]
+    )
+    ar = rng.standard_normal((B, T * 1152)).astype(np.float32)
+    for i in range(1, 8):
+        ar[:, i:] += ar[:, :-i] / (i + 1)
+    ar *= 0.05 / np.abs(ar).max()
+    sig = (base[None, :] * rng.uniform(0.5, 1.0, (B, 1)) + ar).astype(np.float32)
+    sig = np.clip(sig, -0.99, 0.99)
+    mono = (sig * 32767).astype(np.int16)
+    return (
+        np.repeat(mono[..., None], channels, axis=-1)
+        .reshape(B, T, n)
+        .transpose(1, 0, 2)
+        .copy()
+    )
 
 
 def main() -> None:
@@ -27,84 +57,59 @@ def main() -> None:
     enable_compilation_cache()
 
     options = MP3EncoderOptions(mode=Mode.STEREO, bitrate_kbps=128, sample_rate=44100)
-    B = int(__import__("os").environ.get("BENCH_BATCH", "128"))
-    T = int(__import__("os").environ.get("BENCH_FRAMES", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "128"))
+    T = int(os.environ.get("BENCH_FRAMES", "32"))
     n = 1152 * options.channels
+    n_iter = int(os.environ.get("BENCH_ITERS", "10"))
 
     rng = np.random.default_rng(0)
-    # Realistic audio (correlated, like speech/music), int16 — the common
-    # source format; white noise is a pathological signal for both the
-    # encoder and the transport.
-    t_ax = np.arange(T * 1152) / options.sample_rate
-    base = sum(
-        a * np.sin(2 * np.pi * f * t_ax)
-        for a, f in [(0.35, 220.0), (0.2, 467.0), (0.1, 1313.0)]
-    )
-    ar = rng.standard_normal((B, T * 1152)).astype(np.float32)
-    for i in range(1, 8):  # cheap AR-ish smoothing for temporal correlation
-        ar[:, i:] += ar[:, :-i] / (i + 1)
-    ar *= 0.05 / np.abs(ar).max()
-    sig = (base[None, :] * rng.uniform(0.5, 1.0, (B, 1)) + ar).astype(np.float32)
-    sig = np.clip(sig, -0.99, 0.99)
-    mono = (sig * 32767).astype(np.int16)  # [B, T*1152]
-    pcm = np.repeat(mono[..., None], options.channels, axis=-1).reshape(
-        B, T, n
-    ).transpose(1, 0, 2).copy()
+    # several distinct buffers: the transport dedupes repeated content
+    pcms = [_make_audio(rng, B, T, n, options.channels, options.sample_rate)
+            for _ in range(4)]
     final = np.zeros((T, B), dtype=bool)
     valid = np.ones((T, B), dtype=bool)
 
     enc = BatchEncoder(options, B, frames_per_step=T)
 
-    # Warmup (compile)
-    outs = enc.step(pcm, final, valid)
+    # Warmup (compile + first render)
+    outs = enc.step(pcms[0], final, valid)
     jax.block_until_ready(outs)
     enc.drain(outs, valid)
 
-    # Device-only steady state (median over iterations; the tunneled runtime
-    # has high run-to-run variance)
-    n_iter = 10
-    dev_times = []
-    for _ in range(n_iter):
-        t0 = time.perf_counter()
-        outs = enc.step(pcm, final, valid)
-        jax.block_until_ready(outs)
-        dev_times.append(time.perf_counter() - t0)
-    t_dev = float(np.median(dev_times))
-
-    # Pure device compute with resident inputs (the number a PCIe-attached
-    # production host would see; excludes this rig's ~40-80 MB/s tunnel)
-    pcm_d = jax.device_put(pcm)
-    fin_d = jax.device_put(final)
-    val_d = jax.device_put(valid)
-    comp_times = []
-    for _ in range(n_iter):
-        t0 = time.perf_counter()
-        outs = enc.step(pcm_d, fin_d, val_d)
-        jax.block_until_ready(outs)
-        comp_times.append(time.perf_counter() - t0)
-    t_comp = float(np.median(comp_times))
-
-    # End-to-end (device + host assembly, software-pipelined: the next chunk
-    # is dispatched before the previous chunk's bytes are rendered)
+    # HEADLINE: end-to-end, 3-stage software pipeline (chunk k computes while
+    # chunk k+1 uploads and chunk k-1 renders to bytes)
     t0 = time.perf_counter()
+    prepared = enc.prepare(pcms[0], final, valid)
     pending = None
-    for _ in range(n_iter):
-        outs = enc.step(pcm, final, valid)
+    for k in range(n_iter):
+        outs = enc.step(*prepared)
+        prepared = enc.prepare(pcms[(k + 1) % 4], final, valid)
         if pending is not None:
             enc.drain(pending, valid)
         pending = outs
     enc.drain(pending, valid)
     t_e2e = (time.perf_counter() - t0) / n_iter
 
+    # Informational: pure device compute with resident inputs (what a
+    # PCIe-attached host would see)
+    pcm_d = jax.device_put(pcms[0])
+    fin_d = jax.device_put(final)
+    val_d = jax.device_put(valid)
+    jax.block_until_ready(pcm_d)
+    comp_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        outs = enc.step(pcm_d, fin_d, val_d)
+        jax.block_until_ready(outs)
+        comp_times.append(time.perf_counter() - t0)
+    t_comp = float(np.median(comp_times))
+
     audio_seconds = B * T * 1152 / options.sample_rate
-    rt_dev = audio_seconds / t_dev
     rt_e2e = audio_seconds / t_e2e
     rt_comp = audio_seconds / t_comp
     print(
-        f"device compute (resident inputs): {rt_comp:.0f}x realtime "
-        f"({t_comp*1e3:.1f} ms/step); "
-        f"device+transfers: {rt_dev:.0f}x ({t_dev*1e3:.1f} ms); "
-        f"end-to-end pipelined: {rt_e2e:.0f}x ({t_e2e*1e3:.1f} ms); "
+        f"end-to-end pipelined: {rt_e2e:.0f}x realtime ({t_e2e*1e3:.1f} ms/step); "
+        f"device compute (resident inputs): {rt_comp:.0f}x ({t_comp*1e3:.1f} ms); "
         f"B={B} T={T}",
         file=sys.stderr,
     )

@@ -45,6 +45,10 @@ from ..io.sideinfo import GranuleInfo
 from ..options import MP3EncoderOptions, Mode, SAMPLES_PER_FRAME
 from ..tables import bitrate_index, bitrate_value
 from ..ops import dsp
+# Import eagerly: importing inside a traced function would create the
+# kernel module's jnp constants under the tracer (leaked-tracer errors on
+# the next trace).
+from ..ops import pallas_kernels
 
 
 def init_carry(batch: int, options: MP3EncoderOptions):
@@ -140,9 +144,9 @@ def make_chunk_fn(options: MP3EncoderOptions):
             jax.devices()[0].platform == "tpu" and (36 * T) % 96 == 0
         )
         if use_pallas:
-            from ..ops.pallas_kernels import polyphase_chunk_pallas
-
-            S, full_x = polyphase_chunk_pallas(carry["fb_hist"], pcm_chunk)
+            S, full_x = pallas_kernels.polyphase_chunk_pallas(
+                carry["fb_hist"], pcm_chunk
+            )
         else:
             S, full_x = dsp.polyphase_chunk(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
 
@@ -260,9 +264,9 @@ def make_chunk_fn(options: MP3EncoderOptions):
         def gm(x):  # [T, B, ch, 2, ...] -> granule-major [T, B, G, ...]
             return jnp.swapaxes(x, 2, 3).reshape((T, B, n_gran) + x.shape[4:])
 
-        # Pack all integer outputs into ONE int32 tensor: the tunnel to the
-        # device charges per-transfer latency, so 12 small arrays cost ~90x
-        # more wall clock than one packed array (measured 916 ms -> ~60 ms).
+        # Pack ALL outputs into ONE uint8 tensor: the tunnel charges ~45 ms
+        # latency per transfer regardless of size, so the int32 metadata rides
+        # as a bitcast byte tail behind each frame's main_data image.
         # Layout must match fetch_outputs below.
         meta = jnp.concatenate(
             [
@@ -281,7 +285,10 @@ def make_chunk_fn(options: MP3EncoderOptions):
             ],
             axis=-1,
         ).astype(jnp.int32)
-        outputs = {"meta": meta, "main_data": main_data}
+        meta_bytes = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(
+            T, B, -1
+        )
+        outputs = {"packed": jnp.concatenate([main_data, meta_bytes], axis=-1)}
 
         # ---------------- Carry-out state at each stream's last valid ----
         count_valid = jnp.sum(valid.astype(jnp.int32), axis=0)  # [B]
@@ -319,10 +326,12 @@ _GRANULE_FIELDS = (
 
 
 def fetch_outputs(outs, options: MP3EncoderOptions) -> dict:
-    """Transfer packed chunk outputs to host and unpack to named arrays."""
+    """Transfer the packed chunk output to host and unpack to named arrays."""
     n_gran = 2 * options.channels
-    meta = np.asarray(outs["meta"])
-    main_data = np.asarray(outs["main_data"])
+    packed = np.asarray(outs["packed"])
+    cap = main_data_cap(options)
+    main_data = packed[..., :cap]
+    meta = packed[..., cap:].copy().view(np.int32)
     T, B = meta.shape[0], meta.shape[1]
     d = {
         "bitrate_index": meta[..., 0],

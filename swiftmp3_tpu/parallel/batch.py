@@ -76,10 +76,16 @@ class BatchEncoder:
             return jax.device_put(arr)
         return jax.device_put(arr, self._xm)
 
-    def step(self, pcm: np.ndarray, final: np.ndarray, valid: np.ndarray):
+    def prepare(self, pcm: np.ndarray, final: np.ndarray, valid: np.ndarray):
+        """Start the host->device upload of a chunk's inputs (async); pass
+        the result to step() later so the transfer overlaps other work."""
+        return (self._put(pcm), self._put(final), self._put(valid))
+
+    def step(self, pcm, final, valid):
         """Run one device scan chunk. pcm: [T, B, 1152*ch] float32 or int16
-        (normalized by 1/32768 on device); final/valid: [T, B]. Returns
-        stacked outputs (device arrays, host copy already in flight)."""
+        (normalized by 1/32768 on device); final/valid: [T, B]. Accepts
+        numpy arrays or device arrays from prepare(). Returns stacked
+        outputs (device arrays, host copy already in flight)."""
         self.carry, outs = self._run(
             self.carry, self._put(pcm), self._put(final), self._put(valid)
         )
@@ -199,17 +205,27 @@ def encode_batch(
                 final[int(n_frames[b] - 1 - start), b] = True
         return pcm, final, valid
 
-    # Software pipeline: dispatch chunk k+1 to the device before draining
-    # chunk k — host byte rendering overlaps device compute.
+    # Software pipeline, 3 stages deep: while chunk k computes, chunk k+1's
+    # PCM uploads (prepare) and chunk k-1's bytes render (drain) — both
+    # transfer directions and the host overlap device compute.
+    starts = list(range(0, T_total, Tc))
+    prepared = None
+    prepared_valid = None
+    if starts:
+        pcm, final, valid = build_chunk(starts[0])
+        prepared, prepared_valid = enc.prepare(pcm, final, valid), valid
     pending = None  # (outs, valid)
-    for start in range(0, T_total, Tc):
-        pcm, final, valid = build_chunk(start)
-        outs = enc.step(pcm, final, valid)
+    for idx, start in enumerate(starts):
+        outs = enc.step(*prepared)
+        cur_valid = prepared_valid
+        if idx + 1 < len(starts):
+            pcm, final, valid = build_chunk(starts[idx + 1])
+            prepared, prepared_valid = enc.prepare(pcm, final, valid), valid
         if pending is not None:
             for b, chunk in enumerate(enc.drain(*pending)):
                 if b < n_streams:
                     out[b] += chunk
-        pending = (outs, valid)
+        pending = (outs, cur_valid)
     if pending is not None:
         for b, chunk in enumerate(enc.drain(*pending)):
             if b < n_streams:
