@@ -242,3 +242,14 @@ class TestRobustness:
             assert declared_bytes == len(data) + len(xing)
             toc = xing[off + 16 : off + 116]
             assert list(toc) == sorted(toc)
+
+    def test_session_continues_after_flush(self):
+        # The reference allows further encoding after flush (state persists)
+        pcm = sine(0.4)
+        s = make_session(mode=Mode.MONO)
+        a = s.encode(pcm)
+        a += s.flush()
+        b = s.encode(pcm)
+        b += s.flush()
+        frames = parse_frames(a + b)
+        assert s.encoded_frame_count == len(frames)

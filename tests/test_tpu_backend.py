@@ -213,3 +213,16 @@ def test_gather_free_lookups_exact():
     from swiftmp3_tpu.ops.dsp import validate_gather_free_lookups
 
     validate_gather_free_lookups()
+
+
+def test_session_continues_after_flush_matches_numpy():
+    from .util import sine
+
+    pcm = sine(0.3)
+    outs = {}
+    for be in ["numpy", "tpu"]:
+        s = session(backend=be, mode=Mode.MONO)
+        data = s.encode(pcm) + s.flush()
+        data += s.encode(pcm) + s.flush()
+        outs[be] = data
+    assert outs["numpy"] == outs["tpu"]
