@@ -114,9 +114,16 @@ class GoldenBackend:
         frame_size = base_size + pad
         main_data_size = frame_size - 4 - crc_size - side_size
 
-        mdb = 0 if is_final else min(self.stream_len, 511)
+        aligned = opts.reservoir_mode == "aligned"
         res_bits = 0 if is_final else self.available_bytes * 8
         usable = (res_bits * 9) // 10
+        if aligned:
+            # keep the unslotted stream short enough that the next frame's
+            # main_data_begin stays expressible (leftover <= prev slot)
+            usable = min(usable, max(self.prev_slot - self.stream_len, 0) * 8)
+            mdb = None  # computed after the frame's byte count is known
+        else:
+            mdb = 0 if is_final else min(self.stream_len, 511)
         total_bits = main_data_size * 8 + usable
         bits_per_granule = total_bits // (2 * channels)
 
@@ -172,6 +179,12 @@ class GoldenBackend:
                 )
 
         huffman_bytes = (total_part_bits + 7) // 8
+        if aligned:
+            # distance from the next slot start back to this frame's data:
+            # the data rides at the tail of the previous frame's slot
+            # (stuffing before it), or spills forward when borrowing.
+            mdb = max(0, min(self.prev_slot - self.stream_len, huffman_bytes))
+            mdb = min(mdb, 511)
         # Reservoir mirrors: append, then splice the previous frame's slot.
         self.stream_len += huffman_bytes
         if self.has_buffered:

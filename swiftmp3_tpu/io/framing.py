@@ -60,12 +60,22 @@ class BitReservoir:
     def append(self, data: bytes) -> None:
         self.stream += data
 
-    def fill_slot(self, slot_size: int) -> bytes:
+    def fill_slot(self, slot_size: int, tail_bytes: int = 0) -> bytes:
+        """Pop `slot_size` bytes. When the stream underruns, stuffing zeros
+        are inserted; `tail_bytes` (aligned reservoir mode) is the length of
+        the most recently appended frame's data, which is kept at the slot
+        TAIL so the next frame's main_data_begin can point at it — stuffing
+        lands between frames' data, where ISO permits ancillary bytes.
+        tail_bytes=0 reproduces the reference's end-padding (compat mode)."""
         if len(self.stream) >= slot_size:
             slot = bytes(self.stream[:slot_size])
             del self.stream[:slot_size]
             return slot
-        slot = bytes(self.stream) + bytes(slot_size - len(self.stream))
+        pad = slot_size - len(self.stream)
+        cut = len(self.stream) - min(tail_bytes, len(self.stream))
+        slot = (
+            bytes(self.stream[:cut]) + bytes(pad) + bytes(self.stream[cut:])
+        )
         self.stream.clear()
         return slot
 
@@ -126,7 +136,8 @@ class FrameAssembler:
         emitted = b""
         if self._buffered is not None:
             prev_head, prev_slot = self._buffered
-            slot = self.reservoir.fill_slot(prev_slot)
+            tail = len(main_data) if self.options.reservoir_mode == "aligned" else 0
+            slot = self.reservoir.fill_slot(prev_slot, tail_bytes=tail)
             emitted = prev_head + slot
             self.frame_count += 1
             self.total_bytes += len(emitted)

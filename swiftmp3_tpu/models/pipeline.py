@@ -108,6 +108,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
     cbr_index = bitrate_index(base_kbps, sr)
     cbr_value = bitrate_value(cbr_index)
     cap_bytes = main_data_cap(options)
+    aligned = options.reservoir_mode == "aligned"
 
     def run(carry, pcm, final, valid):
         if pcm.dtype == jnp.int16:
@@ -201,9 +202,14 @@ def make_chunk_fn(options: MP3EncoderOptions):
             pad_rem = pad_acc - padding * sr
             slot = base_size + padding - 4 - crc_size - side_size
 
-            mdb = jnp.where(fin, 0, jnp.minimum(c["stream_len"], 511))
             res_bits = jnp.where(fin, 0, c["avail"] * 8)
             usable = (res_bits * 9) // 10
+            if aligned:
+                # keep the unslotted stream <= prev slot so main_data_begin
+                # stays expressible (see options.reservoir_mode)
+                usable = jnp.minimum(
+                    usable, jnp.maximum(c["prev_slot"] - c["stream_len"], 0) * 8
+                )
             bits_per_granule = (slot * 8 + usable) // n_gran
 
             k_sel, has_fit, bits_sel = dsp.rate_loop_select(
@@ -212,6 +218,14 @@ def make_chunk_fn(options: MP3EncoderOptions):
 
             total_used = jnp.sum(bits_sel, axis=-1)
             huffman_bytes = (total_used + 7) // 8
+            if aligned:
+                mdb = jnp.clip(
+                    jnp.minimum(c["prev_slot"] - c["stream_len"], huffman_bytes),
+                    0,
+                    511,
+                )
+            else:
+                mdb = jnp.where(fin, 0, jnp.minimum(c["stream_len"], 511))
             stream_len = c["stream_len"] + huffman_bytes
             stream_len = jnp.where(
                 c["has_buffered"],

@@ -77,6 +77,7 @@ struct StreamState {
     int original_bit;
     int mode_bits;
     int mode_ext;
+    int aligned_mode;  // 1: keep last frame's data at the slot tail
     // reservoir + delay
     std::vector<uint8_t> reservoir;
     std::vector<uint8_t> buffered_head;
@@ -127,7 +128,7 @@ extern "C" {
 
 void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
                      int copyright_bit, int original_bit, int mode_bits,
-                     int mode_ext) {
+                     int mode_ext, int aligned_mode) {
     auto* s = new StreamState();
     s->channels = channels;
     s->sample_rate_index = sample_rate_index;
@@ -136,7 +137,27 @@ void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
     s->original_bit = original_bit;
     s->mode_bits = mode_bits;
     s->mode_ext = mode_ext;
+    s->aligned_mode = aligned_mode;
     return s;
+}
+
+// Copy min(stream, slot) bytes into `dst`, zero-padding a deficit. In
+// aligned mode the last `tail` stream bytes (the newest frame's data) stay
+// at the slot TAIL with stuffing zeros before them.
+static void fill_slot(StreamState* s, uint8_t* dst, size_t slot_n, size_t tail) {
+    size_t take = s->reservoir.size() < slot_n ? s->reservoir.size() : slot_n;
+    size_t pad = slot_n - take;
+    if (s->aligned_mode && pad > 0 && tail > 0) {
+        size_t t = tail < take ? tail : take;
+        size_t cut = take - t;
+        std::memcpy(dst, s->reservoir.data(), cut);
+        std::memset(dst + cut, 0, pad);
+        std::memcpy(dst + cut + pad, s->reservoir.data() + cut, t);
+    } else {
+        std::memcpy(dst, s->reservoir.data(), take);
+        std::memset(dst + take, 0, pad);
+    }
+    s->reservoir.erase(s->reservoir.begin(), s->reservoir.begin() + take);
 }
 
 void mp3_stream_free(void* p) { delete static_cast<StreamState*>(p); }
@@ -230,16 +251,13 @@ int64_t mp3_render_frames(void* p, int F,
         // --- emit previous buffered frame with its reservoir slot
         if (s->has_buffered) {
             size_t slot_n = static_cast<size_t>(s->buffered_slot);
-            size_t take = s->reservoir.size() < slot_n ? s->reservoir.size() : slot_n;
             int64_t frame_size =
                 static_cast<int64_t>(s->buffered_head.size()) + s->buffered_slot;
             if (written + frame_size > out_capacity) return -1;
             std::memcpy(out + written, s->buffered_head.data(), s->buffered_head.size());
             written += s->buffered_head.size();
-            std::memcpy(out + written, s->reservoir.data(), take);
-            std::memset(out + written + take, 0, slot_n - take);
+            fill_slot(s, out + written, slot_n, md.bytes.size());
             written += slot_n;
-            s->reservoir.erase(s->reservoir.begin(), s->reservoir.begin() + take);
             s->frame_count += 1;
             s->total_bytes += static_cast<uint32_t>(frame_size);
             frame_sizes_out[n_emitted++] = static_cast<int32_t>(frame_size);
@@ -333,16 +351,13 @@ int64_t mp3_render_frames_packed(void* p, int F,
 
         if (s->has_buffered) {
             size_t slot_n = static_cast<size_t>(s->buffered_slot);
-            size_t take = s->reservoir.size() < slot_n ? s->reservoir.size() : slot_n;
             int64_t frame_size =
                 static_cast<int64_t>(s->buffered_head.size()) + s->buffered_slot;
             if (written + frame_size > out_capacity) return -1;
             std::memcpy(out + written, s->buffered_head.data(), s->buffered_head.size());
             written += s->buffered_head.size();
-            std::memcpy(out + written, s->reservoir.data(), take);
-            std::memset(out + written + take, 0, slot_n - take);
+            fill_slot(s, out + written, slot_n, static_cast<size_t>(hb[f]));
             written += slot_n;
-            s->reservoir.erase(s->reservoir.begin(), s->reservoir.begin() + take);
             s->frame_count += 1;
             s->total_bytes += static_cast<uint32_t>(frame_size);
             frame_sizes_out[n_emitted++] = static_cast<int32_t>(frame_size);
@@ -363,13 +378,10 @@ int64_t mp3_flush_buffered(void* p, uint8_t* out, int64_t out_capacity,
     *frame_size_out = 0;
     if (!s->has_buffered) return 0;
     size_t slot_n = static_cast<size_t>(s->buffered_slot);
-    size_t take = s->reservoir.size() < slot_n ? s->reservoir.size() : slot_n;
     int64_t frame_size = static_cast<int64_t>(s->buffered_head.size()) + s->buffered_slot;
     if (frame_size > out_capacity) return -1;
     std::memcpy(out, s->buffered_head.data(), s->buffered_head.size());
-    std::memcpy(out + s->buffered_head.size(), s->reservoir.data(), take);
-    std::memset(out + s->buffered_head.size() + take, 0, slot_n - take);
-    s->reservoir.erase(s->reservoir.begin(), s->reservoir.begin() + take);
+    fill_slot(s, out + s->buffered_head.size(), slot_n, 0);
     s->frame_count += 1;
     s->total_bytes += static_cast<uint32_t>(frame_size);
     s->has_buffered = false;

@@ -57,12 +57,28 @@ class MP3EncoderOptions:
     original: bool = True
     copyright: bool = False
     id3_tag: Optional[ID3Tag] = None
+    # Bit-reservoir placement:
+    #   "compat"  — byte-for-byte reference behavior. QUIRK: the reference's
+    #     one-frame delay zero-pads underfull slots at the END and snapshots
+    #     main_data_begin BEFORE appending the frame's data, so ISO decoders
+    #     read each frame's side info against the NEXT frame's Huffman data
+    #     whenever slots underfill (verified against the decoder oracle:
+    #     sine SNR collapses from ~20 dB to ~4 dB).
+    #   "aligned" — same budgets and bit counts, but slots pad at the FRONT
+    #     and main_data_begin is snapshotted after append, which places
+    #     main_data exactly where ISO 11172-3 decoders look for it.
+    reservoir_mode: str = "compat"
 
     def __post_init__(self):
         # Quality is clamped, not rejected (MP3Encoder.swift:110).
         object.__setattr__(self, "quality", max(0, min(int(self.quality), 9)))
         if isinstance(self.mode, str) and not isinstance(self.mode, Mode):
             object.__setattr__(self, "mode", Mode(self.mode))
+        if self.reservoir_mode not in ("compat", "aligned"):
+            raise ValueError(
+                f"reservoir_mode must be 'compat' or 'aligned', got "
+                f"{self.reservoir_mode!r}"
+            )
 
     @property
     def channels(self) -> int:

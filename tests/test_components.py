@@ -131,3 +131,22 @@ def test_session_accepts_int16():
     s1 = MP3Encoder(MP3EncoderOptions(mode=Mode.MONO), backend="numpy").new_session()
     s2 = MP3Encoder(MP3EncoderOptions(mode=Mode.MONO), backend="numpy").new_session()
     assert (s1.encode(i16) + s1.flush()) == (s2.encode(f32) + s2.flush())
+
+
+def test_quality_report_sine():
+    from swiftmp3_tpu.utils.quality import encode_decode_quality
+
+    sr = 44100
+    t = np.arange(sr) / sr
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    # aligned reservoir mode: ISO decoders read granule-exact data
+    rep = encode_decode_quality(
+        MP3EncoderOptions(mode=Mode.MONO, reservoir_mode="aligned"), pcm
+    )
+    assert rep.snr_db > 15.0, rep
+    assert 0 < rep.delay_samples < 4096
+    assert len(rep.band_snr_db) == 6
+    # compat mode reproduces the reference's data displacement (documented);
+    # its SNR is bounded by side-info/data mismatch, not coding quality
+    rep_c = encode_decode_quality(MP3EncoderOptions(mode=Mode.MONO), pcm)
+    assert rep_c.snr_db < rep.snr_db
