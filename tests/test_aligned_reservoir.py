@@ -129,3 +129,39 @@ def test_aligned_vbr_and_stereo_decode():
     dec = decode_mp3(data)
     assert dec.frame_count == s.encoded_frame_count
     assert np.abs(dec.pcm).max() > 0.01
+
+
+def test_aligned_exact_under_heavy_borrowing():
+    """Low-bitrate noise forces reservoir borrowing and split slots; decoded
+    values must still match the encoder's quantized values exactly."""
+    from swiftmp3_tpu.encoder import GoldenBackend
+    from swiftmp3_tpu.io.framing import FrameAssembler
+
+    rng = np.random.default_rng(42)
+    n_frames = 40
+    pcm = (rng.standard_normal(1152 * n_frames) * 0.7).astype(np.float32)
+    pcm[1152 * 10 : 1152 * 20] *= 0.01  # quiet stretch builds the reservoir
+
+    opts = MP3EncoderOptions(
+        mode=Mode.MONO, bitrate_kbps=64, reservoir_mode="aligned"
+    )
+    backend = GoldenBackend(opts)
+    assembler = FrameAssembler(opts)
+    frames = pcm.reshape(n_frames, 1152)
+    results = backend.encode_frames(frames, np.zeros(n_frames, dtype=bool))
+    data = bytearray()
+    expected = []
+    for fr in results:
+        data += assembler.push(fr)
+        for g in range(2):
+            expected.append((fr.granules[g][0].global_gain, fr.quantized[g]))
+    data += assembler.flush_buffered()
+
+    frames_parsed = parse_frames(bytes(data))
+    assert any(f.main_data_begin > 0 for f in frames_parsed), "no borrowing?"
+
+    decoded = _decoded_granules(bytes(data))
+    assert len(decoded) == len(expected)
+    for i, ((ge, qe), (gd, qd)) in enumerate(zip(expected, decoded)):
+        assert gd == ge, f"granule {i} gain"
+        assert np.array_equal(qd, qe), f"granule {i} values differ"
