@@ -75,3 +75,25 @@ def test_fuzz_backend_equivalence(trial):
     dec = decode_mp3(outs["tpu"])
     assert dec.frame_count == len(fb)
     assert dec.sample_rate == sr and dec.channels == ch
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_fuzz_aligned_decodes(trial):
+    """Aligned mode: random configs must produce streams the oracle decodes
+    with matching frame counts (granule-exact decode is covered in
+    test_aligned_reservoir)."""
+    rng = np.random.default_rng(2000 + trial)
+    mode = [Mode.MONO, Mode.STEREO][int(rng.integers(0, 2))]
+    sr = [44100, 48000][int(rng.integers(0, 2))]
+    kbps = [64, 128][int(rng.integers(0, 2))]
+    ch = mode.channels
+    n = (int(rng.integers(3, 7)) * 1152 + int(rng.integers(0, 1152))) * ch
+    pcm = _random_signal(rng, n, int(rng.integers(1, 4)))
+    opts = MP3EncoderOptions(
+        mode=mode, sample_rate=sr, bitrate_kbps=kbps, reservoir_mode="aligned"
+    )
+    s = MP3Encoder(opts, backend="tpu").new_session()
+    data = s.encode(pcm) + s.flush()
+    frames = parse_frames(data)
+    dec = decode_mp3(data)
+    assert dec.frame_count == len(frames) == s.encoded_frame_count
