@@ -123,21 +123,25 @@ def make_chunk_fn(options: MP3EncoderOptions):
             )
         T, B = pcm.shape[0], pcm.shape[1]
 
-        # ---------------- Phase 1: parallel DSP ----------------
+        # ---------------- Phase 1: parallel DSP (batch-major) ----------------
+        # One big transpose up front ([T,B,n] -> [B, T*n]); every [.., 576]
+        # tensor afterwards stays in [B, ch, 2T, ...] layout — only scalar-ish
+        # per-granule tensors are reordered for the time scan. (The naive
+        # time-major formulation spent ~2/3 of the step relayouting 37 MB
+        # tensors.)
+        pcm_bt = jnp.moveaxis(pcm, 0, 1).reshape(B, T * pcm.shape[-1])
         if ch == 1:
-            chans = pcm[:, :, None, :]  # [T, B, 1, 1152]
+            pcm_chunk = pcm_bt[:, None, :]  # [B, 1, T*1152]
         else:
-            left = pcm[:, :, 0::2]
-            right = pcm[:, :, 1::2]
+            left = pcm_bt[:, 0::2].reshape(B, T, 1152)
+            right = pcm_bt[:, 1::2].reshape(B, T, 1152)
             if mode is Mode.JOINT_STEREO:
                 _use_ms, c0, c1 = dsp.stereo_decide(left, right)
             else:
                 c0, c1 = left, right
-            chans = jnp.stack([c0, c1], axis=2)  # [T, B, 2, 1152]
+            pcm_chunk = jnp.stack([c0, c1], axis=1).reshape(B, ch, T * 1152)
 
-        granule_pcm = chans.reshape(T, B, ch, 2, 576)
-        # [B, ch, T*1152] time-contiguous per channel
-        pcm_chunk = jnp.moveaxis(chans, 0, 2).reshape(B, ch, T * 1152 * 1)
+        granule_pcm = pcm_chunk.reshape(B, ch, T, 2, 576)  # free view
 
         # Filterbank: Pallas kernel on real TPUs (slightly faster and keeps
         # window tiles in VMEM); XLA fusion elsewhere and for odd tile sizes.
@@ -151,22 +155,21 @@ def make_chunk_fn(options: MP3EncoderOptions):
         else:
             S, full_x = dsp.polyphase_chunk(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
 
-        block_t, sb_gain_t = dsp.transient_frame(granule_pcm)  # [T,B,ch,2],[T,B,ch,2,3]
-        # granule-sequence order for the MDCT: [B, ch, 2T]
-        block_seq = jnp.moveaxis(block_t, 0, 2).reshape(B, ch, 2 * T)
-        spectra_seq, cur = dsp.mdct_chunk(S, carry["overlap"], block_seq)
-        # [B, ch, 2T, 576] -> granule-major [T, B, G, 576] with G = gr*ch + c
-        spectra = jnp.moveaxis(
-            spectra_seq.reshape(B, ch, T, 2, 576), (2, 3, 1), (0, 2, 3)
-        ).reshape(T, B, n_gran, 576)
+        block_b, sb_gain_b = dsp.transient_frame(granule_pcm)  # [B,ch,T,2],[B,ch,T,2,3]
+        block_seq = block_b.reshape(B, ch, 2 * T)  # granule-sequence order
+        spectra, cur = dsp.mdct_chunk(S, carry["overlap"], block_seq)
+        spectra = spectra.reshape(B, ch, T, 2, 576)  # [B,ch,T,gr,576]
 
-        g0 = dsp.initial_gain(spectra)  # [T, B, G]
+        g0 = dsp.initial_gain(spectra)  # [B, ch, T, gr]
         pre = dsp.rate_loop_precompute(spectra, g0)
 
+        def tm(x):  # [B, ch, T, gr, ...] -> time-major granule-major [T, B, G, ...]
+            return jnp.transpose(
+                x, (2, 0, 3, 1) + tuple(range(4, x.ndim))
+            ).reshape((T, B, n_gran) + x.shape[4:])
+
         frame_e = dsp.mean_square(pcm) if is_vbr else jnp.zeros((T, B), jnp.float32)
-        granule_e = jnp.swapaxes(dsp.mean_square(granule_pcm), 2, 3).reshape(
-            T, B, n_gran
-        )
+        granule_e = tm(dsp.mean_square(granule_pcm))
 
         # ---------------- Phase 2: integer scan over T ----------------
         int_carry = {
@@ -257,26 +260,43 @@ def make_chunk_fn(options: MP3EncoderOptions):
         int_carry, ys = jax.lax.scan(
             step,
             int_carry,
-            (pre["bits"], pre["evaluated"], pre["k_budget"], frame_e, granule_e, final, valid),
+            (
+                tm(pre["bits"]),
+                tm(pre["evaluated"]),
+                tm(pre["k_budget"]),
+                frame_e,
+                granule_e,
+                final,
+                valid,
+            ),
         )
         br_idx, padding, mdb, slot, k_sel, has_fit, bits_sel = ys
 
-        # ---------------- Phase 3: parallel finalize ----------------
-        gain, quantized, big_values = dsp.rate_loop_finalize(pre, k_sel, has_fit)
-        region0, region1 = dsp.region_counts(big_values, sr)
-        pref = dsp.preflag(spectra)
+        def bm(x):  # inverse of tm: [T, B, G, ...] -> [B, ch, T, gr, ...]
+            y = x.reshape((T, B, 2, ch) + x.shape[3:])
+            return jnp.transpose(y, (1, 3, 0, 2) + tuple(range(4, y.ndim)))
+
+        # ---------------- Phase 3: parallel finalize (batch-major) --------
+        gain_b, quantized, big_values_b = dsp.rate_loop_finalize(
+            pre, bm(k_sel), bm(has_fit)
+        )
+        region0_b, region1_b = dsp.region_counts(big_values_b, sr)
+        pref_b = dsp.preflag(spectra)
 
         # Device-side Huffman packing: each frame's main_data byte image.
-        chunks, nb = dsp.pair_chunks_device(quantized, big_values)
-        main_data, _total_bits = dsp.pack_main_data(
-            chunks.reshape(T * B, n_gran * 288),
-            nb.reshape(T * B, n_gran * 288),
-            cap_bytes,
-        )
-        main_data = main_data.reshape(T, B, cap_bytes)
+        # Frames are (b, t) pairs; within a frame the write order is
+        # granule-major (gr, then ch).
+        chunks, nb = dsp.pair_chunks_device(quantized, big_values_b)
 
-        def gm(x):  # [T, B, ch, 2, ...] -> granule-major [T, B, G, ...]
-            return jnp.swapaxes(x, 2, 3).reshape((T, B, n_gran) + x.shape[4:])
+        def frame_major(x):  # [B, ch, T, gr, 288] -> [B*T, n_gran*288]
+            return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B * T, n_gran * 288)
+
+        main_data, _total_bits = dsp.pack_main_data(
+            frame_major(chunks), frame_major(nb), cap_bytes
+        )
+        main_data = jnp.swapaxes(
+            main_data.reshape(B, T, cap_bytes), 0, 1
+        )  # [T, B, cap]
 
         # Pack ALL outputs into ONE uint8 tensor: the tunnel charges ~45 ms
         # latency per transfer regardless of size, so the int32 metadata rides
@@ -289,13 +309,13 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 mdb[..., None],
                 slot[..., None],
                 bits_sel,
-                big_values,
-                gain,
-                gm(block_t),
-                pref,
-                region0,
-                region1,
-                gm(sb_gain_t).reshape(T, B, 3 * n_gran),
+                tm(big_values_b),
+                tm(gain_b),
+                tm(block_b),
+                tm(pref_b),
+                tm(region0_b),
+                tm(region1_b),
+                tm(sb_gain_b).reshape(T, B, 3 * n_gran),
             ],
             axis=-1,
         ).astype(jnp.int32)
