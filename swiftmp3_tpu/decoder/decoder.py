@@ -368,10 +368,19 @@ class DecodedStream:
     frame_count: int
 
 
-def _iter_frames(data: bytes):
+def _iter_frames(data: bytes, strict: bool = True):
+    """Walk frames; with strict=False, stop at the first malformed or
+    truncated frame instead of raising (real-world decoder behavior)."""
     i = 0
     while i + 4 <= len(data):
-        fi = parse_frame(data, i)
+        try:
+            fi = parse_frame(data, i)
+        except (ValueError, IndexError, ZeroDivisionError):
+            if strict:
+                raise
+            return
+        if not strict and i + fi.size > len(data):
+            return  # truncated final frame
         yield fi
         i += fi.size
 
@@ -379,14 +388,15 @@ def _iter_frames(data: bytes):
 def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
     """Decode an MP3 byte stream to PCM.
 
-    Skips an ID3v2 prefix and (optionally) a leading Xing/Info metadata frame,
-    like real-world decoders do.
+    Skips an ID3v2 prefix and (optionally) a leading Xing/Info metadata
+    frame, and stops at a truncated/malformed tail — like real-world
+    decoders do.
     """
-    if data[:3] == b"ID3":
+    if data[:3] == b"ID3" and len(data) >= 10:
         size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
         data = data[10 + size :]
 
-    frames = list(_iter_frames(data))
+    frames = list(_iter_frames(data, strict=False))
     if skip_metadata_frames and frames:
         f0 = frames[0]
         body = data[f0.offset + 4 : f0.offset + f0.size]

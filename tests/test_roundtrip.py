@@ -172,3 +172,17 @@ def test_transient_short_blocks_decode():
         for g in gr
     ]
     assert any(ws), "expected at least one window-switching granule"
+
+
+def test_decoder_tolerates_truncation_and_garbage():
+    pcm = sine(0.3)
+    data, n = encode(pcm, mode=Mode.MONO)
+    # truncate mid-frame: decoder stops at the cut, no exception
+    cut = decode_mp3(data[: len(data) - 200])
+    assert 0 < cut.frame_count < n
+    # garbage tail after valid frames
+    tail = decode_mp3(data + b"\x12\x34garbage")
+    assert tail.frame_count >= cut.frame_count
+    # pure garbage: empty result, no exception
+    empty = decode_mp3(b"\x00" * 64)
+    assert empty.frame_count == 0
