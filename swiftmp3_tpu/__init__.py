@@ -13,16 +13,32 @@ Public API parity with the reference:
 plus TPU-first batch APIs in swiftmp3_tpu.parallel.
 """
 
-from .options import ID3Tag, MP3EncoderOptions, Mode
-from .encoder import EncoderSession, MP3Encoder
+import importlib
 
 __version__ = "0.1.0"
 
-__all__ = [
-    "EncoderSession",
-    "ID3Tag",
-    "MP3Encoder",
-    "MP3EncoderOptions",
-    "Mode",
-    "__version__",
-]
+# Lazy exports (PEP 562): importing the package must not initialize the XLA
+# backend (encoder/pipeline create jnp constants at import), or
+# jax.distributed.initialize for multi-host runs could never be called after
+# `import swiftmp3_tpu` (see parallel.mesh.initialize_multihost).
+_EXPORTS = {
+    "ID3Tag": ".options",
+    "MP3EncoderOptions": ".options",
+    "Mode": ".options",
+    "EncoderSession": ".encoder",
+    "MP3Encoder": ".encoder",
+}
+
+__all__ = [*sorted(_EXPORTS), "__version__"]
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        value = getattr(importlib.import_module(_EXPORTS[name], __name__), name)
+        globals()[name] = value
+        return value
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))

@@ -9,14 +9,34 @@ cross-chip collectives exist in the numeric path; multi-host = more batch
 shards over DCN.
 """
 
-from .mesh import batch_sharding, carry_sharding, make_mesh
-from .batch import BatchEncoder, encode_batch, encode_corpus
+import importlib
 
-__all__ = [
-    "BatchEncoder",
-    "batch_sharding",
-    "carry_sharding",
-    "encode_batch",
-    "encode_corpus",
-    "make_mesh",
-]
+# Lazy exports: .batch pulls the whole device pipeline (jnp constants →
+# backend init); multi-host users must be able to import
+# initialize_multihost from here BEFORE any backend-touching import.
+_EXPORTS = {
+    "batch_sharding": ".mesh",
+    "carry_sharding": ".mesh",
+    "initialize_multihost": ".mesh",
+    "make_mesh": ".mesh",
+    "process_batch_bounds": ".mesh",
+    "put_global": ".mesh",
+    "time_major_sharding": ".mesh",
+    "BatchEncoder": ".batch",
+    "encode_batch": ".batch",
+    "encode_corpus": ".batch",
+}
+
+__all__ = sorted(_EXPORTS)
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        value = getattr(importlib.import_module(_EXPORTS[name], __name__), name)
+        globals()[name] = value
+        return value
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))
