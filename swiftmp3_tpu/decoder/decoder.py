@@ -12,12 +12,18 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..tables import (
+# The oracle's constants are deliberately INDEPENDENT of the encoder's
+# table modules (see decoder/tables.py): a transcription error in either
+# copy fails the cross-check tests loudly instead of passing round-trips
+# silently (the reference gets this independence for free from AVFoundation,
+# SwiftMP3Tests.swift:653-660).
+from .tables import (
     ALIASING_CA,
     ALIASING_CS,
-    HUFFMAN_TABLES,
     ISO_WINDOW,
+    SUPPORTED_TABLE_IDS,
     band_table,
+    huffman_arrays,
 )
 
 BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
@@ -56,22 +62,27 @@ class BitReader:
 
 
 def _decode_lut(table_id: int) -> dict:
-    t = HUFFMAN_TABLES[table_id]
+    lengths, codes = huffman_arrays(table_id)
     lut = {}
-    n = t.max_value + 1
+    n = lengths.shape[0]
     for x in range(n):
         for y in range(n):
-            lut[(int(t.lengths[x, y]), int(t.codes[x, y]))] = (x, y)
+            lut[(int(lengths[x, y]), int(codes[x, y]))] = (x, y)
     return lut
 
 
-_DECODE_LUTS = {tid: _decode_lut(tid) for tid in HUFFMAN_TABLES}
+_DECODE_LUTS = {tid: _decode_lut(tid) for tid in SUPPORTED_TABLE_IDS}
 _MAX_CODE_LEN = 19
 
 
 def _huffman_decode_pair(r: BitReader, table_id: int) -> tuple[int, int]:
     if table_id == 0:
         return 0, 0
+    if table_id not in _DECODE_LUTS:
+        # 10/13 are corrupt in the reference (non-prefix-free; see
+        # decoder/tables.py) and never emitted by this framework; 4/14 do
+        # not exist in ISO B.7.
+        raise ValueError(f"unsupported Huffman table_select {table_id}")
     lut = _DECODE_LUTS[table_id]
     code, length = 0, 0
     while length <= _MAX_CODE_LEN:

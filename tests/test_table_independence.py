@@ -1,0 +1,156 @@
+"""Decoder-oracle independence: spec cross-checks between the decoder's own
+constants (swiftmp3_tpu/decoder/tables.py) and the encoder's table modules.
+
+The decoder imports nothing from the encoder's tables; these tests are the
+tripwire that makes a transcription slip in EITHER copy fail loudly instead
+of passing round-trips silently (VERDICT round 1, 'de-circularize the
+decoder oracle').
+"""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from swiftmp3_tpu.decoder import tables as dec_tables
+from swiftmp3_tpu.tables import (
+    ALIASING_CA as ENC_CA,
+    ALIASING_CS as ENC_CS,
+    HUFFMAN_TABLES,
+    ISO_WINDOW as ENC_WINDOW,
+    band_table as enc_band_table,
+)
+
+
+def _structural(lengths: np.ndarray, codes: np.ndarray):
+    """(kraft_complete, prefix_free) for a code table."""
+    n = lengths.shape[0]
+    entries = [
+        (int(lengths[x, y]), int(codes[x, y])) for x in range(n) for y in range(n)
+    ]
+    kraft = sum(Fraction(1, 2 ** l) for l, _ in entries)
+    seen = set()
+    prefix_free = True
+    for l, c in entries:
+        if (l, c) in seen:
+            prefix_free = False
+        seen.add((l, c))
+        for l2, c2 in entries:
+            if l2 < l and (c >> (l - l2)) == c2:
+                prefix_free = False
+    return kraft == 1, prefix_free
+
+
+# --- Huffman ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("tid", dec_tables.SUPPORTED_TABLE_IDS)
+def test_decoder_tables_match_encoder(tid):
+    """Two independent transcriptions of ISO B.7 agree entry-for-entry."""
+    dl, dc = dec_tables.huffman_arrays(tid)
+    et = HUFFMAN_TABLES[tid]
+    np.testing.assert_array_equal(dl, et.lengths)
+    np.testing.assert_array_equal(dc, et.codes)
+
+
+@pytest.mark.parametrize("tid", dec_tables.SUPPORTED_TABLE_IDS)
+def test_decoder_tables_structurally_valid(tid):
+    """Every supported table is a complete prefix code. With Kraft sum
+    exactly 1, ANY single-entry corruption is detectable: a changed length
+    breaks completeness; a changed codeword must collide with another code
+    or an extension of one (the code space has no slack)."""
+    dl, dc = dec_tables.huffman_arrays(tid)
+    complete, prefix_free = _structural(dl, dc)
+    assert complete and prefix_free
+
+
+@pytest.mark.parametrize("tid", (10, 13))
+def test_reference_tables_10_13_are_corrupt(tid):
+    """Pin the DISCOVERED REFERENCE BUG: the reference's Huffman tables 10
+    and 13 (MP3Encoder.swift:2288-2504, dead code there) are not valid
+    prefix codes — table 13 even has duplicate codewords. The encoder keeps
+    byte-parity copies (component #34); the decoder refuses them. If this
+    test ever fails, the copies were 'fixed' — update decoder/tables.py's
+    documentation and consider supporting them."""
+    et = HUFFMAN_TABLES[tid]
+    complete, prefix_free = _structural(et.lengths, et.codes)
+    assert complete  # lengths are fine...
+    assert not prefix_free  # ...codeword bits are corrupt
+
+
+def test_table15_spot_literals():
+    """Independent spot anchors for the generated _spec_data copy of table
+    15 (first and last rows of ISO B.7's t15, as published in LAME
+    tables.c)."""
+    dl, dc = dec_tables.huffman_arrays(15)
+    assert dl[0].tolist() == [3, 4, 5, 7, 7, 8, 9, 9, 9, 10, 10, 11, 11, 11, 12, 13]
+    assert dc[0].tolist() == [7, 12, 18, 53, 47, 76, 124, 108, 89, 123, 108, 119, 107, 81, 122, 63]
+    assert dl[15].tolist() == [12, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13, 13, 13]
+    assert dc[15].tolist() == [71, 37, 34, 30, 28, 20, 17, 26, 21, 16, 10, 6, 8, 6, 2, 0]
+
+
+def test_decoder_does_not_import_encoder_tables():
+    import swiftmp3_tpu.decoder.decoder as dd
+    import swiftmp3_tpu.decoder.tables as dt
+
+    for mod in (dd, dt):
+        src = open(mod.__file__).read()
+        assert "from ..tables import" not in src
+        assert "from swiftmp3_tpu.tables import" not in src
+
+
+# --- Bands, aliasing ------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sr,last_boundary", ((44100, 418), (48000, 384), (32000, 550))
+)
+def test_band_tables_match_and_end_at_spec_boundary(sr, last_boundary):
+    """ISO B.8's 21 long bands end BELOW 576 (the top of the spectrum has no
+    scalefactor band); the final boundaries are spec constants."""
+    d = dec_tables.band_table(sr)
+    np.testing.assert_array_equal(d, enc_band_table(sr))
+    assert len(d) == 21
+    assert int(d.sum()) == last_boundary
+
+
+def test_aliasing_derivation_matches_literals():
+    """Decoder cs/ca derive from the 8 Table B.9 ci values; the encoder
+    carries the reference's float literals. They must agree to float32."""
+    np.testing.assert_allclose(dec_tables.ALIASING_CS, ENC_CS, rtol=0, atol=6e-8)
+    np.testing.assert_allclose(dec_tables.ALIASING_CA, ENC_CA, rtol=0, atol=6e-8)
+
+
+# --- Window: perfect-reconstruction spec property -------------------------------
+
+
+def test_window_perfect_reconstruction():
+    """Analysis (encoder golden filterbank) -> synthesis (decoder filterbank)
+    reconstructs an arbitrary signal to ~1e-5 relative error after the
+    481-sample filterbank delay. The PR property constrains all 512 window
+    coefficients jointly — a transcription error in either copy fails this.
+    """
+    from swiftmp3_tpu.decoder.decoder import SynthesisFilterbank
+    from swiftmp3_tpu.ops.reference import polyphase_analyze
+
+    rng = np.random.default_rng(11)
+    n_blocks = 60
+    x = (rng.standard_normal(32 * n_blocks) * 0.5).astype(np.float32)
+
+    buf = np.zeros(512, dtype=np.float32)
+    synth = SynthesisFilterbank()
+    blocks = []
+    for t in range(n_blocks):
+        sub, buf = polyphase_analyze(x[32 * t : 32 * t + 32], buf)
+        blocks.append(synth.run(sub))
+    y = np.concatenate(blocks)
+
+    delay = 481  # (512 - 32) analysis + 1 synthesis/alignment sample
+    got = y[delay : 32 * n_blocks]
+    want = x[: 32 * n_blocks - delay]
+    err = np.sqrt(np.mean((got - want) ** 2)) / np.sqrt(np.mean(want ** 2))
+    assert err < 1e-4, f"filterbank round-trip rms error {err:.2e}"
+
+
+def test_window_copy_matches_encoder():
+    np.testing.assert_array_equal(dec_tables.ISO_WINDOW, ENC_WINDOW)
