@@ -128,6 +128,35 @@ class FrameInfo:
     main_data: bytes
 
 
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial 0x8005, init 0xFFFF (bitwise; independent of the
+    encoder's table-driven implementation)."""
+    crc = 0xFFFF
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def verify_frame_crcs(data: bytes) -> list:
+    """Per protected frame: True if the stored CRC matches the ISO 2.4.3.1
+    coverage (header bytes 3-4 + side info). Reference-quirk streams
+    (header-only CRC) verify as False — that is the point: real decoders
+    reject them. Unprotected frames are skipped (not in the list)."""
+    results = []
+    i = 0
+    while i + 4 <= len(data):
+        fi = parse_frame(data, i)
+        if fi.crc:
+            stored = (data[i + 4] << 8) | data[i + 5]
+            side_len = 17 if fi.channels == 1 else 32
+            covered = data[i + 2 : i + 4] + data[i + 6 : i + 6 + side_len]
+            results.append(stored == _crc16(bytes(covered)))
+        i += fi.size
+    return results
+
+
 def parse_frame(data: bytes, offset: int) -> FrameInfo:
     b = data[offset : offset + 4]
     if not (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):

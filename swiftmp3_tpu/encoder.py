@@ -150,9 +150,11 @@ class GoldenBackend:
                 # Masking thresholds are computed-but-unused in the reference
                 # (MP3Encoder.swift:961 vs :734-744); skipped here — no effect
                 # on any output. See ops.reference.masking_thresholds.
-                gain0 = ref.compute_global_gain(spectrum)
+                gain0 = ref.compute_global_gain(spectrum, iso=opts.iso_quantization)
                 self.vbr.update(gain0, ref.frame_energy(gsamples))
-                gain, q, bits = ref.quantize_to_fit_budget(spectrum, gain0, bits_per_granule)
+                gain, q, bits = ref.quantize_to_fit_budget(
+                    spectrum, gain0, bits_per_granule, iso=opts.iso_quantization
+                )
                 preflag = ref.pre_emphasis(spectrum, np.ones(576, dtype=np.float32))
                 bv = ref.big_values_of(q)
                 r0, r1 = ref.region_counts(bv, sr)

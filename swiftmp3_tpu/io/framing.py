@@ -129,7 +129,11 @@ class FrameAssembler:
         header = self._build_header(fr.bitrate_index, fr.padding)
         head = bytearray(header)
         if self.options.crc_protected:
-            crc = crc16_mpeg(bytes(head))  # header-only CRC (reference quirk)
+            if self.options.iso_crc:
+                # ISO 2.4.3.1: CRC over header bytes 3-4 + all side info bits
+                crc = crc16_mpeg(bytes(head[2:4]) + side_info)
+            else:
+                crc = crc16_mpeg(bytes(head))  # header-only (reference quirk)
             head += bytes([(crc >> 8) & 0xFF, crc & 0xFF])
         head += side_info
 

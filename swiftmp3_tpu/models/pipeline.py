@@ -34,6 +34,7 @@ Carry layout (per stream):
 
 from __future__ import annotations
 
+import functools
 from typing import List
 
 import jax
@@ -109,6 +110,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
     cbr_value = bitrate_value(cbr_index)
     cap_bytes = main_data_cap(options)
     aligned = options.reservoir_mode == "aligned"
+    iso_quant = options.iso_quantization
 
     def run(carry, pcm, final, valid):
         if pcm.dtype == jnp.int16:
@@ -160,8 +162,8 @@ def make_chunk_fn(options: MP3EncoderOptions):
         spectra, cur = dsp.mdct_chunk(S, carry["overlap"], block_seq)
         spectra = spectra.reshape(B, ch, T, 2, 576)  # [B,ch,T,gr,576]
 
-        g0 = dsp.initial_gain(spectra)  # [B, ch, T, gr]
-        pre = dsp.rate_loop_precompute(spectra, g0)
+        g0 = dsp.initial_gain(spectra, iso=iso_quant)  # [B, ch, T, gr]
+        pre = dsp.rate_loop_precompute(spectra, g0, iso=iso_quant)
 
         def tm(x):  # [B, ch, T, gr, ...] -> time-major granule-major [T, B, G, ...]
             return jnp.transpose(
@@ -342,10 +344,19 @@ def make_chunk_fn(options: MP3EncoderOptions):
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_chunk_encoder(options: MP3EncoderOptions):
+    return jax.jit(make_chunk_fn(options))
+
+
 def make_chunk_encoder(options: MP3EncoderOptions, chunk: int):
     """jit-compiled chunk encoder (the `chunk` length is set by the caller's
-    array shapes; one compiled program per distinct T)."""
-    return jax.jit(make_chunk_fn(options))
+    array shapes; one compiled program per distinct T).
+
+    Cached per options value: sessions with equal options share one traced
+    callable, so e.g. a fuzz suite creating many short-lived sessions pays
+    one trace+compile per distinct (options, shape), not per session."""
+    return _cached_chunk_encoder(options)
 
 
 _GRANULE_FIELDS = (

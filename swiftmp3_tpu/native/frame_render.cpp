@@ -78,6 +78,8 @@ struct StreamState {
     int mode_bits;
     int mode_ext;
     int aligned_mode;  // 1: keep last frame's data at the slot tail
+    int iso_crc;       // 1: CRC covers header bytes 3-4 + side info (ISO
+                       // 2.4.3.1); 0: 4 header bytes only (reference quirk)
     // reservoir + delay
     std::vector<uint8_t> reservoir;
     std::vector<uint8_t> buffered_head;
@@ -122,13 +124,87 @@ void build_header(StreamState* s, int bitrate_index, int padding, uint8_t out[4]
     std::memcpy(out, h.bytes.data(), 4);
 }
 
+// Build one frame's [header | optional CRC | side info] bytes (ISO 2.4.1.7).
+// Per-granule arrays are indexed at frame f, granule-major (gr*ch + c).
+std::vector<uint8_t> build_head_side(
+    StreamState* s, int f, int bitrate_index, int padding, int mdb_v,
+    const int32_t* part23, const int32_t* big_values, const int32_t* gain,
+    const int32_t* block_type, const int32_t* preflag, const int32_t* region0,
+    const int32_t* region1, const int32_t* subblock_gain,
+    const int32_t* scalefac_compress, const int32_t* table_select,
+    const int32_t* count1table) {
+    const int ch = s->channels;
+    const int G = 2 * ch;
+    const int side_bytes = (ch == 1) ? 17 : 32;
+
+    BitWriter si;
+    si.write(static_cast<uint32_t>(mdb_v > 511 ? 511 : mdb_v), 9);
+    si.write(0, ch == 1 ? 5 : 3);
+    for (int c = 0; c < ch; c++) si.write(0, 4);  // scfsi
+    for (int gr = 0; gr < 2; gr++) {
+        for (int c = 0; c < ch; c++) {
+            int g = gr * ch + c;
+            int64_t o = static_cast<int64_t>(f) * G + g;
+            int bt = block_type[o];
+            int ws = (bt == 0) ? 0 : 1;
+            si.write(static_cast<uint32_t>(part23[o]), 12);
+            si.write(static_cast<uint32_t>(big_values[o]), 9);
+            si.write(static_cast<uint32_t>(gain[o]), 8);
+            si.write(static_cast<uint32_t>(scalefac_compress[o]), 4);
+            si.write(static_cast<uint32_t>(ws), 1);
+            if (ws) {
+                si.write(static_cast<uint32_t>(bt), 2);
+                si.write(bt == 1 ? 1u : 0u, 1);  // mixed_block_flag
+                si.write(static_cast<uint32_t>(table_select[o * 3 + 0]), 5);
+                si.write(static_cast<uint32_t>(table_select[o * 3 + 1]), 5);
+                si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 0]), 3);
+                si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 1]), 3);
+                si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 2]), 3);
+            } else {
+                si.write(static_cast<uint32_t>(table_select[o * 3 + 0]), 5);
+                si.write(static_cast<uint32_t>(table_select[o * 3 + 1]), 5);
+                si.write(static_cast<uint32_t>(table_select[o * 3 + 2]), 5);
+                si.write(static_cast<uint32_t>(region0[o]), 4);
+                si.write(static_cast<uint32_t>(region1[o]), 3);
+            }
+            si.write(static_cast<uint32_t>(preflag[o]), 1);
+            si.write(0, 1);  // scalefac_scale
+            si.write(static_cast<uint32_t>(count1table[o]), 1);
+        }
+    }
+    si.pad_to_byte();
+    while (static_cast<int>(si.bytes.size()) < side_bytes) si.bytes.push_back(0);
+
+    uint8_t head[4];
+    build_header(s, bitrate_index, padding, head);
+    std::vector<uint8_t> head_side;
+    head_side.insert(head_side.end(), head, head + 4);
+    if (s->crc_protected) {
+        uint16_t crc;
+        if (s->iso_crc) {
+            // ISO 2.4.3.1: header bytes 3-4 then the side info bits
+            std::vector<uint8_t> buf;
+            buf.push_back(head[2]);
+            buf.push_back(head[3]);
+            buf.insert(buf.end(), si.bytes.begin(), si.bytes.end());
+            crc = crc16_mpeg(buf.data(), buf.size());
+        } else {
+            crc = crc16_mpeg(head, 4);  // reference quirk: header only
+        }
+        head_side.push_back(static_cast<uint8_t>(crc >> 8));
+        head_side.push_back(static_cast<uint8_t>(crc & 0xFF));
+    }
+    head_side.insert(head_side.end(), si.bytes.begin(), si.bytes.end());
+    return head_side;
+}
+
 }  // namespace
 
 extern "C" {
 
 void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
                      int copyright_bit, int original_bit, int mode_bits,
-                     int mode_ext, int aligned_mode) {
+                     int mode_ext, int aligned_mode, int iso_crc) {
     auto* s = new StreamState();
     s->channels = channels;
     s->sample_rate_index = sample_rate_index;
@@ -138,6 +214,7 @@ void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
     s->mode_bits = mode_bits;
     s->mode_ext = mode_ext;
     s->aligned_mode = aligned_mode;
+    s->iso_crc = iso_crc;
     return s;
 }
 
@@ -176,13 +253,14 @@ int64_t mp3_render_frames(void* p, int F,
                           const int32_t* gain, const int32_t* block_type,
                           const int32_t* preflag, const int32_t* region0,
                           const int32_t* region1, const int32_t* subblock_gain,
+                          const int32_t* scalefac_compress,
+                          const int32_t* table_select, const int32_t* count1table,
                           const int8_t* quantized, uint8_t* out,
                           int64_t out_capacity, int32_t* frame_sizes_out,
                           int32_t* n_emitted_out) {
     auto* s = static_cast<StreamState*>(p);
     const int ch = s->channels;
     const int G = 2 * ch;
-    const int side_bytes = (ch == 1) ? 17 : 32;
     int64_t written = 0;
     int n_emitted = 0;
 
@@ -196,57 +274,10 @@ int64_t mp3_render_frames(void* p, int F,
         md.pad_to_byte();
         s->reservoir.insert(s->reservoir.end(), md.bytes.begin(), md.bytes.end());
 
-        // --- side info (ISO 2.4.1.7)
-        BitWriter si;
-        int m = mdb[f];
-        si.write(static_cast<uint32_t>(m > 511 ? 511 : m), 9);
-        si.write(0, ch == 1 ? 5 : 3);
-        for (int c = 0; c < ch; c++) si.write(0, 4);  // scfsi
-        for (int gr = 0; gr < 2; gr++) {
-            for (int c = 0; c < ch; c++) {
-                int g = gr * ch + c;
-                int64_t o = static_cast<int64_t>(f) * G + g;
-                int bt = block_type[o];
-                int ws = (bt == 0) ? 0 : 1;
-                si.write(static_cast<uint32_t>(part23[o]), 12);
-                si.write(static_cast<uint32_t>(big_values[o]), 9);
-                si.write(static_cast<uint32_t>(gain[o]), 8);
-                si.write(0, 4);  // scalefac_compress
-                si.write(static_cast<uint32_t>(ws), 1);
-                if (ws) {
-                    si.write(static_cast<uint32_t>(bt), 2);
-                    si.write(bt == 1 ? 1u : 0u, 1);  // mixed_block_flag
-                    si.write(15, 5);
-                    si.write(15, 5);
-                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 0]), 3);
-                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 1]), 3);
-                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 2]), 3);
-                } else {
-                    si.write(15, 5);
-                    si.write(15, 5);
-                    si.write(15, 5);
-                    si.write(static_cast<uint32_t>(region0[o]), 4);
-                    si.write(static_cast<uint32_t>(region1[o]), 3);
-                }
-                si.write(static_cast<uint32_t>(preflag[o]), 1);
-                si.write(0, 1);  // scalefac_scale
-                si.write(0, 1);  // count1table_select
-            }
-        }
-        si.pad_to_byte();
-        while (static_cast<int>(si.bytes.size()) < side_bytes) si.bytes.push_back(0);
-
-        // --- header (+CRC)
-        uint8_t head[4];
-        build_header(s, bitrate_index[f], padding[f], head);
-        std::vector<uint8_t> head_side;
-        head_side.insert(head_side.end(), head, head + 4);
-        if (s->crc_protected) {
-            uint16_t crc = crc16_mpeg(head, 4);
-            head_side.push_back(static_cast<uint8_t>(crc >> 8));
-            head_side.push_back(static_cast<uint8_t>(crc & 0xFF));
-        }
-        head_side.insert(head_side.end(), si.bytes.begin(), si.bytes.end());
+        std::vector<uint8_t> head_side = build_head_side(
+            s, f, bitrate_index[f], padding[f], mdb[f], part23, big_values,
+            gain, block_type, preflag, region0, region1, subblock_gain,
+            scalefac_compress, table_select, count1table);
 
         // --- emit previous buffered frame with its reservoir slot
         if (s->has_buffered) {
@@ -283,14 +314,13 @@ int64_t mp3_render_frames_packed(void* p, int F,
                                  const int32_t* gain, const int32_t* block_type,
                                  const int32_t* preflag, const int32_t* region0,
                                  const int32_t* region1, const int32_t* subblock_gain,
+                                 const int32_t* scalefac_compress,
+                                 const int32_t* table_select, const int32_t* count1table,
                                  const uint8_t* main_data, int cap,
                                  const int32_t* hb, uint8_t* out,
                                  int64_t out_capacity, int32_t* frame_sizes_out,
                                  int32_t* n_emitted_out) {
     auto* s = static_cast<StreamState*>(p);
-    const int ch = s->channels;
-    const int G = 2 * ch;
-    const int side_bytes = (ch == 1) ? 17 : 32;
     int64_t written = 0;
     int n_emitted = 0;
 
@@ -299,55 +329,10 @@ int64_t mp3_render_frames_packed(void* p, int F,
         const uint8_t* md = main_data + static_cast<int64_t>(f) * cap;
         s->reservoir.insert(s->reservoir.end(), md, md + hb[f]);
 
-        BitWriter si;
-        int m = mdb[f];
-        si.write(static_cast<uint32_t>(m > 511 ? 511 : m), 9);
-        si.write(0, ch == 1 ? 5 : 3);
-        for (int c = 0; c < ch; c++) si.write(0, 4);
-        for (int gr = 0; gr < 2; gr++) {
-            for (int c = 0; c < ch; c++) {
-                int g = gr * ch + c;
-                int64_t o = static_cast<int64_t>(f) * G + g;
-                int bt = block_type[o];
-                int ws = (bt == 0) ? 0 : 1;
-                si.write(static_cast<uint32_t>(part23[o]), 12);
-                si.write(static_cast<uint32_t>(big_values[o]), 9);
-                si.write(static_cast<uint32_t>(gain[o]), 8);
-                si.write(0, 4);
-                si.write(static_cast<uint32_t>(ws), 1);
-                if (ws) {
-                    si.write(static_cast<uint32_t>(bt), 2);
-                    si.write(bt == 1 ? 1u : 0u, 1);
-                    si.write(15, 5);
-                    si.write(15, 5);
-                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 0]), 3);
-                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 1]), 3);
-                    si.write(static_cast<uint32_t>(subblock_gain[o * 3 + 2]), 3);
-                } else {
-                    si.write(15, 5);
-                    si.write(15, 5);
-                    si.write(15, 5);
-                    si.write(static_cast<uint32_t>(region0[o]), 4);
-                    si.write(static_cast<uint32_t>(region1[o]), 3);
-                }
-                si.write(static_cast<uint32_t>(preflag[o]), 1);
-                si.write(0, 1);
-                si.write(0, 1);
-            }
-        }
-        si.pad_to_byte();
-        while (static_cast<int>(si.bytes.size()) < side_bytes) si.bytes.push_back(0);
-
-        uint8_t head[4];
-        build_header(s, bitrate_index[f], padding[f], head);
-        std::vector<uint8_t> head_side;
-        head_side.insert(head_side.end(), head, head + 4);
-        if (s->crc_protected) {
-            uint16_t crc = crc16_mpeg(head, 4);
-            head_side.push_back(static_cast<uint8_t>(crc >> 8));
-            head_side.push_back(static_cast<uint8_t>(crc & 0xFF));
-        }
-        head_side.insert(head_side.end(), si.bytes.begin(), si.bytes.end());
+        std::vector<uint8_t> head_side = build_head_side(
+            s, f, bitrate_index[f], padding[f], mdb[f], part23, big_values,
+            gain, block_type, preflag, region0, region1, subblock_gain,
+            scalefac_compress, table_select, count1table);
 
         if (s->has_buffered) {
             size_t slot_n = static_cast<size_t>(s->buffered_slot);

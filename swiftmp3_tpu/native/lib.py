@@ -44,7 +44,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
         lib = ctypes.CDLL(_SO)
         lib.mp3_stream_new.restype = ctypes.c_void_p
-        lib.mp3_stream_new.argtypes = [ctypes.c_int] * 8
+        lib.mp3_stream_new.argtypes = [ctypes.c_int] * 9
         lib.mp3_stream_free.argtypes = [ctypes.c_void_p]
         lib.mp3_frame_count.restype = ctypes.c_uint32
         lib.mp3_frame_count.argtypes = [ctypes.c_void_p]
@@ -60,6 +60,7 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p, i32p, i32p, i32p,  # bitrate_index, padding, mdb, slot
             i32p, i32p, i32p, i32p,  # part23, big_values, gain, block_type
             i32p, i32p, i32p, i32p,  # preflag, region0, region1, subblock_gain
+            i32p, i32p, i32p,        # scalefac_compress, table_select, count1table
             i8p,                     # quantized
             u8p, ctypes.c_int64,     # out, capacity
             i32p,                    # frame_sizes_out
@@ -72,6 +73,7 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p, i32p, i32p, i32p,  # bitrate_index, padding, mdb, slot
             i32p, i32p, i32p, i32p,  # part23, big_values, gain, block_type
             i32p, i32p, i32p, i32p,  # preflag, region0, region1, subblock_gain
+            i32p, i32p, i32p,        # scalefac_compress, table_select, count1table
             u8p, ctypes.c_int,       # main_data, cap
             i32p,                    # hb
             u8p, ctypes.c_int64,     # out, capacity
@@ -110,8 +112,22 @@ class NativeStreamRenderer:
             mb,
             me,
             1 if options.reservoir_mode == "aligned" else 0,
+            1 if options.iso_crc else 0,
         )
         self.frame_sizes: list[int] = []
+
+    def _sideinfo_defaults(self, F: int, scalefac_compress, table_select, count1table):
+        """Compat-mode defaults for the spec-strict side-info fields:
+        scalefac_compress=0, table_select=(15,15,15), count1table_select=0
+        (the reference's hardcoded values)."""
+        G = 2 * self.options.channels
+        if scalefac_compress is None:
+            scalefac_compress = np.zeros((F, G), dtype=np.int32)
+        if table_select is None:
+            table_select = np.full((F, G, 3), 15, dtype=np.int32)
+        if count1table is None:
+            count1table = np.zeros((F, G), dtype=np.int32)
+        return scalefac_compress, table_select, count1table
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -142,10 +158,16 @@ class NativeStreamRenderer:
         region1: np.ndarray,
         subblock_gain: np.ndarray,  # [F, G, 3]
         quantized: np.ndarray,  # [F, G, 576] int8
+        scalefac_compress: np.ndarray = None,  # [F, G]
+        table_select: np.ndarray = None,  # [F, G, 3]
+        count1table: np.ndarray = None,  # [F, G]
     ) -> bytes:
         F = len(bitrate_index)
         if F == 0:
             return b""
+        scalefac_compress, table_select, count1table = self._sideinfo_defaults(
+            F, scalefac_compress, table_select, count1table
+        )
         cap = int(slot.sum()) + F * 40 + 8192
         out = np.empty(cap, dtype=np.uint8)
         sizes = np.zeros(F, dtype=np.int32)
@@ -159,6 +181,7 @@ class NativeStreamRenderer:
             c(bitrate_index), c(padding), c(mdb), c(slot),
             c(part23), c(big_values), c(gain), c(block_type),
             c(preflag), c(region0), c(region1), c(subblock_gain),
+            c(scalefac_compress), c(table_select), c(count1table),
             c(quantized, np.int8),
             out, cap, sizes, n_emitted,
         )
@@ -183,10 +206,16 @@ class NativeStreamRenderer:
         subblock_gain: np.ndarray,  # [F, G, 3]
         main_data: np.ndarray,  # [F, cap] uint8 (device-packed)
         hb: np.ndarray,  # [F]
+        scalefac_compress: np.ndarray = None,  # [F, G]
+        table_select: np.ndarray = None,  # [F, G, 3]
+        count1table: np.ndarray = None,  # [F, G]
     ) -> bytes:
         F = len(bitrate_index)
         if F == 0:
             return b""
+        scalefac_compress, table_select, count1table = self._sideinfo_defaults(
+            F, scalefac_compress, table_select, count1table
+        )
         cap = main_data.shape[-1]
         out_cap = int(slot.sum()) + F * 40 + 8192
         out = np.empty(out_cap, dtype=np.uint8)
@@ -201,6 +230,7 @@ class NativeStreamRenderer:
             c(bitrate_index), c(padding), c(mdb), c(slot),
             c(part23), c(big_values), c(gain), c(block_type),
             c(preflag), c(region0), c(region1), c(subblock_gain),
+            c(scalefac_compress), c(table_select), c(count1table),
             c(main_data, np.uint8), cap, c(hb),
             out, out_cap, sizes, n_emitted,
         )

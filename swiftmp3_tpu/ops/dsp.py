@@ -150,12 +150,41 @@ def inv_step_lookup(gains: jax.Array) -> jax.Array:
     return jnp.where(gains < 157, _INV_STEP_FLOOR, val)
 
 
+# --- ISO unit-gain quantizer (options.iso_quantization) -----------------------
+# step^-0.75 = 2^(-3(g-210)/16): sixteenth-power constants + exact ldexp.
+# For g < 157 the step floors at 1e-4, so inv34 = f32(f64(1e-4)^-0.75).
+
+def _iso_inv_step34_table() -> np.ndarray:
+    g = np.arange(256, dtype=np.float64)
+    step = np.maximum(2.0 ** ((g - 210.0) / 4.0), 0.0001)
+    return (step ** -0.75).astype(np.float32)
+
+
+_INV_STEP34_NP = _iso_inv_step34_table()
+_SIXTEENTH = (2.0 ** (np.arange(16) / 16.0)).astype(np.float32)  # 2^(r/16)
+_INV_STEP34_FLOOR = float(np.float64(0.0001) ** -0.75)  # == 1000.0 in f32
+
+
+def inv_step34_lookup(gains: jax.Array) -> jax.Array:
+    """float32 step^-0.75 for integer gains in [0, 255], gather-free
+    (exactness vs the float64-built table validated at import/test time)."""
+    e = -3 * (gains - 210)
+    q = e >> 4
+    r = e - (q << 4)  # 0..15
+    c = _select_tree(r, _SIXTEENTH.view(np.uint32), 0, 16)
+    invc = jax.lax.bitcast_convert_type(c, jnp.float32)
+    val = jnp.ldexp(invc, q).astype(jnp.float32)
+    return jnp.where(gains < 157, jnp.float32(_INV_STEP34_FLOOR), val)
+
+
 def validate_gather_free_lookups() -> None:
     """Assert the arithmetic lookups reproduce the tables exactly (called
     from tests; cheap)."""
     g = np.arange(256, dtype=np.int32)
     got = np.asarray(inv_step_lookup(jnp.asarray(g)))
     assert np.array_equal(got, _INV_STEP_TABLE_NP), "inv_step_lookup mismatch"
+    got34 = np.asarray(inv_step34_lookup(jnp.asarray(g)))
+    assert np.array_equal(got34, _INV_STEP34_NP), "inv_step34_lookup mismatch"
     idx = np.arange(256, dtype=np.int32)
     got_len = np.asarray(t15_length_lookup(jnp.asarray(idx)))
     assert np.array_equal(got_len, TABLE15_LEN), "t15_length_lookup mismatch"
@@ -365,14 +394,17 @@ def transient_frame(granule_pcm: jax.Array) -> tuple[jax.Array, jax.Array]:
 # --- Gain init, quantization sweep, bit counting -----------------------------
 
 
-def initial_gain(spectrum: jax.Array) -> jax.Array:
+def initial_gain(spectrum: jax.Array, iso: bool = False) -> jax.Array:
     """210 + trunc(4*log2(peak^0.75/15)), clamped 0-255; 210 for silent
-    granules (MP3Encoder.swift:989-1006)."""
+    granules (MP3Encoder.swift:989-1006). iso=True uses multiplier 16/3 (the
+    unit-gain law's exponent is step^-0.75, see reference.compute_global_gain).
+    """
     peak = jnp.max(jnp.abs(spectrum), axis=-1)
     peak_pow = jnp.power(peak, _F32(0.75))
     ratio = peak_pow / _F32(15.0)
     safe_ratio = jnp.maximum(ratio, _F32(1e-30))
-    gain = 210 + jnp.trunc(4.0 * jnp.log2(safe_ratio)).astype(jnp.int32)
+    mult = _F32(16.0 / 3.0) if iso else _F32(4.0)
+    gain = 210 + jnp.trunc(mult * jnp.log2(safe_ratio)).astype(jnp.int32)
     gain = jnp.clip(gain, 0, 255)
     return jnp.where(peak > 0, gain, 210).astype(jnp.int32)
 
@@ -403,21 +435,30 @@ def big_values_from_quantized(q: jax.Array) -> jax.Array:
     return jnp.minimum(significant // 2, 288)
 
 
-def quantize_at_gains(mag: jax.Array, sign_neg: jax.Array, gains: jax.Array) -> jax.Array:
+def quantize_at_gains(
+    mag: jax.Array, sign_neg: jax.Array, gains: jax.Array, iso: bool = False
+) -> jax.Array:
     """Quantize |x|^0.75 magnitudes at several gains.
 
     mag: [..., 576] precomputed max(|x|,1e-10)^0.75 (shared across gains —
     the reference recomputes the pow every iteration, but it is
     gain-independent); sign_neg: [..., 576] bool; gains: [..., K] int32.
     Returns q [..., K, 576] int32 (signed, clamped to +-15).
+
+    iso=True multiplies by step^-0.75 instead of step^-1 — the unit-gain law
+    (q = (|x|/step)^(3/4), options.iso_quantization); mag is unchanged since
+    (|x|/step)^(3/4) = |x|^(3/4) * step^(-3/4).
     """
-    inv = inv_step_lookup(jnp.clip(gains, 0, 255))  # [..., K], gather-free
+    lut = inv_step34_lookup if iso else inv_step_lookup
+    inv = lut(jnp.clip(gains, 0, 255))  # [..., K], gather-free
     scaled = mag[..., None, :] * inv[..., :, None]
     q = jnp.minimum(jnp.floor(scaled + _F32(0.5)).astype(jnp.int32), 15)
     return jnp.where(sign_neg[..., None, :], -q, q)
 
 
-def rate_loop_precompute(spectrum: jax.Array, init_gain: jax.Array) -> dict:
+def rate_loop_precompute(
+    spectrum: jax.Array, init_gain: jax.Array, iso: bool = False
+) -> dict:
     """Budget-independent half of the gain walk: candidate bit counts.
 
     This is the heavy part (20 quantization+bit-count passes per granule) and
@@ -433,7 +474,7 @@ def rate_loop_precompute(spectrum: jax.Array, init_gain: jax.Array) -> dict:
     sign_neg = spectrum < 0
 
     g0 = jnp.clip(init_gain, 0, 255)
-    q0 = quantize_at_gains(mag, sign_neg, g0[..., None])[..., 0, :]
+    q0 = quantize_at_gains(mag, sign_neg, g0[..., None], iso=iso)[..., 0, :]
     allzero0 = _last_nonzero_count(q0) == 0
 
     gstart = jnp.where(allzero0, jnp.maximum(g0 - 40, 0), g0).astype(jnp.int32)
@@ -441,7 +482,7 @@ def rate_loop_precompute(spectrum: jax.Array, init_gain: jax.Array) -> dict:
 
     k = jnp.arange(N_GAIN_CANDIDATES, dtype=jnp.int32)
     gains = gstart[..., None] + 4 * k  # [..., 20]
-    qk = quantize_at_gains(mag, sign_neg, gains)  # [..., 20, 576]
+    qk = quantize_at_gains(mag, sign_neg, gains, iso=iso)  # [..., 20, 576]
 
     pair_bits = _count_bits_pairs(qk)  # [..., 20, 288]
     bv = big_values_from_quantized(qk)  # [..., 20]
@@ -457,6 +498,7 @@ def rate_loop_precompute(spectrum: jax.Array, init_gain: jax.Array) -> dict:
         "bits": bits.astype(jnp.int32),
         "bv": bv.astype(jnp.int32),
         "evaluated": evaluated,
+        "iso": iso,  # static: which quantization law the sweep used
     }
 
 
@@ -493,16 +535,19 @@ def rate_loop_finalize(
     Reported-gain quirk reproduced: on overflow (no fit) the reported gain is
     stepped once past the gain actually used, capped at 255."""
     gains_sel = pre["gstart"] + 4 * k_sel
-    q_sel = quantize_at_gains(pre["mag"], pre["sign_neg"], gains_sel[..., None])[
-        ..., 0, :
-    ]
+    q_sel = quantize_at_gains(
+        pre["mag"], pre["sign_neg"], gains_sel[..., None], iso=pre.get("iso", False)
+    )[..., 0, :]
     bv_sel = jnp.take_along_axis(pre["bv"], k_sel[..., None], axis=-1)[..., 0]
     gain_out = jnp.where(has_fit, gains_sel, jnp.minimum(gains_sel + 4, 255))
     return gain_out.astype(jnp.int32), q_sel, bv_sel
 
 
 def rate_loop(
-    spectrum: jax.Array, init_gain: jax.Array, max_bits: jax.Array
+    spectrum: jax.Array,
+    init_gain: jax.Array,
+    max_bits: jax.Array,
+    iso: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Vectorized replica of the reference's gain walk (MP3Encoder.swift:734-794).
 
@@ -521,7 +566,7 @@ def rate_loop(
       evaluated* candidate while the reported gain is stepped once more and
       capped at 255 (the reference's overflow quirk).
     """
-    pre = rate_loop_precompute(spectrum, init_gain)
+    pre = rate_loop_precompute(spectrum, init_gain, iso=iso)
     k_sel, has_fit, bits_sel = rate_loop_select(
         pre["bits"], pre["evaluated"], pre["k_budget"], max_bits
     )

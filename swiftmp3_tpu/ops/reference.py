@@ -175,9 +175,14 @@ def masking_thresholds(spectrum: np.ndarray, sample_rate: int, quality: int) -> 
     return thresholds
 
 
-def compute_global_gain(spectrum: np.ndarray) -> int:
+def compute_global_gain(spectrum: np.ndarray, iso: bool = False) -> int:
     """Initial gain from peak magnitude: 210 + trunc(4*log2(peak^0.75/15)),
-    clamped 0-255 (MP3Encoder.swift:989-1006)."""
+    clamped 0-255 (MP3Encoder.swift:989-1006).
+
+    iso=True (spec-strict iso_quantization): the quantizer exponent changes
+    (q ~ step^-0.75 instead of step^-1), so the peak-fitting multiplier is
+    16/3 instead of 4 — the smallest gain whose quantized peak is <= 15.
+    """
     peak = np.float32(np.max(np.abs(spectrum))) if len(spectrum) else np.float32(0)
     if peak <= 0:
         return 210
@@ -185,20 +190,41 @@ def compute_global_gain(spectrum: np.ndarray) -> int:
     ratio = peak_pow / np.float32(15.0)
     if ratio <= 0:
         return 210
-    gain = 210 + int(np.trunc(4.0 * np.log2(np.float64(ratio))))
+    mult = 16.0 / 3.0 if iso else 4.0
+    gain = 210 + int(np.trunc(mult * np.log2(np.float64(ratio))))
     return min(max(gain, 0), 255)
 
 
-def quantize_with_gain(spectral: np.ndarray, global_gain: int) -> np.ndarray:
+def _iso_inv_step34_table() -> np.ndarray:
+    """float32 step^-0.75 per gain, step as the reference builds it (float64
+    max(2^((g-210)/4), 1e-4)). q = round(mag * inv34) is then the unit-gain
+    ISO law: decode q^(4/3) * step == |x|."""
+    g = np.arange(256, dtype=np.float64)
+    step = np.maximum(2.0 ** ((g - 210.0) / 4.0), 0.0001)
+    return (step ** -0.75).astype(np.float32)
+
+
+ISO_INV_STEP34 = _iso_inv_step34_table()
+
+
+def quantize_with_gain(
+    spectral: np.ndarray, global_gain: int, iso: bool = False
+) -> np.ndarray:
     """Power-law quantization at a gain (MP3Encoder.swift:797-825).
 
     step = float32(max(2^((gain-210)/4), 1e-4)) computed in float64;
     q = min(round_half_away(|x|_floored^0.75 / step), 15), re-signed.
+
+    iso=True: q = round((|x|/step)^(3/4)) = round(|x|^0.75 * step^-0.75) —
+    the unit-gain law for ISO decoders (options.iso_quantization).
     """
     spectral = np.asarray(spectral, dtype=np.float32)
-    step_power = (global_gain - 210) / 4.0
-    step = np.float32(max(2.0**step_power, 0.0001))
-    inv_step = np.float32(1.0) / step
+    if iso:
+        inv_step = ISO_INV_STEP34[min(max(int(global_gain), 0), 255)]
+    else:
+        step_power = (global_gain - 210) / 4.0
+        step = np.float32(max(2.0**step_power, 0.0001))
+        inv_step = np.float32(1.0) / step
     absv = np.maximum(np.abs(spectral), np.float32(1e-10))
     magnitudes = absv ** np.float32(0.75)
     scaled = magnitudes * inv_step
@@ -234,7 +260,7 @@ def big_values_of(q: np.ndarray) -> int:
 
 
 def quantize_to_fit_budget(
-    spectral: np.ndarray, initial_gain: int, max_bits: int
+    spectral: np.ndarray, initial_gain: int, max_bits: int, iso: bool = False
 ) -> tuple[int, np.ndarray, int]:
     """The reference's literal <=20-iteration gain walk
     (MP3Encoder.swift:734-794). Returns (gain, quantized, bits).
@@ -246,7 +272,7 @@ def quantize_to_fit_budget(
     gain = min(max(int(initial_gain), 0), 255)
     quantized = np.zeros(len(spectral), dtype=np.int32)
     for iteration in range(20):
-        quantized = quantize_with_gain(spectral, gain)
+        quantized = quantize_with_gain(spectral, gain, iso=iso)
         last = _last_nonzero_count(quantized)
         if last == 0 and iteration == 0:
             gain = max(gain - 40, 0)

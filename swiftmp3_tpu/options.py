@@ -68,6 +68,32 @@ class MP3EncoderOptions:
     #     and main_data_begin is snapshotted after append, which places
     #     main_data exactly where ISO 11172-3 decoders look for it.
     reservoir_mode: str = "compat"
+    # --- Spec-strict flags (all default OFF = byte-exact reference parity).
+    # Each is independent, tested against the decoder oracle, and documented
+    # in ARCHITECTURE.md "Parity model".
+    #
+    # iso_quantization: the reference quantizes q = round(|x|^0.75 / step)
+    #   with step = 2^((g-210)/4), but ISO decoders reconstruct
+    #   xr = q^(4/3) * step — so reference streams decode with a gain error
+    #   of step^(1/3) (level depends on gain; quality.py had to
+    #   gain-compensate). This flag uses q = round((|x|/step)^(3/4)), making
+    #   decode unit-gain.
+    iso_quantization: bool = False
+    # iso_crc: CRC-16 over header bytes 3-4 + the side info, as ISO 2.4.3.1
+    #   specifies; the reference covers only the 4 header bytes
+    #   (MP3Encoder.swift:540-543), which real decoders reject as a CRC error.
+    iso_crc: bool = False
+    # count1_coding: end big_values at the last |v|>1 pair and code the
+    #   remaining |v|<=1 tail as count1 quadruples (table A or B, whichever
+    #   is smaller); the reference covers the whole spectrum with big_values
+    #   pairs (MP3Encoder.swift:692-700), wasting bits on the sparse tail.
+    count1_coding: bool = False
+    # region_table_select: per-region smallest-table Huffman selection
+    #   (0 -> 1 -> 2 -> 5 -> 7 -> 15; tables 10/13 are excluded because the
+    #   reference's copies are corrupt — see decoder/tables.py) with
+    #   table_select emitted per region; the reference hardcodes table 15
+    #   everywhere (MP3Encoder.swift:717).
+    region_table_select: bool = False
 
     def __post_init__(self):
         # Quality is clamped, not rejected (MP3Encoder.swift:110).
@@ -83,6 +109,27 @@ class MP3EncoderOptions:
     @property
     def channels(self) -> int:
         return self.mode.channels
+
+    @property
+    def spec_strict_entropy(self) -> bool:
+        """True when the entropy-coding layout differs from reference parity
+        (affects bit counting, packing, and side-info fields)."""
+        return self.count1_coding or self.region_table_select
+
+    @classmethod
+    def spec_strict(cls, **kwargs) -> "MP3EncoderOptions":
+        """Preset with every ISO-correctness flag on (and the aligned
+        reservoir): streams a conforming ISO 11172-3 decoder reproduces at
+        unit gain. kwargs override any field."""
+        base = dict(
+            reservoir_mode="aligned",
+            iso_quantization=True,
+            iso_crc=True,
+            count1_coding=True,
+            region_table_select=True,
+        )
+        base.update(kwargs)
+        return cls(**base)
 
     def replace(self, **kwargs) -> "MP3EncoderOptions":
         return replace(self, **kwargs)
