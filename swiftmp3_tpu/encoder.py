@@ -140,6 +140,9 @@ class GoldenBackend:
         quantized = np.zeros((2 * channels, SAMPLES_PER_GRANULE), dtype=np.int32)
         big_values = np.zeros(2 * channels, dtype=np.int32)
         total_part_bits = 0
+        strict = opts.spec_strict_entropy
+        strict_chunks: list = []
+        strict_nbits: list = []
 
         for gr in range(2):
             for ch in range(channels):
@@ -152,12 +155,39 @@ class GoldenBackend:
                 # on any output. See ops.reference.masking_thresholds.
                 gain0 = ref.compute_global_gain(spectrum, iso=opts.iso_quantization)
                 self.vbr.update(gain0, ref.frame_energy(gsamples))
+                counter = None
+                if strict:
+                    counter = lambda qq, _b=block: ref.strict_entropy_layout(  # noqa: E731
+                        qq, sr, _b, opts.count1_coding, opts.region_table_select
+                    )["part23_bits"]
                 gain, q, bits = ref.quantize_to_fit_budget(
-                    spectrum, gain0, bits_per_granule, iso=opts.iso_quantization
+                    spectrum,
+                    gain0,
+                    bits_per_granule,
+                    iso=opts.iso_quantization,
+                    bit_counter=counter,
                 )
-                preflag = ref.pre_emphasis(spectrum, np.ones(576, dtype=np.float32))
-                bv = ref.big_values_of(q)
-                r0, r1 = ref.region_counts(bv, sr)
+                if opts.iso_quantization:
+                    # unit-gain law applies no pre-emphasis; emitting
+                    # preflag=1 would make ISO decoders attenuate top bands
+                    preflag = False
+                else:
+                    preflag = ref.pre_emphasis(spectrum, np.ones(576, dtype=np.float32))
+                if strict:
+                    layout = ref.strict_entropy_layout(
+                        q, sr, block, opts.count1_coding, opts.region_table_select
+                    )
+                    bv = layout["big_values"]
+                    r0, r1 = layout["region0"], layout["region1"]
+                    tsel = layout["table_select"]
+                    c1t = layout["count1table_select"]
+                    strict_chunks.append(layout["chunks"])
+                    strict_nbits.append(layout["nbits"])
+                else:
+                    bv = ref.big_values_of(q)
+                    r0, r1 = ref.region_counts(bv, sr)
+                    tsel = (15, 15, 15)
+                    c1t = 0
 
                 g = gr * channels + ch
                 quantized[g] = q
@@ -171,13 +201,13 @@ class GoldenBackend:
                     window_switching=0 if block == ref.BLOCK_LONG else 1,
                     block_type=block,
                     mixed_block_flag=1 if block == ref.BLOCK_MIXED else 0,
-                    table_select=(15, 15, 15),
+                    table_select=tsel,
                     subblock_gain=tuple(sb_gain),
                     region0_count=r0,
                     region1_count=r1,
                     preflag=1 if preflag else 0,
                     scalefac_scale=0,
-                    count1table_select=0,
+                    count1table_select=c1t,
                 )
 
         huffman_bytes = (total_part_bits + 7) // 8
@@ -205,6 +235,8 @@ class GoldenBackend:
             granules=granules,
             quantized=quantized,
             big_values=big_values,
+            chunks=np.concatenate(strict_chunks) if strict else None,
+            nbits=np.concatenate(strict_nbits) if strict else None,
         )
 
 

@@ -23,7 +23,7 @@ from ..options import MP3EncoderOptions
 from ..tables import mode_bits, sample_rate_index
 from .bitwriter import BitstreamWriter
 from .crc import crc16_mpeg
-from .huffman_pack import pack_frame_main_data
+from .huffman_pack import pack_chunks, pack_frame_main_data
 from .sideinfo import GranuleInfo, build_side_info
 
 
@@ -43,6 +43,8 @@ class FrameResult:
     quantized: Optional[np.ndarray] = None  # [2*ch, 576], granule-major
     big_values: Optional[np.ndarray] = None  # [2*ch]
     main_data: Optional[bytes] = None  # pre-packed Huffman bytes (device)
+    chunks: Optional[np.ndarray] = None  # spec-strict layout chunk stream
+    nbits: Optional[np.ndarray] = None  # (reference.strict_entropy_layout)
 
 
 class BitReservoir:
@@ -119,6 +121,8 @@ class FrameAssembler:
         channels = self.options.channels
         if fr.main_data is not None:
             main_data = fr.main_data
+        elif fr.chunks is not None:
+            main_data, _bits = pack_chunks(fr.chunks, fr.nbits)
         else:
             main_data, _part_bits = pack_frame_main_data(fr.quantized, fr.big_values)
         self.reservoir.append(main_data)

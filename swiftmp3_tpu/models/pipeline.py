@@ -111,6 +111,8 @@ def make_chunk_fn(options: MP3EncoderOptions):
     cap_bytes = main_data_cap(options)
     aligned = options.reservoir_mode == "aligned"
     iso_quant = options.iso_quantization
+    strict_entropy = options.spec_strict_entropy
+    slot_width = 432 if strict_entropy else 288  # pair (+quad) slots/granule
 
     def run(carry, pcm, final, valid):
         if pcm.dtype == jnp.int16:
@@ -163,7 +165,19 @@ def make_chunk_fn(options: MP3EncoderOptions):
         spectra = spectra.reshape(B, ch, T, 2, 576)  # [B,ch,T,gr,576]
 
         g0 = dsp.initial_gain(spectra, iso=iso_quant)  # [B, ch, T, gr]
-        pre = dsp.rate_loop_precompute(spectra, g0, iso=iso_quant)
+        if strict_entropy:
+            is_long_b = block_b == dsp.BLOCK_LONG  # [B, ch, T, 2]
+            pre = dsp.rate_loop_precompute_strict(
+                spectra,
+                g0,
+                sr,
+                is_long_b,
+                iso_quant,
+                options.count1_coding,
+                options.region_table_select,
+            )
+        else:
+            pre = dsp.rate_loop_precompute(spectra, g0, iso=iso_quant)
 
         def tm(x):  # [B, ch, T, gr, ...] -> time-major granule-major [T, B, G, ...]
             return jnp.transpose(
@@ -279,19 +293,38 @@ def make_chunk_fn(options: MP3EncoderOptions):
             return jnp.transpose(y, (1, 3, 0, 2) + tuple(range(4, y.ndim)))
 
         # ---------------- Phase 3: parallel finalize (batch-major) --------
-        gain_b, quantized, big_values_b = dsp.rate_loop_finalize(
-            pre, bm(k_sel), bm(has_fit)
-        )
-        region0_b, region1_b = dsp.region_counts(big_values_b, sr)
-        pref_b = dsp.preflag(spectra)
+        if strict_entropy:
+            gain_b, quantized, lay = dsp.strict_finalize(pre, bm(k_sel), bm(has_fit))
+            big_values_b = lay["bv"]
+            region0_b, region1_b = lay["r0"], lay["r1"]
+            ts0_b, ts1_b, ts2_b = lay["tid0"], lay["tid1"], lay["tid2"]
+            c1t_b = lay["c1t"]
+            chunks, nb = dsp.strict_chunks_device(quantized, lay)
+        else:
+            gain_b, quantized, big_values_b = dsp.rate_loop_finalize(
+                pre, bm(k_sel), bm(has_fit)
+            )
+            region0_b, region1_b = dsp.region_counts(big_values_b, sr)
+            fifteen = jnp.full_like(big_values_b, 15)
+            ts0_b = ts1_b = ts2_b = fifteen
+            c1t_b = jnp.zeros_like(big_values_b)
+            chunks, nb = dsp.pair_chunks_device(quantized, big_values_b)
+        if iso_quant:
+            # With the unit-gain law no pre-emphasis is applied in the
+            # quantizer, so emitting preflag=1 would make ISO decoders
+            # attenuate the top bands spuriously (the reference's heuristic
+            # flag is one of its decode-accuracy quirks).
+            pref_b = jnp.zeros_like(big_values_b)
+        else:
+            pref_b = dsp.preflag(spectra)
 
         # Device-side Huffman packing: each frame's main_data byte image.
         # Frames are (b, t) pairs; within a frame the write order is
         # granule-major (gr, then ch).
-        chunks, nb = dsp.pair_chunks_device(quantized, big_values_b)
-
-        def frame_major(x):  # [B, ch, T, gr, 288] -> [B*T, n_gran*288]
-            return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B * T, n_gran * 288)
+        def frame_major(x):  # [B, ch, T, gr, W] -> [B*T, n_gran*W]
+            return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(
+                B * T, n_gran * x.shape[-1]
+            )
 
         main_data, _total_bits = dsp.pack_main_data(
             frame_major(chunks), frame_major(nb), cap_bytes
@@ -304,6 +337,9 @@ def make_chunk_fn(options: MP3EncoderOptions):
         # latency per transfer regardless of size, so the int32 metadata rides
         # as a bitcast byte tail behind each frame's main_data image.
         # Layout must match fetch_outputs below.
+        table_sel = jnp.stack(
+            [tm(ts0_b), tm(ts1_b), tm(ts2_b)], axis=-1
+        ).reshape(T, B, 3 * n_gran)
         meta = jnp.concatenate(
             [
                 br_idx[..., None],
@@ -318,6 +354,8 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 tm(region0_b),
                 tm(region1_b),
                 tm(sb_gain_b).reshape(T, B, 3 * n_gran),
+                table_sel,
+                tm(c1t_b),
             ],
             axis=-1,
         ).astype(jnp.int32)
@@ -390,6 +428,10 @@ def fetch_outputs(outs, options: MP3EncoderOptions) -> dict:
         d[name] = meta[..., o : o + n_gran]
         o += n_gran
     d["subblock_gain"] = meta[..., o : o + 3 * n_gran].reshape(T, B, n_gran, 3)
+    o += 3 * n_gran
+    d["table_select"] = meta[..., o : o + 3 * n_gran].reshape(T, B, n_gran, 3)
+    o += 3 * n_gran
+    d["count1table"] = meta[..., o : o + n_gran]
     # per-frame Huffman byte counts; pack truncation is checked by renderers
     d["hb"] = (d["part23"].sum(axis=-1) + 7) // 8
     return d
@@ -414,13 +456,13 @@ def frame_results_from_outputs(
             window_switching=0 if block == dsp.BLOCK_LONG else 1,
             block_type=block,
             mixed_block_flag=1 if block == dsp.BLOCK_MIXED else 0,
-            table_select=(15, 15, 15),
+            table_select=tuple(int(x) for x in outs["table_select"][t, b, g]),
             subblock_gain=tuple(int(x) for x in outs["subblock_gain"][t, b, g]),
             region0_count=int(outs["region0"][t, b, g]),
             region1_count=int(outs["region1"][t, b, g]),
             preflag=int(outs["preflag"][t, b, g]),
             scalefac_scale=0,
-            count1table_select=0,
+            count1table_select=int(outs["count1table"][t, b, g]),
         )
     hb = int(outs["hb"][t, b])
     cap = outs["main_data"].shape[-1]

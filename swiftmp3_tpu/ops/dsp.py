@@ -114,11 +114,16 @@ def _select_tree(idx: jax.Array, values: np.ndarray, lo: int, hi: int) -> jax.Ar
     )
 
 
-def t15_length_lookup(idx: jax.Array) -> jax.Array:
-    """TABLE15_LEN[idx] for idx in [0, 256), gather-free."""
-    word = _select_tree(idx >> 3, _T15_LEN_WORDS, 0, 32)
+def _nibble_lookup(words: np.ndarray, idx: jax.Array) -> jax.Array:
+    """values[idx] for 4-bit values nibble-packed into uint32 `words`."""
+    word = _select_tree(idx >> 3, words, 0, len(words))
     shift = ((idx & 7) * 4).astype(jnp.uint32)
     return ((word >> shift) & 15).astype(jnp.int32)
+
+
+def t15_length_lookup(idx: jax.Array) -> jax.Array:
+    """TABLE15_LEN[idx] for idx in [0, 256), gather-free."""
+    return _nibble_lookup(_T15_LEN_WORDS, idx)
 
 
 def _inv_quarter_constants() -> np.ndarray:
@@ -837,3 +842,371 @@ _BITRATE_VALUES = jnp.asarray(BITRATE_TABLE_V1)
 
 def bitrate_value_device(index: jax.Array) -> jax.Array:
     return jnp.take(_BITRATE_VALUES, index, axis=0)
+
+
+# --- Spec-strict entropy layout (device twin of reference.strict_entropy_layout)
+# Per-region smallest-table selection + count1 quadruple coding, fully
+# vectorized over any leading dims (including the 20-gain sweep axis). All
+# lookups are gather-free nibble/halfword where-trees like the table-15 hot
+# path. Laws are defined by ops.reference.strict_entropy_layout; exact
+# integer agreement is enforced by tests.
+
+from ..tables import (  # noqa: E402  (late import keeps the hot-path header tidy)
+    COUNT1A_CODE,
+    COUNT1A_LEN,
+    HUFFMAN_TABLES,
+)
+
+_STRICT_TIDS = (1, 2, 5, 7)  # + 15 (existing LUTs); table_for_max order
+
+
+def _padded_table_flat(tid: int, attr: str) -> np.ndarray:
+    """Small table padded to a flat 16x16 layout (index = x*16 + y)."""
+    t = HUFFMAN_TABLES[tid]
+    n = t.max_value + 1
+    out = np.zeros((16, 16), dtype=np.uint32)
+    out[:n, :n] = getattr(t, attr)
+    return out.reshape(-1)
+
+
+_PAIR_LEN_WORDS = {
+    tid: _pack_nibbles(_padded_table_flat(tid, "lengths")) for tid in _STRICT_TIDS
+}
+
+
+def _pack_halfwords(values: np.ndarray) -> np.ndarray:
+    assert values.max() < 1 << 16 and len(values) % 2 == 0
+    words = np.zeros(len(values) // 2, dtype=np.uint32)
+    for i, v in enumerate(values):
+        words[i // 2] |= np.uint32(int(v) << ((i % 2) * 16))
+    return words
+
+
+_PAIR_CODE_WORDS = {
+    tid: _pack_halfwords(_padded_table_flat(tid, "codes")) for tid in _STRICT_TIDS
+}
+_COUNT1A_LEN_WORDS = _pack_nibbles(COUNT1A_LEN.astype(np.uint32))
+_COUNT1A_CODE_WORDS = _pack_nibbles(COUNT1A_CODE.astype(np.uint32))
+
+
+def _code_lookup(words: np.ndarray, idx: jax.Array) -> jax.Array:
+    word = _select_tree(idx >> 1, words, 0, len(words))
+    shift = ((idx & 1) * 16).astype(jnp.uint32)
+    return ((word >> shift) & 0xFFFF).astype(jnp.int32)
+
+
+def _table_for_max_device(m: jax.Array) -> jax.Array:
+    """tables.table_for_max, vectorized: 0,1,2,5,7,15 by region max."""
+    return jnp.where(
+        m == 0,
+        0,
+        jnp.where(
+            m <= 1, 1, jnp.where(m <= 2, 2, jnp.where(m <= 3, 5, jnp.where(m <= 5, 7, 15)))
+        ),
+    ).astype(jnp.int32)
+
+
+def _pair_len_by_tid(tid: jax.Array, idx: jax.Array) -> jax.Array:
+    """Code length of pair `idx` (= ax*16+ay) under per-pair table id `tid`
+    (0 -> 0 bits)."""
+    l15 = t15_length_lookup(idx)
+    l1 = _nibble_lookup(_PAIR_LEN_WORDS[1], idx)
+    l2 = _nibble_lookup(_PAIR_LEN_WORDS[2], idx)
+    l5 = _nibble_lookup(_PAIR_LEN_WORDS[5], idx)
+    l7 = _nibble_lookup(_PAIR_LEN_WORDS[7], idx)
+    return jnp.where(
+        tid == 0,
+        0,
+        jnp.where(
+            tid == 1,
+            l1,
+            jnp.where(tid == 2, l2, jnp.where(tid == 5, l5, jnp.where(tid == 7, l7, l15))),
+        ),
+    )
+
+
+def _pair_code_by_tid(tid: jax.Array, idx: jax.Array) -> jax.Array:
+    c15 = t15_code_lookup(idx)
+    c1 = _code_lookup(_PAIR_CODE_WORDS[1], idx)
+    c2 = _code_lookup(_PAIR_CODE_WORDS[2], idx)
+    c5 = _code_lookup(_PAIR_CODE_WORDS[5], idx)
+    c7 = _code_lookup(_PAIR_CODE_WORDS[7], idx)
+    return jnp.where(
+        tid == 0,
+        0,
+        jnp.where(
+            tid == 1,
+            c1,
+            jnp.where(tid == 2, c2, jnp.where(tid == 5, c5, jnp.where(tid == 7, c7, c15))),
+        ),
+    )
+
+
+_BOUNDS_BY_SR = {
+    sr: np.cumsum(band_table(sr)).astype(np.int32) for sr in (44100, 48000, 32000)
+}
+
+
+def _region_bounds(r0: jax.Array, r1: jax.Array, sample_rate: int):
+    """(b0, b1) value-index region boundaries as decoders read them."""
+    bounds = _BOUNDS_BY_SR.get(sample_rate, _BOUNDS_BY_SR[44100])
+    j = jnp.arange(len(bounds), dtype=jnp.int32)
+    b0 = jnp.sum(jnp.where(j == r0[..., None], bounds, 0), axis=-1)
+    k = r0 + 1 + r1
+    b1k = jnp.sum(jnp.where(j == k[..., None], bounds, 0), axis=-1)
+    b1 = jnp.where(k < len(bounds), b1k, 576)
+    return b0, b1
+
+
+def _count1_alignment_bits(nz: jax.Array, align: int):
+    """Per-quad (pattern, nsigns) for quads at positions align + 4j.
+
+    nz: [..., 576] int32 0/1; returns pattern [..., 144], nsigns [..., 144]
+    (alignment-2 quad 143 padded with zeros)."""
+    if align == 0:
+        quads = nz[..., :576].reshape(*nz.shape[:-1], 144, 4)
+    else:
+        body = nz[..., 2:574].reshape(*nz.shape[:-1], 143, 4)
+        quads = jnp.pad(body, [(0, 0)] * (nz.ndim - 1) + [(0, 1), (0, 0)])
+    pattern = (
+        quads[..., 0] * 8 + quads[..., 1] * 4 + quads[..., 2] * 2 + quads[..., 3]
+    )
+    return pattern, jnp.sum(quads, axis=-1)
+
+
+def strict_layout_device(
+    q: jax.Array,
+    sample_rate: int,
+    is_long: jax.Array,
+    count1_coding: bool,
+    region_table_select: bool,
+) -> dict:
+    """Layout integers for quantized spectra [..., 576] (leading dims free).
+
+    is_long: [...] bool (block_type == LONG), broadcastable against q's
+    leading dims. Returns per-item: bv, n1, c1t, tid0/1/2, r0, r1, bits.
+    Twin of reference.strict_entropy_layout (see its docstring for laws).
+    """
+    av = jnp.minimum(jnp.abs(q), 15)
+    pos = jnp.arange(1, 577, dtype=jnp.int32)
+    l0c = jnp.max(jnp.where(av > 0, pos, 0), axis=-1)
+    if count1_coding:
+        c1c = jnp.max(jnp.where(av > 1, pos, 0), axis=-1)
+        bv2 = jnp.minimum((c1c + 1) & ~1, 576)
+        n1 = (jnp.maximum(l0c - bv2, 0) + 3) // 4
+        overflow = bv2 + 4 * n1 > 576
+        bv2 = jnp.where(overflow, bv2 + 2, bv2)
+        n1 = (jnp.maximum(l0c - bv2, 0) + 3) // 4
+    else:
+        bv2 = jnp.minimum((l0c + 1) & ~1, 576)
+        n1 = jnp.zeros_like(bv2)
+    bv = bv2 >> 1
+
+    r0, r1 = region_counts(bv, sample_rate)
+    b0l, b1l = _region_bounds(r0, r1, sample_rate)
+    b0 = jnp.where(is_long, b0l, 36)
+    b1 = jnp.where(is_long, b1l, 576)
+
+    x = av[..., 0::2]
+    y = av[..., 1::2]
+    m_pair = jnp.maximum(x, y)
+    pairpos = jnp.arange(288, dtype=jnp.int32) * 2
+    region = jnp.where(
+        pairpos < b0[..., None], 0, jnp.where(pairpos < b1[..., None], 1, 2)
+    )
+    valid = pairpos < bv2[..., None]
+
+    if region_table_select:
+        tids = []
+        for r in range(3):
+            sel = jnp.where((region == r) & valid, m_pair, 0)
+            tids.append(_table_for_max_device(jnp.max(sel, axis=-1)))
+        tids[2] = jnp.where(is_long, tids[2], 0)
+    else:
+        shape = bv.shape
+        tids = [jnp.full(shape, 15, dtype=jnp.int32) for _ in range(3)]
+
+    tid_pair = jnp.where(
+        region == 0,
+        tids[0][..., None],
+        jnp.where(region == 1, tids[1][..., None], tids[2][..., None]),
+    )
+    idx = x * 16 + y
+    plen = _pair_len_by_tid(tid_pair, idx)
+    psign = (x != 0).astype(jnp.int32) + (y != 0).astype(jnp.int32)
+    pair_bits = jnp.sum(
+        jnp.where(valid & (tid_pair != 0), plen + psign, 0), axis=-1
+    )
+
+    if count1_coding:
+        nz = (av > 0).astype(jnp.int32)
+        qpos = jnp.arange(144, dtype=jnp.int32) * 4  # + align
+        bits_opts = []
+        for align in (0, 2):
+            patt, nsign = _count1_alignment_bits(nz, align)
+            start = qpos + align
+            vq = (start >= bv2[..., None]) & (start < (bv2 + 4 * n1)[..., None])
+            la = _nibble_lookup(_COUNT1A_LEN_WORDS, patt)
+            bits_a = jnp.sum(jnp.where(vq, la + nsign, 0), axis=-1)
+            bits_b = jnp.sum(jnp.where(vq, 4 + nsign, 0), axis=-1)
+            bits_opts.append((bits_a, bits_b))
+        use2 = (bv2 & 2) == 2
+        bits_a = jnp.where(use2, bits_opts[1][0], bits_opts[0][0])
+        bits_b = jnp.where(use2, bits_opts[1][1], bits_opts[0][1])
+        c1t = (bits_b < bits_a).astype(jnp.int32)
+        c1_bits = jnp.minimum(bits_a, bits_b)
+    else:
+        c1t = jnp.zeros_like(bv)
+        c1_bits = jnp.zeros_like(bv)
+
+    return {
+        "bv": bv.astype(jnp.int32),
+        "n1": n1.astype(jnp.int32),
+        "c1t": c1t,
+        "tid0": tids[0],
+        "tid1": tids[1],
+        "tid2": tids[2],
+        "r0": r0.astype(jnp.int32),
+        "r1": r1.astype(jnp.int32),
+        "b0": b0.astype(jnp.int32),
+        "b1": b1.astype(jnp.int32),
+        "bits": (pair_bits + c1_bits).astype(jnp.int32),
+    }
+
+
+def rate_loop_precompute_strict(
+    spectrum: jax.Array,
+    init_gain: jax.Array,
+    sample_rate: int,
+    is_long: jax.Array,
+    iso: bool,
+    count1_coding: bool,
+    region_table_select: bool,
+) -> dict:
+    """Strict-entropy twin of rate_loop_precompute: candidate bit counts use
+    the spec-strict layout law instead of table-15-everything. Walk
+    semantics (gain grid, -40 retry, evaluated rule) are identical."""
+    absx = jnp.maximum(jnp.abs(spectrum), _F32(1e-10))
+    mag = jnp.power(absx, _F32(0.75))
+    sign_neg = spectrum < 0
+
+    g0 = jnp.clip(init_gain, 0, 255)
+    q0 = quantize_at_gains(mag, sign_neg, g0[..., None], iso=iso)[..., 0, :]
+    allzero0 = _last_nonzero_count(q0) == 0
+
+    gstart = jnp.where(allzero0, jnp.maximum(g0 - 40, 0), g0).astype(jnp.int32)
+    k_budget = jnp.where(allzero0, N_GAIN_CANDIDATES - 1, N_GAIN_CANDIDATES)
+
+    k = jnp.arange(N_GAIN_CANDIDATES, dtype=jnp.int32)
+    gains = gstart[..., None] + 4 * k
+    qk = quantize_at_gains(mag, sign_neg, gains, iso=iso)  # [..., 20, 576]
+
+    lay = strict_layout_device(
+        qk, sample_rate, is_long[..., None], count1_coding, region_table_select
+    )
+    evaluated = (k == 0) | (gains < 255)
+    return {
+        "mag": mag,
+        "sign_neg": sign_neg,
+        "gstart": gstart,
+        "k_budget": k_budget.astype(jnp.int32),
+        "bits": lay["bits"],
+        "bv": lay["bv"],
+        "evaluated": evaluated,
+        "iso": iso,
+        "strict": (sample_rate, count1_coding, region_table_select),
+        "is_long": is_long,
+    }
+
+
+def strict_finalize(
+    pre: dict, k_sel: jax.Array, has_fit: jax.Array
+) -> tuple[jax.Array, jax.Array, dict]:
+    """Re-quantize at the selected gains and compute the final layout
+    integers. Returns (gain_reported, quantized, layout)."""
+    sample_rate, count1_coding, region_table_select = pre["strict"]
+    gains_sel = pre["gstart"] + 4 * k_sel
+    q_sel = quantize_at_gains(
+        pre["mag"], pre["sign_neg"], gains_sel[..., None], iso=pre["iso"]
+    )[..., 0, :]
+    lay = strict_layout_device(
+        q_sel, sample_rate, pre["is_long"], count1_coding, region_table_select
+    )
+    gain_out = jnp.where(has_fit, gains_sel, jnp.minimum(gains_sel + 4, 255))
+    return gain_out.astype(jnp.int32), q_sel, lay
+
+
+def strict_chunks_device(q: jax.Array, lay: dict) -> tuple[jax.Array, jax.Array]:
+    """Per-slot (chunk, nbits) for the strict layout.
+
+    q: [..., 576] int32; lay: strict_layout_device's output for q. Returns
+    chunk/nbits [..., 432]: 288 pair slots then 144 quad slots per granule
+    (write order = ascending position), nbits 0 outside [0, bv) pairs / the
+    count1 quad range. Feed straight into pack_main_data.
+    """
+    av = jnp.minimum(jnp.abs(q), 15)
+    x = av[..., 0::2]
+    y = av[..., 1::2]
+    sx = (q[..., 0::2] < 0).astype(jnp.int32)
+    sy = (q[..., 1::2] < 0).astype(jnp.int32)
+    bv2 = lay["bv"] * 2
+    pairpos = jnp.arange(288, dtype=jnp.int32) * 2
+    region = jnp.where(
+        pairpos < lay["b0"][..., None],
+        0,
+        jnp.where(pairpos < lay["b1"][..., None], 1, 2),
+    )
+    tid_pair = jnp.where(
+        region == 0,
+        lay["tid0"][..., None],
+        jnp.where(region == 1, lay["tid1"][..., None], lay["tid2"][..., None]),
+    )
+    valid = (pairpos < bv2[..., None]) & (tid_pair != 0)
+
+    idx = x * 16 + y
+    code = _pair_code_by_tid(tid_pair, idx)
+    nbits = _pair_len_by_tid(tid_pair, idx)
+    has_x = x != 0
+    chunk = jnp.where(has_x, (code << 1) | sx, code)
+    nbits = nbits + has_x.astype(jnp.int32)
+    has_y = y != 0
+    chunk = jnp.where(has_y, (chunk << 1) | sy, chunk)
+    nbits = nbits + has_y.astype(jnp.int32)
+    pair_chunks = jnp.where(valid, chunk, 0)
+    pair_nbits = jnp.where(valid, nbits, 0)
+
+    # count1 quads: positions align + 4j, align = bv2 & 2; both alignments
+    # computed statically, selected per item.
+    nzs = (av > 0).astype(jnp.int32)
+    sgn = (q < 0).astype(jnp.int32)
+    qpos = jnp.arange(144, dtype=jnp.int32) * 4
+    variants = []
+    for align in (0, 2):
+        if align == 0:
+            quads = nzs[..., :576].reshape(*nzs.shape[:-1], 144, 4)
+            signs = sgn[..., :576].reshape(*sgn.shape[:-1], 144, 4)
+        else:
+            pad = [(0, 0)] * (nzs.ndim - 1) + [(0, 1), (0, 0)]
+            quads = jnp.pad(nzs[..., 2:574].reshape(*nzs.shape[:-1], 143, 4), pad)
+            signs = jnp.pad(sgn[..., 2:574].reshape(*sgn.shape[:-1], 143, 4), pad)
+        patt = quads[..., 0] * 8 + quads[..., 1] * 4 + quads[..., 2] * 2 + quads[..., 3]
+        code_a = _nibble_lookup(_COUNT1A_CODE_WORDS, patt)
+        len_a = _nibble_lookup(_COUNT1A_LEN_WORDS, patt)
+        use_b = lay["c1t"][..., None] == 1
+        qchunk = jnp.where(use_b, 15 - patt, code_a)
+        qnbits = jnp.where(use_b, 4, len_a)
+        for pos in range(4):
+            has = quads[..., pos] == 1
+            qchunk = jnp.where(has, (qchunk << 1) | signs[..., pos], qchunk)
+            qnbits = qnbits + quads[..., pos]
+        start = qpos + align
+        vq = (start >= bv2[..., None]) & (start < (bv2 + 4 * lay["n1"])[..., None])
+        variants.append((jnp.where(vq, qchunk, 0), jnp.where(vq, qnbits, 0)))
+    use2 = ((bv2 & 2) == 2)[..., None]
+    quad_chunks = jnp.where(use2, variants[1][0], variants[0][0])
+    quad_nbits = jnp.where(use2, variants[1][1], variants[0][1])
+
+    return (
+        jnp.concatenate([pair_chunks, quad_chunks], axis=-1),
+        jnp.concatenate([pair_nbits, quad_nbits], axis=-1),
+    )

@@ -260,7 +260,11 @@ def big_values_of(q: np.ndarray) -> int:
 
 
 def quantize_to_fit_budget(
-    spectral: np.ndarray, initial_gain: int, max_bits: int, iso: bool = False
+    spectral: np.ndarray,
+    initial_gain: int,
+    max_bits: int,
+    iso: bool = False,
+    bit_counter=None,
 ) -> tuple[int, np.ndarray, int]:
     """The reference's literal <=20-iteration gain walk
     (MP3Encoder.swift:734-794). Returns (gain, quantized, bits).
@@ -268,6 +272,10 @@ def quantize_to_fit_budget(
     Reproduced quirks: an all-zero first quantization retries once at gain-40;
     on overflow the loop exits with the *reported* gain stepped past the gain
     actually used for the returned quantized values.
+
+    bit_counter(q) -> int overrides the bit-count law (spec-strict entropy
+    layouts); the default is the reference's table-15 pair count over
+    big_values.
     """
     gain = min(max(int(initial_gain), 0), 255)
     quantized = np.zeros(len(spectral), dtype=np.int32)
@@ -277,16 +285,157 @@ def quantize_to_fit_budget(
         if last == 0 and iteration == 0:
             gain = max(gain - 40, 0)
             continue
-        bv = min(min((last + 1) & ~1, 576) // 2, 288)
-        estimated = count_huffman_bits(quantized[: bv * 2])
+        if bit_counter is not None:
+            estimated = bit_counter(quantized)
+        else:
+            bv = min(min((last + 1) & ~1, 576) // 2, 288)
+            estimated = count_huffman_bits(quantized[: bv * 2])
         if estimated <= max_bits:
             break
         gain = min(gain + 4, 255)
         if gain >= 255:
             break
-    bv = big_values_of(quantized)
-    actual_bits = count_huffman_bits(quantized[: bv * 2])
+    if bit_counter is not None:
+        actual_bits = bit_counter(quantized)
+    else:
+        bv = big_values_of(quantized)
+        actual_bits = count_huffman_bits(quantized[: bv * 2])
     return gain, quantized, actual_bits
+
+
+# --- Spec-strict entropy layout (count1_coding / region_table_select) --------
+
+
+def strict_entropy_layout(
+    q: np.ndarray,
+    sample_rate: int,
+    block_type: int,
+    count1_coding: bool,
+    region_table_select: bool,
+) -> dict:
+    """ISO-conforming entropy layout of one granule's quantized spectrum.
+
+    This function IS the layout spec shared by the golden walk, the host
+    packer, and the device bit counter (ops.dsp.strict_*); all three must
+    agree bit-for-bit.
+
+    count1_coding: big_values ends at the last |v|>1 pair (rounded up to a
+    pair); the |v|<=1 tail through the last nonzero is coded as count1
+    quadruples with table A or B (whichever totals fewer bits; A on ties).
+    If the quad region would overrun 576 (possible when 576-bv*2 = 2 mod 4),
+    big_values absorbs one more pair. With the flag off, big_values covers
+    all nonzeros (the reference law) and no quads exist.
+
+    region_table_select: per region, the smallest valid table covering the
+    region's max |value| (tables/huffman.table_for_max; 0 for an all-zero
+    region costs nothing). Region boundaries follow what decoders read:
+    long blocks use the band table at region0/region1 (region_counts law);
+    switching granules use the fixed 36/576 split with only two selects.
+    With the flag off, every region uses table 15 (reference behavior).
+
+    Returns dict: big_values, n_count1, count1table_select, table_select
+    (3-tuple), region0, region1, part23_bits, chunks, nbits (the packer
+    inputs, pair slots then quad slots, already masked).
+    """
+    from ..tables import COUNT1A_CODE, COUNT1A_LEN, HUFFMAN_TABLES, table_for_max
+
+    q = np.asarray(q, dtype=np.int64)
+    av = np.minimum(np.abs(q), 15)
+    nz = np.nonzero(av)[0]
+    l0c = int(nz[-1]) + 1 if nz.size else 0
+    if count1_coding:
+        gt1 = np.nonzero(av > 1)[0]
+        c1 = int(gt1[-1]) + 1 if gt1.size else 0
+        bv2 = min((c1 + 1) & ~1, 576)
+        n1 = (max(l0c - bv2, 0) + 3) // 4
+        if bv2 + 4 * n1 > 576:
+            bv2 += 2
+            n1 = (max(l0c - bv2, 0) + 3) // 4
+    else:
+        bv2 = min(min((l0c + 1) & ~1, 576), 576)
+        n1 = 0
+    bv = min(bv2 // 2, 288)
+    bv2 = bv * 2
+
+    r0, r1 = region_counts(bv, sample_rate)
+    if block_type != BLOCK_LONG:
+        b0, b1 = 36, 576
+    else:
+        bounds = np.cumsum(band_table(sample_rate))
+        b0 = int(bounds[r0])
+        k = r0 + 1 + r1
+        b1 = int(bounds[k]) if k < len(bounds) else 576
+
+    x = av[0:bv2:2]
+    y = av[1:bv2:2]
+    pairpos = np.arange(bv, dtype=np.int64) * 2
+    region = np.where(pairpos < b0, 0, np.where(pairpos < b1, 1, 2))
+
+    if region_table_select:
+        tids = []
+        m_pair = np.maximum(x, y)
+        for r in range(3):
+            sel = m_pair[region == r]
+            tids.append(table_for_max(int(sel.max()) if sel.size else 0))
+        if block_type != BLOCK_LONG:
+            tids[2] = 0  # not read by decoders; not emitted
+    else:
+        tids = [15, 15, 15]
+
+    # pair chunks under each region's table
+    sx = (q[0:bv2:2] < 0).astype(np.int64)
+    sy = (q[1:bv2:2] < 0).astype(np.int64)
+    pair_chunks = np.zeros(bv, dtype=np.int64)
+    pair_nbits = np.zeros(bv, dtype=np.int64)
+    for r in range(3):
+        mask = region == r
+        if not np.any(mask) or tids[r] == 0:
+            continue
+        t = HUFFMAN_TABLES[tids[r]]
+        code = t.codes[x[mask], y[mask]].astype(np.int64)
+        nbits = t.lengths[x[mask], y[mask]].astype(np.int64)
+        has_x = x[mask] != 0
+        chunk = np.where(has_x, (code << 1) | sx[mask], code)
+        nbits = nbits + has_x
+        has_y = y[mask] != 0
+        chunk = np.where(has_y, (chunk << 1) | sy[mask], chunk)
+        nbits = nbits + has_y
+        pair_chunks[mask] = chunk
+        pair_nbits[mask] = nbits
+
+    # count1 quadruples
+    c1t = 0
+    quad_chunks = np.zeros(n1, dtype=np.int64)
+    quad_nbits = np.zeros(n1, dtype=np.int64)
+    if n1:
+        vals = q[bv2 : bv2 + 4 * n1].reshape(n1, 4)
+        nz4 = (vals != 0).astype(np.int64)
+        patt = nz4[:, 0] * 8 + nz4[:, 1] * 4 + nz4[:, 2] * 2 + nz4[:, 3]
+        nsigns = nz4.sum(axis=1)
+        bits_a = int((COUNT1A_LEN[patt] + nsigns).sum())
+        bits_b = int((4 + nsigns).sum())
+        c1t = 1 if bits_b < bits_a else 0
+        code = (15 - patt) if c1t else COUNT1A_CODE[patt].astype(np.int64)
+        nbits = np.full(n1, 4, dtype=np.int64) if c1t else COUNT1A_LEN[patt].astype(np.int64)
+        chunk = code.astype(np.int64)
+        for pos in range(4):
+            has = nz4[:, pos] == 1
+            sign = (vals[:, pos] < 0).astype(np.int64)
+            chunk = np.where(has, (chunk << 1) | sign, chunk)
+            nbits = nbits + has
+        quad_chunks, quad_nbits = chunk, nbits
+
+    return {
+        "big_values": bv,
+        "n_count1": n1,
+        "count1table_select": c1t,
+        "table_select": tuple(tids),
+        "region0": r0,
+        "region1": r1,
+        "part23_bits": int(pair_nbits.sum() + quad_nbits.sum()),
+        "chunks": np.concatenate([pair_chunks, quad_chunks]),
+        "nbits": np.concatenate([pair_nbits, quad_nbits]),
+    }
 
 
 def region_counts(big_values: int, sample_rate: int) -> tuple[int, int]:

@@ -123,6 +123,8 @@ class BatchEncoder:
                         outs["subblock_gain"][:F, b],
                         outs["main_data"][:F, b],
                         outs["hb"][:F, b],
+                        table_select=outs["table_select"][:F, b],
+                        count1table=outs["count1table"][:F, b],
                     )
                 )
             return emitted

@@ -28,7 +28,16 @@ from .mdct import (
     START_WINDOW,
     STOP_WINDOW,
 )
-from .huffman import HUFFMAN_TABLES, TABLE15_CODE, TABLE15_LEN, HuffmanTable
+from .huffman import (
+    COUNT1A_CODE,
+    COUNT1A_LEN,
+    HUFFMAN_TABLES,
+    SELECT_TABLE_IDS,
+    TABLE15_CODE,
+    TABLE15_LEN,
+    HuffmanTable,
+    table_for_max,
+)
 
 __all__ = [
     "ALIASING_CA",
@@ -47,8 +56,12 @@ __all__ = [
     "SHORT_WINDOW",
     "START_WINDOW",
     "STOP_WINDOW",
+    "COUNT1A_CODE",
+    "COUNT1A_LEN",
+    "SELECT_TABLE_IDS",
     "TABLE15_CODE",
     "TABLE15_LEN",
+    "table_for_max",
     "band_count",
     "band_table",
     "bitrate_index",

@@ -59,3 +59,33 @@ HUFFMAN_TABLES: dict[int, HuffmanTable] = {
 # (index = x * 16 + y).
 TABLE15_LEN = HUFFMAN_TABLES[15].lengths.reshape(-1).copy()
 TABLE15_CODE = HUFFMAN_TABLES[15].codes.reshape(-1).copy()
+
+# --- count1 (quadruple) tables, ISO Table B.7 ---------------------------------
+# Indexed by the quadruple's nonzero pattern v*8 + w*4 + x*2 + y (v first in
+# the stream). Table A is a variable-length code; table B is the fixed 4-bit
+# code 15 - pattern. Used by the spec-strict count1_coding flag; the decode
+# oracle carries an independent copy (cross-checked in tests).
+COUNT1A_LEN = np.array(
+    [1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6], dtype=np.int32
+)
+COUNT1A_CODE = np.array(
+    [1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1], dtype=np.int32
+)
+
+# Spec-strict per-region table choice: smallest VALID table covering the
+# region's max |value| (the reference's generic selectTable walks
+# 1->2->5->7->10->15, MP3Encoder.swift:1763-1778, but its tables 10/13 are
+# corrupt — see decoder/tables.py — so the strict path skips 10).
+SELECT_TABLE_IDS = (1, 2, 5, 7, 15)
+SELECT_TABLE_MAXVALS = (1, 2, 3, 5, 15)
+
+
+def table_for_max(max_value: int) -> int:
+    """Smallest valid Huffman table id covering `max_value` (0 = no table:
+    the region is all zeros and costs no bits)."""
+    if max_value == 0:
+        return 0
+    for tid, mv in zip(SELECT_TABLE_IDS, SELECT_TABLE_MAXVALS):
+        if max_value <= mv:
+            return tid
+    return 15

@@ -95,6 +95,134 @@ def test_iso_crc_native_renderer_matches():
     assert all(verify_frame_crcs(got))
 
 
+# --- count1_coding / region_table_select (entropy upgrade) ---------------------
+
+
+def _noise(seconds=2.0, sr=44100, seed=9, amp=0.4):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(int(seconds * sr)).astype(np.float32)
+    for i in range(1, 6):
+        x[i:] += x[:-i] / (i + 1)
+    return (amp * x / np.abs(x).max()).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        dict(count1_coding=True),
+        dict(region_table_select=True),
+        dict(count1_coding=True, region_table_select=True),
+    ],
+)
+def test_entropy_flags_backends_agree_and_decode(flags):
+    pcm = _noise(1.2)
+    opts = MP3EncoderOptions(
+        mode=Mode.MONO, bitrate_kbps=96, reservoir_mode="aligned",
+        iso_quantization=True, **flags,
+    )
+    a = _encode(opts, pcm, "numpy")
+    b = _encode(opts, pcm, "tpu")
+    assert a == b
+    frames = parse_frames(b)
+    dec = decode_mp3(b)
+    assert dec.frame_count == len(frames)
+    assert dec.pcm.shape[0] == len(frames) * 1152  # every frame decodable
+
+
+def test_entropy_flags_emit_side_info_fields():
+    """Streams actually use the new fields: at least one granule with a
+    non-15 table_select and one with count1table/quads in play."""
+    from swiftmp3_tpu.decoder.decoder import parse_frame
+
+    pcm = _noise(1.0, seed=4, amp=0.25)
+    opts = MP3EncoderOptions.spec_strict(mode=Mode.MONO, bitrate_kbps=96)
+    data = _encode(opts, pcm)
+    tids = set()
+    c1ts = set()
+    i = 0
+    while i + 4 <= len(data):
+        fi = parse_frame(data, i)
+        for gr in fi.granules:
+            for g in gr:
+                tids.update(g.table_select[:2])
+                c1ts.add(g.count1table_select)
+        i += fi.size
+    assert any(t not in (0, 15) for t in tids), tids  # smaller tables chosen
+    assert 10 not in tids and 13 not in tids  # corrupt tables never emitted
+
+
+def test_entropy_flags_improve_low_bitrate_snr():
+    from swiftmp3_tpu.decoder import decode_mp3 as dec_fn
+    from swiftmp3_tpu.utils.quality import measure_quality
+
+    pcm = _noise(2.0)
+    base = MP3EncoderOptions(
+        mode=Mode.MONO, bitrate_kbps=64, reservoir_mode="aligned",
+        iso_quantization=True,
+    )
+    snrs = {}
+    for label, opts in [
+        ("off", base),
+        ("on", base.replace(count1_coding=True, region_table_select=True)),
+    ]:
+        dec = dec_fn(_encode(opts, pcm))
+        snrs[label] = measure_quality(pcm, dec.pcm[:, 0], 44100).snr_db
+    assert snrs["on"] > snrs["off"] + 1.5, snrs
+
+
+def test_entropy_flags_native_renderer_matches():
+    from swiftmp3_tpu.parallel import encode_batch
+
+    pcm = _noise(1.0, seed=7)
+    opts = MP3EncoderOptions.spec_strict(mode=Mode.STEREO, bitrate_kbps=128)
+    want = _encode(opts, pcm_st := np.repeat(pcm, 2), "tpu")
+    got = encode_batch(opts, [pcm_st], frames_per_step=4)[0]
+    assert got == want
+
+
+def test_device_layout_matches_golden_fuzz():
+    """Random quantized spectra: device layout integers + packed bytes must
+    equal ops.reference.strict_entropy_layout exactly."""
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.io.huffman_pack import pack_chunks
+    from swiftmp3_tpu.ops import dsp
+    from swiftmp3_tpu.ops.reference import strict_entropy_layout
+
+    rng = np.random.default_rng(1)
+    for trial in range(60):
+        n_big = int(rng.integers(0, 576))
+        q = np.zeros(576, dtype=np.int32)
+        q[:n_big] = rng.integers(-15, 16, n_big)
+        if n_big < 576 and rng.random() < 0.7:
+            idxs = rng.choice(np.arange(n_big, 576), size=min(16, 576 - n_big), replace=False)
+            q[idxs] = rng.choice([-1, 1], size=len(idxs))
+        sr = [44100, 48000, 32000][trial % 3]
+        block = [0, 2, 1][trial % 3]
+        c1, ts = bool(trial & 1), bool(trial & 2) or trial % 5 == 0
+        g = strict_entropy_layout(q, sr, block, c1, ts)
+        lay = dsp.strict_layout_device(
+            jnp.asarray(q)[None], sr, jnp.asarray([block == 0]), c1, ts
+        )
+        lay_np = {k: np.asarray(v)[0] for k, v in lay.items()}
+        assert lay_np["bits"] == g["part23_bits"], (trial, lay_np, g)
+        assert (
+            lay_np["bv"],
+            lay_np["n1"],
+            lay_np["c1t"],
+            (lay_np["tid0"], lay_np["tid1"], lay_np["tid2"]),
+        ) == (g["big_values"], g["n_count1"], g["count1table_select"], g["table_select"])
+        ch_d, nb_d = dsp.strict_chunks_device(
+            jnp.asarray(q)[None], {k: jnp.asarray(v)[None] for k, v in lay_np.items()}
+        )
+        ch_d, nb_d = np.asarray(ch_d)[0], np.asarray(nb_d)[0]
+        bytes_d, _ = pack_chunks(
+            ch_d[nb_d > 0].astype(np.int64), nb_d[nb_d > 0].astype(np.int64)
+        )
+        bytes_g, _ = pack_chunks(g["chunks"][g["nbits"] > 0], g["nbits"][g["nbits"] > 0])
+        assert bytes_d == bytes_g, trial
+
+
 # --- spec_strict preset ----------------------------------------------------------
 
 
