@@ -292,19 +292,27 @@ def _decode_count1_a(r: BitReader) -> list[int]:
     raise ValueError("invalid count1 code")
 
 
-def _requantize(q: np.ndarray, g: GranuleSide, sample_rate: int) -> np.ndarray:
-    """ISO 2.4.3.4 requantization (scalefactors are all zero for our
-    encoder's scalefac_compress=0 streams)."""
+def _requantize(
+    q: np.ndarray, g: GranuleSide, sample_rate: int, scalefacs=None
+) -> np.ndarray:
+    """ISO 2.4.3.4 requantization: xr = |q|^(4/3) * 2^((gain-210)/4) *
+    2^(-(scalefac_scale+1)*(scalefac + preflag*pretab)) per long band."""
     gain_exp = 0.25 * (g.global_gain - 210)
     mag = np.abs(q).astype(np.float64) ** (4.0 / 3.0)
     xr = mag * (2.0 ** gain_exp)
-    if g.preflag and not (g.window_switching and g.block_type == 2):
+    apply_pre = g.preflag and not (g.window_switching and g.block_type == 2)
+    have_sf = scalefacs is not None and any(scalefacs)
+    if apply_pre or have_sf:
         bands = band_table(sample_rate)
         scale_mult = 0.5 * (g.scalefac_scale + 1)
         cursor = 0
         for band_idx, width in enumerate(bands):
             end = min(cursor + int(width), 576)
-            xr[cursor:end] *= 2.0 ** (-scale_mult * 2.0 * PRETAB[band_idx])
+            sf = scalefacs[band_idx] if scalefacs is not None else 0
+            pre = PRETAB[band_idx] if apply_pre else 0
+            total = sf + pre
+            if total:
+                xr[cursor:end] *= 2.0 ** (-scale_mult * 2.0 * total)
             cursor = end
     return (np.sign(q) * xr).astype(np.float32)
 
@@ -469,12 +477,15 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
                 part_start = r.pos
                 # scalefactors (slen bits; zero for scalefac_compress=0)
                 slen1, slen2 = SLEN[g.scalefac_compress]
+                scalefacs = None
                 if g.window_switching and g.block_type == 2 and not g.mixed_block_flag:
                     n_sf_bits = 6 * 3 * slen1 + 6 * 3 * slen2
+                    if n_sf_bits:
+                        r.read(n_sf_bits)  # short-block sfs: parsed, unused
                 else:
-                    n_sf_bits = 11 * slen1 + 10 * slen2
-                if n_sf_bits:
-                    r.read(n_sf_bits)
+                    scalefacs = [r.read(slen1) for _ in range(11)] + [
+                        r.read(slen2) for _ in range(10)
+                    ]
                 try:
                     q = _decode_granule_spectrum(r, g, sr, part_start)
                 except (ValueError, IndexError):
@@ -482,7 +493,7 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
                     break
                 # jump to the granule's declared end (robustness)
                 r.pos = part_start + g.part23_length
-                xr = _requantize(q, g, sr)
+                xr = _requantize(q, g, sr, scalefacs)
                 if not (g.window_switching and g.block_type == 2 and not g.mixed_block_flag):
                     xr = _alias_reduce_decode(xr)
                 sub = _imdct_granule(xr, g, overlaps[ch])

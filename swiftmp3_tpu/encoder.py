@@ -153,26 +153,38 @@ class GoldenBackend:
                 # Masking thresholds are computed-but-unused in the reference
                 # (MP3Encoder.swift:961 vs :734-744); skipped here — no effect
                 # on any output. See ops.reference.masking_thresholds.
-                gain0 = ref.compute_global_gain(spectrum, iso=opts.iso_quantization)
+                sfd = None
+                if opts.real_scalefactors:
+                    sfd = ref.strict_scalefactors(spectrum, sr, block)
+                    gain0 = ref.compute_global_gain_scaled(spectrum, sfd["mag_scale"])
+                else:
+                    gain0 = ref.compute_global_gain(spectrum, iso=opts.iso_quantization)
                 self.vbr.update(gain0, ref.frame_energy(gsamples))
                 counter = None
                 if strict:
-                    counter = lambda qq, _b=block: ref.strict_entropy_layout(  # noqa: E731
+                    part2 = sfd["part2_bits"] if sfd else 0
+                    counter = lambda qq, _b=block, _p2=part2: _p2 + ref.strict_entropy_layout(  # noqa: E731
                         qq, sr, _b, opts.count1_coding, opts.region_table_select
                     )["part23_bits"]
-                gain, q, bits = ref.quantize_to_fit_budget(
-                    spectrum,
-                    gain0,
-                    bits_per_granule,
-                    iso=opts.iso_quantization,
-                    bit_counter=counter,
-                )
+                if sfd is not None:
+                    gain, q, bits = ref.quantize_to_fit_budget_scaled(
+                        spectrum, sfd["mag_scale"], gain0, bits_per_granule, counter
+                    )
+                else:
+                    gain, q, bits = ref.quantize_to_fit_budget(
+                        spectrum,
+                        gain0,
+                        bits_per_granule,
+                        iso=opts.iso_quantization,
+                        bit_counter=counter,
+                    )
                 if opts.iso_quantization:
                     # unit-gain law applies no pre-emphasis; emitting
                     # preflag=1 would make ISO decoders attenuate top bands
                     preflag = False
                 else:
                     preflag = ref.pre_emphasis(spectrum, np.ones(576, dtype=np.float32))
+                scfc = 0
                 if strict:
                     layout = ref.strict_entropy_layout(
                         q, sr, block, opts.count1_coding, opts.region_table_select
@@ -181,6 +193,11 @@ class GoldenBackend:
                     r0, r1 = layout["region0"], layout["region1"]
                     tsel = layout["table_select"]
                     c1t = layout["count1table_select"]
+                    if sfd is not None:
+                        scfc = sfd["compress"]
+                        sf_chunks, sf_nbits = ref.scalefactor_chunks(sfd)
+                        strict_chunks.append(sf_chunks)
+                        strict_nbits.append(sf_nbits)
                     strict_chunks.append(layout["chunks"])
                     strict_nbits.append(layout["nbits"])
                 else:
@@ -197,7 +214,7 @@ class GoldenBackend:
                     part23_length=bits,
                     big_values=bv,
                     global_gain=gain,
-                    scalefac_compress=0,
+                    scalefac_compress=scfc,
                     window_switching=0 if block == ref.BLOCK_LONG else 1,
                     block_type=block,
                     mixed_block_flag=1 if block == ref.BLOCK_MIXED else 0,

@@ -112,7 +112,6 @@ def make_chunk_fn(options: MP3EncoderOptions):
     aligned = options.reservoir_mode == "aligned"
     iso_quant = options.iso_quantization
     strict_entropy = options.spec_strict_entropy
-    slot_width = 432 if strict_entropy else 288  # pair (+quad) slots/granule
 
     def run(carry, pcm, final, valid):
         if pcm.dtype == jnp.int16:
@@ -164,9 +163,16 @@ def make_chunk_fn(options: MP3EncoderOptions):
         spectra, cur = dsp.mdct_chunk(S, carry["overlap"], block_seq)
         spectra = spectra.reshape(B, ch, T, 2, 576)  # [B,ch,T,gr,576]
 
-        g0 = dsp.initial_gain(spectra, iso=iso_quant)  # [B, ch, T, gr]
         if strict_entropy:
             is_long_b = block_b == dsp.BLOCK_LONG  # [B, ch, T, 2]
+            if options.real_scalefactors:
+                sfd = dsp.strict_scalefactors_device(spectra, sr, is_long_b)
+                g0 = dsp.initial_gain_scaled(spectra, sfd["mag_scale"])
+                mag_scale, part2 = sfd["mag_scale"], sfd["part2"]
+            else:
+                sfd = None
+                g0 = dsp.initial_gain(spectra, iso=iso_quant)
+                mag_scale = part2 = None
             pre = dsp.rate_loop_precompute_strict(
                 spectra,
                 g0,
@@ -175,8 +181,12 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 iso_quant,
                 options.count1_coding,
                 options.region_table_select,
+                mag_scale=mag_scale,
+                part2=part2,
             )
         else:
+            sfd = None
+            g0 = dsp.initial_gain(spectra, iso=iso_quant)  # [B, ch, T, gr]
             pre = dsp.rate_loop_precompute(spectra, g0, iso=iso_quant)
 
         def tm(x):  # [B, ch, T, gr, ...] -> time-major granule-major [T, B, G, ...]
@@ -300,6 +310,14 @@ def make_chunk_fn(options: MP3EncoderOptions):
             ts0_b, ts1_b, ts2_b = lay["tid0"], lay["tid1"], lay["tid2"]
             c1t_b = lay["c1t"]
             chunks, nb = dsp.strict_chunks_device(quantized, lay)
+            if sfd is not None:
+                # scalefactor bits lead each granule's main_data (part2)
+                sf_chunks, sf_nbits = dsp.scalefactor_chunks_device(sfd)
+                chunks = jnp.concatenate([sf_chunks, chunks], axis=-1)
+                nb = jnp.concatenate([sf_nbits, nb], axis=-1)
+                scfc_b = sfd["compress"]
+            else:
+                scfc_b = jnp.zeros_like(big_values_b)
         else:
             gain_b, quantized, big_values_b = dsp.rate_loop_finalize(
                 pre, bm(k_sel), bm(has_fit)
@@ -308,6 +326,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
             fifteen = jnp.full_like(big_values_b, 15)
             ts0_b = ts1_b = ts2_b = fifteen
             c1t_b = jnp.zeros_like(big_values_b)
+            scfc_b = jnp.zeros_like(big_values_b)
             chunks, nb = dsp.pair_chunks_device(quantized, big_values_b)
         if iso_quant:
             # With the unit-gain law no pre-emphasis is applied in the
@@ -356,6 +375,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 tm(sb_gain_b).reshape(T, B, 3 * n_gran),
                 table_sel,
                 tm(c1t_b),
+                tm(scfc_b),
             ],
             axis=-1,
         ).astype(jnp.int32)
@@ -432,7 +452,10 @@ def fetch_outputs(outs, options: MP3EncoderOptions) -> dict:
     d["table_select"] = meta[..., o : o + 3 * n_gran].reshape(T, B, n_gran, 3)
     o += 3 * n_gran
     d["count1table"] = meta[..., o : o + n_gran]
-    # per-frame Huffman byte counts; pack truncation is checked by renderers
+    o += n_gran
+    d["scalefac_compress"] = meta[..., o : o + n_gran]
+    # per-frame main_data byte counts (incl. part2 scalefactor bits when
+    # real_scalefactors is on); pack truncation is checked by renderers
     d["hb"] = (d["part23"].sum(axis=-1) + 7) // 8
     return d
 
@@ -452,7 +475,7 @@ def frame_results_from_outputs(
             part23_length=int(outs["part23"][t, b, g]),
             big_values=int(outs["big_values"][t, b, g]),
             global_gain=int(outs["gain"][t, b, g]),
-            scalefac_compress=0,
+            scalefac_compress=int(outs["scalefac_compress"][t, b, g]),
             window_switching=0 if block == dsp.BLOCK_LONG else 1,
             block_type=block,
             mixed_block_flag=1 if block == dsp.BLOCK_MIXED else 0,

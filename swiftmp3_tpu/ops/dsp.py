@@ -1082,12 +1082,20 @@ def rate_loop_precompute_strict(
     iso: bool,
     count1_coding: bool,
     region_table_select: bool,
+    mag_scale: jax.Array = None,
+    part2: jax.Array = None,
 ) -> dict:
     """Strict-entropy twin of rate_loop_precompute: candidate bit counts use
     the spec-strict layout law instead of table-15-everything. Walk
-    semantics (gain grid, -40 retry, evaluated rule) are identical."""
+    semantics (gain grid, -40 retry, evaluated rule) are identical.
+
+    mag_scale/part2 (real_scalefactors): per-coefficient 2^(0.75*sf)
+    magnitude amplification, and the granule's scalefactor bits added to
+    every candidate's bit count (part2 rides inside part2_3_length)."""
     absx = jnp.maximum(jnp.abs(spectrum), _F32(1e-10))
     mag = jnp.power(absx, _F32(0.75))
+    if mag_scale is not None:
+        mag = mag * mag_scale
     sign_neg = spectrum < 0
 
     g0 = jnp.clip(init_gain, 0, 255)
@@ -1104,13 +1112,16 @@ def rate_loop_precompute_strict(
     lay = strict_layout_device(
         qk, sample_rate, is_long[..., None], count1_coding, region_table_select
     )
+    bits = lay["bits"]
+    if part2 is not None:
+        bits = bits + part2[..., None]
     evaluated = (k == 0) | (gains < 255)
     return {
         "mag": mag,
         "sign_neg": sign_neg,
         "gstart": gstart,
         "k_budget": k_budget.astype(jnp.int32),
-        "bits": lay["bits"],
+        "bits": bits,
         "bv": lay["bv"],
         "evaluated": evaluated,
         "iso": iso,
@@ -1210,3 +1221,116 @@ def strict_chunks_device(q: jax.Array, lay: dict) -> tuple[jax.Array, jax.Array]
         jnp.concatenate([pair_chunks, quad_chunks], axis=-1),
         jnp.concatenate([pair_nbits, quad_nbits], axis=-1),
     )
+
+
+# --- Spec-strict real scalefactors (device twin of reference.strict_scalefactors)
+
+from ..ops.reference import SLEN_TABLE as _SLEN_TABLE  # noqa: E402
+
+_SF_MULT34_NP = (2.0 ** (0.75 * np.arange(16, dtype=np.float64))).astype(np.float32)
+_QUARTER_POS = (2.0 ** (np.arange(4) / 4.0)).astype(np.float32)  # 2^(r/4)
+
+
+def sf_mult34_lookup(sf: jax.Array) -> jax.Array:
+    """float32 2^(0.75*sf) for sf in [0, 15], gather-free (3sf/4 = q + r/4;
+    exact ldexp reconstruction, validated against the float64-built table)."""
+    e = 3 * sf
+    qq = e >> 2
+    r = e & 3
+    c = _select_tree(r, _QUARTER_POS.view(np.uint32), 0, 4)
+    base = jax.lax.bitcast_convert_type(c, jnp.float32)
+    return jnp.ldexp(base, qq).astype(jnp.float32)
+
+
+def _band_members(sample_rate: int) -> np.ndarray:
+    bands = band_table(sample_rate)
+    bounds = np.concatenate([[0], np.cumsum(bands)]).astype(np.int64)
+    coef = np.arange(576)
+    return np.stack(
+        [(coef >= bounds[b]) & (coef < bounds[b + 1]) for b in range(21)]
+    )  # [21, 576] bool
+
+
+_BAND_MEMBERS = {sr: _band_members(sr) for sr in (44100, 48000, 32000)}
+_SLEN1_NP = np.array([s[0] for s in _SLEN_TABLE], dtype=np.uint32)
+_SLEN2_NP = np.array([s[1] for s in _SLEN_TABLE], dtype=np.uint32)
+
+
+def strict_scalefactors_device(
+    spectrum: jax.Array, sample_rate: int, is_long: jax.Array
+) -> dict:
+    """Per-granule scalefactors for real_scalefactors. spectrum [..., 576];
+    is_long [...] bool. Returns dict: sf [..., 21] int32, compress, slen1,
+    slen2, part2 [...] int32, mag_scale [..., 576] f32 (1.0 where not long).
+
+    Exponent-difference law (see reference.strict_scalefactors): bit-exact
+    vs the golden because jnp.frexp/np.frexp agree on float32 exactly.
+    """
+    members = _BAND_MEMBERS.get(sample_rate, _BAND_MEMBERS[44100])
+    absx = jnp.abs(spectrum)
+    gp = jnp.max(absx, axis=-1)
+    _, ge = jnp.frexp(gp)
+
+    sfs = []
+    for b in range(21):
+        pb = jnp.max(jnp.where(members[b], absx, 0.0), axis=-1)
+        _, pe = jnp.frexp(pb)
+        cap = 15 if b < 11 else 7
+        sf_b = jnp.clip((ge - pe) // 3, 0, cap)
+        sf_b = jnp.where((pb > 0) & (gp > 0) & is_long, sf_b, 0)
+        sfs.append(sf_b.astype(jnp.int32))
+    sf = jnp.stack(sfs, axis=-1)  # [..., 21]
+
+    def bitlen(m):
+        return jnp.where(
+            m == 0, 0, jnp.where(m <= 1, 1, jnp.where(m <= 3, 2, jnp.where(m <= 7, 3, 4)))
+        )
+
+    need1 = bitlen(jnp.max(sf[..., :11], axis=-1))
+    need2 = bitlen(jnp.max(sf[..., 11:], axis=-1))
+    compress = jnp.full(need1.shape, 15, dtype=jnp.int32)
+    for c in range(15, -1, -1):  # descending: the smallest valid index wins
+        s1, s2 = _SLEN_TABLE[c]
+        ok = (need1 <= s1) & (need2 <= s2)
+        compress = jnp.where(ok, c, compress)
+    slen1 = _select_tree(compress, _SLEN1_NP, 0, 16).astype(jnp.int32)
+    slen2 = _select_tree(compress, _SLEN2_NP, 0, 16).astype(jnp.int32)
+    part2 = 11 * slen1 + 10 * slen2
+
+    mult_b = sf_mult34_lookup(sf)  # [..., 21]
+    mag_scale = jnp.ones(spectrum.shape, dtype=jnp.float32)
+    for b in range(21):
+        mag_scale = jnp.where(
+            members[b], jnp.where(sf[..., b : b + 1] > 0, mult_b[..., b : b + 1], 1.0), mag_scale
+        )
+    return {
+        "sf": sf,
+        "compress": compress,
+        "slen1": slen1,
+        "slen2": slen2,
+        "part2": part2.astype(jnp.int32),
+        "mag_scale": mag_scale,
+    }
+
+
+def initial_gain_scaled(spectrum: jax.Array, mag_scale: jax.Array) -> jax.Array:
+    """ISO-law initial gain from scalefactor-scaled magnitudes (twin of
+    reference.compute_global_gain_scaled)."""
+    absv = jnp.maximum(jnp.abs(spectrum), _F32(1e-10))
+    mag = jnp.power(absv, _F32(0.75)) * mag_scale
+    peak_pow = jnp.max(mag, axis=-1)
+    ratio = peak_pow / _F32(15.0)
+    safe_ratio = jnp.maximum(ratio, _F32(1e-30))
+    gain = 210 + jnp.trunc(_F32(16.0 / 3.0) * jnp.log2(safe_ratio)).astype(jnp.int32)
+    gain = jnp.clip(gain, 0, 255)
+    raw_peak = jnp.max(jnp.abs(spectrum), axis=-1)
+    return jnp.where(raw_peak > 0, gain, 210).astype(jnp.int32)
+
+
+def scalefactor_chunks_device(sfd: dict) -> tuple[jax.Array, jax.Array]:
+    """(chunks, nbits) for the 21 scalefactor slots per granule (band order,
+    slen1 bits for bands 0-10 then slen2 for 11-20; slen 0 writes nothing)."""
+    sf = sfd["sf"]
+    n1 = jnp.broadcast_to(sfd["slen1"][..., None], sf[..., :11].shape)
+    n2 = jnp.broadcast_to(sfd["slen2"][..., None], sf[..., 11:].shape)
+    return sf, jnp.concatenate([n1, n2], axis=-1).astype(jnp.int32)

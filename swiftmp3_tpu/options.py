@@ -94,6 +94,13 @@ class MP3EncoderOptions:
     #   table_select emitted per region; the reference hardcodes table 15
     #   everywhere (MP3Encoder.swift:717).
     region_table_select: bool = False
+    # real_scalefactors: per-band peak-normalizing scalefactors with
+    #   scalefac_compress emission — the reference's declared-but-dead
+    #   ScaleFactorBands.scale/ScaleFactorCompression machinery made real
+    #   (law in ops.reference.strict_scalefactors). Long-block granules
+    #   only; requires iso_quantization (the amplification must cancel at
+    #   unit gain on ISO decoders).
+    real_scalefactors: bool = False
 
     def __post_init__(self):
         # Quality is clamped, not rejected (MP3Encoder.swift:110).
@@ -105,6 +112,11 @@ class MP3EncoderOptions:
                 f"reservoir_mode must be 'compat' or 'aligned', got "
                 f"{self.reservoir_mode!r}"
             )
+        if self.real_scalefactors and not self.iso_quantization:
+            raise ValueError(
+                "real_scalefactors requires iso_quantization (the per-band "
+                "amplification only cancels at unit gain under the ISO law)"
+            )
 
     @property
     def channels(self) -> int:
@@ -112,9 +124,10 @@ class MP3EncoderOptions:
 
     @property
     def spec_strict_entropy(self) -> bool:
-        """True when the entropy-coding layout differs from reference parity
-        (affects bit counting, packing, and side-info fields)."""
-        return self.count1_coding or self.region_table_select
+        """True when the main_data layout differs from reference parity
+        (affects bit counting, packing, and side-info fields); includes
+        real_scalefactors, whose part2 bits ride in main_data."""
+        return self.count1_coding or self.region_table_select or self.real_scalefactors
 
     @classmethod
     def spec_strict(cls, **kwargs) -> "MP3EncoderOptions":
@@ -127,6 +140,7 @@ class MP3EncoderOptions:
             iso_crc=True,
             count1_coding=True,
             region_table_select=True,
+            real_scalefactors=True,
         )
         base.update(kwargs)
         return cls(**base)

@@ -125,6 +125,7 @@ class BatchEncoder:
                         outs["hb"][:F, b],
                         table_select=outs["table_select"][:F, b],
                         count1table=outs["count1table"][:F, b],
+                        scalefac_compress=outs["scalefac_compress"][:F, b],
                     )
                 )
             return emitted

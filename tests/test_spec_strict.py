@@ -223,6 +223,91 @@ def test_device_layout_matches_golden_fuzz():
         assert bytes_d == bytes_g, trial
 
 
+# --- real_scalefactors -----------------------------------------------------------
+
+
+def test_real_scalefactors_requires_iso_quantization():
+    with pytest.raises(ValueError):
+        MP3EncoderOptions(real_scalefactors=True)
+
+
+def test_real_scalefactors_backends_agree_and_decode():
+    pcm = _noise(1.2, seed=5)
+    opts = MP3EncoderOptions(
+        mode=Mode.MONO, bitrate_kbps=96, reservoir_mode="aligned",
+        iso_quantization=True, count1_coding=True, region_table_select=True,
+        real_scalefactors=True,
+    )
+    a = _encode(opts, pcm, "numpy")
+    b = _encode(opts, pcm, "tpu")
+    assert a == b
+    frames = parse_frames(b)
+    dec = decode_mp3(b)
+    assert dec.frame_count == len(frames)
+    assert dec.pcm.shape[0] == len(frames) * 1152
+
+
+def test_real_scalefactors_emitted_and_improve_tonal_snr():
+    """scalefac_compress actually varies, and tonal SNR improves (the
+    declared-but-dead reference machinery made real, MP3Encoder.swift:
+    1831-1876, 2016-2037)."""
+    from swiftmp3_tpu.decoder.decoder import parse_frame
+    from swiftmp3_tpu.utils.quality import measure_quality
+
+    sr = 44100
+    t = np.arange(2 * sr) / sr
+    multi = (
+        0.3 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 2093 * t)
+        + 0.1 * np.sin(2 * np.pi * 7040 * t)
+    ).astype(np.float32)
+    base = MP3EncoderOptions(
+        mode=Mode.MONO, reservoir_mode="aligned", iso_quantization=True,
+        count1_coding=True, region_table_select=True,
+    )
+    data_off = _encode(base, multi)
+    data_on = _encode(base.replace(real_scalefactors=True), multi)
+    compresses = set()
+    i = 0
+    while i + 4 <= len(data_on):
+        fi = parse_frame(data_on, i)
+        for gr in fi.granules:
+            for g in gr:
+                compresses.add(g.scalefac_compress)
+        i += fi.size
+    assert any(c > 0 for c in compresses), compresses
+    snr_off = measure_quality(multi, decode_mp3(data_off).pcm[:, 0], sr).snr_db
+    snr_on = measure_quality(multi, decode_mp3(data_on).pcm[:, 0], sr).snr_db
+    assert snr_on > snr_off + 0.5, (snr_off, snr_on)
+
+
+def test_scalefactor_device_matches_golden():
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.ops import dsp
+    from swiftmp3_tpu.ops.reference import strict_scalefactors
+
+    rng = np.random.default_rng(2)
+    for trial in range(40):
+        spec = (rng.standard_normal(576) * 10 ** rng.uniform(-6, 1)).astype(np.float32)
+        if trial % 7 == 0:
+            spec[rng.integers(0, 576, 100)] = 0.0
+        if trial % 11 == 0:
+            spec[:] = 0.0
+        sr = [44100, 48000, 32000][trial % 3]
+        block = 0 if trial % 4 else 2
+        g = strict_scalefactors(spec, sr, block)
+        d = dsp.strict_scalefactors_device(
+            jnp.asarray(spec)[None], sr, jnp.asarray([block == 0])
+        )
+        np.testing.assert_array_equal(np.asarray(d["sf"])[0], g["sf"], err_msg=str(trial))
+        assert int(np.asarray(d["compress"])[0]) == g["compress"]
+        assert int(np.asarray(d["part2"])[0]) == g["part2_bits"]
+        np.testing.assert_array_equal(
+            np.asarray(d["mag_scale"])[0], g["mag_scale"], err_msg=str(trial)
+        )
+
+
 # --- spec_strict preset ----------------------------------------------------------
 
 
