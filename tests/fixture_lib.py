@@ -96,6 +96,41 @@ FIXTURES = [
         0.37,
         8,
     ),
+    # spec-strict surface (round 2 flags), pinned like the compat surface
+    (
+        "strict_full_mono_44k_noise",
+        dict(
+            mode=Mode.MONO,
+            reservoir_mode="aligned",
+            iso_quantization=True,
+            iso_crc=True,
+            crc_protected=True,
+            count1_coding=True,
+            region_table_select=True,
+            real_scalefactors=True,
+        ),
+        "noise",
+        0.40,
+        9,
+    ),
+    (
+        "strict_full_stereo_48k_mix",
+        dict(
+            mode=Mode.STEREO,
+            sample_rate=48000,
+            bitrate_kbps=160,
+            reservoir_mode="aligned",
+            iso_quantization=True,
+            iso_crc=True,
+            crc_protected=True,
+            count1_coding=True,
+            region_table_select=True,
+            real_scalefactors=True,
+        ),
+        "mix",
+        0.37,
+        10,
+    ),
 ]
 
 
