@@ -187,7 +187,12 @@ def make_chunk_fn(options: MP3EncoderOptions):
         else:
             sfd = None
             g0 = dsp.initial_gain(spectra, iso=iso_quant)  # [B, ch, T, gr]
-            pre = dsp.rate_loop_precompute(spectra, g0, iso=iso_quant)
+            pre = dsp.rate_loop_precompute(
+                spectra,
+                g0,
+                iso=iso_quant,
+                use_pallas=jax.devices()[0].platform == "tpu",
+            )
 
         def tm(x):  # [B, ch, T, gr, ...] -> time-major granule-major [T, B, G, ...]
             return jnp.transpose(

@@ -125,3 +125,137 @@ def polyphase_chunk_pallas(
 
     S = S[:N].reshape(*lead, T36, 32)
     return S, x_full
+
+
+# --- Rate-loop 20-gain sweep kernel -------------------------------------------
+# Fuses quantization + table-15 bit counting across all N_GAIN_CANDIDATES
+# gains for a tile of granules, keeping every intermediate (the [.., 20, 576]
+# quantized candidates the XLA path materializes) in registers/VMEM. The
+# where-tree LUT and the exact ldexp step reconstruction are the same
+# gather-free formulations as ops.dsp (laws identical; tested bit-exact).
+#
+# Layout: the even/odd pair deinterleave happens OUTSIDE the kernel (Mosaic
+# dislikes lane-strided slices): magx/magy [G, 384] (288 pairs zero-padded
+# to 3x128 lanes). Outputs ride in one [G, 128] int32 block: bits at lanes
+# 0..19, big_values at lanes 64..83.
+
+from .dsp import (  # noqa: E402
+    N_GAIN_CANDIDATES,
+    _INV_QUARTER,
+    _INV_STEP_FLOOR,
+    _INV_STEP34_FLOOR,
+    _SIXTEENTH,
+    _T15_LEN_WORDS,
+)
+
+BG = 8  # granule rows per tile
+_PAIR_LANES = 384  # 288 pairs padded to 3*128
+
+
+def _tree_lookup_words(idx, words, lo, hi):
+    """values[idx] for constant uint32 `words` (in-kernel where-tree)."""
+    if hi - lo == 1:
+        return jnp.full(idx.shape, int(words[lo]), dtype=jnp.uint32)
+    mid = (lo + hi) // 2
+    return jnp.where(
+        idx < mid,
+        _tree_lookup_words(idx, words, lo, mid),
+        _tree_lookup_words(idx, words, mid, hi),
+    )
+
+
+_SIXTEENTH_BITS = _SIXTEENTH.view(np.uint32)
+
+
+def _sweep_kernel(magx_ref, magy_ref, gstart_ref, out_ref, *, iso: bool):
+    magx = magx_ref[:, :]
+    magy = magy_ref[:, :]
+    g0 = gstart_ref[:, 0:1]  # [BG, 1] int32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BG, 128), 1)
+    pairpos = jax.lax.broadcasted_iota(jnp.int32, (BG, _PAIR_LANES), 1)
+
+    c0, c1, c2, c3 = (float(x) for x in _INV_QUARTER)
+    acc = jnp.zeros((BG, 128), dtype=jnp.int32)
+    for k in range(N_GAIN_CANDIDATES):
+        g = jnp.minimum(g0 + 4 * k, 255)
+        if iso:
+            # step^-0.75 = 2^(-3(g-210)/16): sixteenth constants + ldexp
+            e = -3 * (g - 210)
+            q_exp = e >> 4
+            r = e - (q_exp << 4)
+            cbits = _tree_lookup_words(r, _SIXTEENTH_BITS, 0, 16)
+            invc = pltpu.bitcast(cbits, jnp.float32)
+            inv = jnp.where(
+                g < 157, jnp.float32(_INV_STEP34_FLOOR), jnp.ldexp(invc, q_exp)
+            )
+        else:
+            d = g - 210
+            q_exp = d >> 2
+            frac = d - (q_exp << 2)
+            invc = jnp.where(
+                frac < 2,
+                jnp.where(frac == 0, c0, c1),
+                jnp.where(frac == 2, c2, c3),
+            ).astype(jnp.float32)
+            inv = jnp.where(
+                g < 157, jnp.float32(_INV_STEP_FLOOR), jnp.ldexp(invc, -q_exp)
+            )  # [BG, 1]
+
+        qx = jnp.minimum(
+            jnp.floor(magx * inv + jnp.float32(0.5)).astype(jnp.int32), 15
+        )
+        qy = jnp.minimum(
+            jnp.floor(magy * inv + jnp.float32(0.5)).astype(jnp.int32), 15
+        )
+        idx = qx * 16 + qy
+        word = _tree_lookup_words(idx >> 3, _T15_LEN_WORDS, 0, 32)
+        shift = ((idx & 7) * 4).astype(jnp.uint32)
+        length = ((word >> shift) & 15).astype(jnp.int32)
+        sign_bits = (qx != 0).astype(jnp.int32) + (qy != 0).astype(jnp.int32)
+
+        nz = (qx != 0) | (qy != 0)
+        bv = jnp.max(jnp.where(nz, pairpos + 1, 0), axis=1, keepdims=True)
+        bits = jnp.sum(
+            jnp.where(pairpos < bv, length + sign_bits, 0), axis=1, keepdims=True
+        )
+        acc = acc + jnp.where(lane == k, bits, 0) + jnp.where(lane == 64 + k, bv, 0)
+    out_ref[:, :] = acc
+
+
+def rate_sweep_pallas(
+    mag: jax.Array, gstart: jax.Array, iso: bool = False, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Candidate (bits, bv) for the 20-gain walk grid.
+
+    mag: [..., 576] f32 (|x|_floored^0.75, possibly scalefactor-scaled);
+    gstart: [...] int32. Returns (bits [..., 20], bv [..., 20]) int32 — the
+    table-15 pair law (twin of the corresponding ops.dsp.rate_loop_precompute
+    internals; gains above 255 clamp, matching inv_step_lookup's clip).
+    iso selects the unit-gain step^-0.75 law (options.iso_quantization).
+    """
+    lead = mag.shape[:-1]
+    N = int(np.prod(lead)) if lead else 1
+    N_pad = ((N + BG - 1) // BG) * BG
+
+    m2 = mag.reshape(N, 576)
+    magx = jnp.pad(m2[:, 0::2], ((0, N_pad - N), (0, _PAIR_LANES - 288)))
+    magy = jnp.pad(m2[:, 1::2], ((0, N_pad - N), (0, _PAIR_LANES - 288)))
+    gs = jnp.pad(gstart.reshape(N).astype(jnp.int32), (0, N_pad - N))
+    gs = jnp.broadcast_to(gs[:, None], (N_pad, 128))
+
+    out = pl.pallas_call(
+        partial(_sweep_kernel, iso=iso),
+        out_shape=jax.ShapeDtypeStruct((N_pad, 128), jnp.int32),
+        grid=(N_pad // BG,),
+        in_specs=[
+            pl.BlockSpec((BG, _PAIR_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, _PAIR_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BG, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(magx, magy, gs)
+
+    bits = out[:N, :N_GAIN_CANDIDATES].reshape(*lead, N_GAIN_CANDIDATES)
+    bv = out[:N, 64 : 64 + N_GAIN_CANDIDATES].reshape(*lead, N_GAIN_CANDIDATES)
+    return bits, bv

@@ -55,3 +55,36 @@ def test_t15_code_lookup_exact():
     idx = np.arange(256, dtype=np.int32)
     got = np.asarray(dsp.t15_code_lookup(jnp.asarray(idx)))
     assert np.array_equal(got, TABLE15_CODE)
+
+
+@pytest.mark.parametrize("iso", [False, True])
+def test_rate_sweep_pallas_matches_xla(iso):
+    """The fused Pallas gain-sweep kernel (interpret mode on CPU) returns
+    bit-identical (bits, bv) to the XLA formulation for both quantization
+    laws."""
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(7)
+    spec = (
+        rng.standard_normal((37, 576)) * 10 ** rng.uniform(-5, 0.5, (37, 1))
+    ).astype(np.float32)
+    spec[3] = 0.0  # silent granule
+    mag = (np.maximum(np.abs(spec), 1e-10) ** 0.75).astype(np.float32)
+    g0 = rng.integers(0, 256, 37).astype(np.int32)
+
+    bits_p, bv_p = pk.rate_sweep_pallas(
+        jnp.asarray(mag), jnp.asarray(g0), iso=iso, interpret=True
+    )
+    gains = jnp.asarray(g0[:, None] + 4 * np.arange(20, dtype=np.int32))
+    qk = dsp.quantize_at_gains(
+        jnp.asarray(mag), jnp.asarray(spec < 0), gains, iso=iso
+    )
+    pair_bits = dsp._count_bits_pairs(qk)
+    bv = dsp.big_values_from_quantized(qk)
+    bits = jnp.sum(
+        jnp.where(jnp.arange(288) < bv[..., None], pair_bits, 0), axis=-1
+    )
+    assert np.array_equal(np.asarray(bits_p), np.asarray(bits))
+    assert np.array_equal(np.asarray(bv_p), np.asarray(bv))
