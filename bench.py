@@ -74,8 +74,11 @@ def main() -> None:
     enable_compilation_cache()
 
     options = MP3EncoderOptions(mode=Mode.STEREO, bitrate_kbps=128, sample_rate=44100)
+    # B=128 x T=64 won a (B, T) sweep for per-chip throughput (7,0xx vs
+    # 5,7xx at 128x32): longer chunks amortize per-chunk fixed costs while
+    # the working set still fits comfortably.
     B = int(os.environ.get("BENCH_BATCH", "128"))
-    T = int(os.environ.get("BENCH_FRAMES", "32"))
+    T = int(os.environ.get("BENCH_FRAMES", "64"))
     n = 1152 * options.channels
     n_iter = int(os.environ.get("BENCH_ITERS", "12"))
     audio_seconds = B * T * 1152 / options.sample_rate
@@ -168,7 +171,8 @@ def main() -> None:
                 "note": "headline = per-chip compute (north-star metric; a "
                 "PCIe production host sees this e2e). e2e_tunnel is this dev "
                 "rig's end-to-end through its ~20-45 MB/s host<->TPU tunnel "
-                "(18.9 MB PCM per 95.7 s-audio step; transport-bound)",
+                f"({mb_up:.1f} MB PCM per {audio_seconds:.0f} s-audio step; "
+                "transport-bound)",
             }
         )
     )
