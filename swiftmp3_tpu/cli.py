@@ -30,6 +30,13 @@ def main(argv=None) -> int:
     )
     p.add_argument("--quality", type=int, default=5, help="0 best .. 9 smallest")
     p.add_argument("--crc", action="store_true", help="CRC-protect frames")
+    p.add_argument(
+        "--spec-strict",
+        action="store_true",
+        help="ISO-conforming output (unit-gain quantization, aligned "
+        "reservoir, count1 + per-region tables, real scalefactors, ISO "
+        "CRC) instead of byte-exact reference-compatible behavior",
+    )
     p.add_argument("--title")
     p.add_argument("--artist")
     p.add_argument("--album")
@@ -56,7 +63,7 @@ def main(argv=None) -> int:
     if args.title or args.artist or args.album:
         tag = ID3Tag(title=args.title, artist=args.artist, album=args.album)
 
-    options = MP3EncoderOptions(
+    common = dict(
         sample_rate=sample_rate,
         bitrate_kbps=args.bitrate,
         vbr=args.vbr,
@@ -65,6 +72,10 @@ def main(argv=None) -> int:
         crc_protected=args.crc,
         id3_tag=tag,
     )
+    if args.spec_strict:
+        options = MP3EncoderOptions.spec_strict(**common)
+    else:
+        options = MP3EncoderOptions(**common)
     enc = MP3Encoder(options, backend=args.backend)
     t0 = time.perf_counter()
     encode_file_sync(enc, pcm, args.output)

@@ -22,7 +22,6 @@ from .io.sideinfo import GranuleInfo
 from .io.xing import build_xing_header
 from .options import (
     MP3EncoderOptions,
-    Mode,
     SAMPLES_PER_FRAME,
     SAMPLES_PER_GRANULE,
     SUBBANDS,

@@ -24,7 +24,7 @@ from ..tables import mode_bits, sample_rate_index
 from .bitwriter import BitstreamWriter
 from .crc import crc16_mpeg
 from .huffman_pack import pack_chunks, pack_frame_main_data
-from .sideinfo import GranuleInfo, build_side_info
+from .sideinfo import build_side_info
 
 
 @dataclass

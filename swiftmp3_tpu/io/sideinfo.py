@@ -9,7 +9,7 @@ preflag/scalefac_scale/count1table_select. Padded to 136/256 bits.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .bitwriter import BitstreamWriter
 

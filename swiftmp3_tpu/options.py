@@ -8,7 +8,7 @@ out-of-range bitrates/sample rates silently coerced downstream).
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Optional
 
 
