@@ -24,6 +24,7 @@ _EXPORTS = {
     "time_major_sharding": ".mesh",
     "BatchEncoder": ".batch",
     "encode_batch": ".batch",
+    "encode_batch_multihost": ".batch",
     "encode_corpus": ".batch",
 }
 

@@ -243,6 +243,159 @@ def encode_batch(
     return result
 
 
+def encode_batch_multihost(
+    options: MP3EncoderOptions,
+    local_streams: Sequence[np.ndarray],
+    frames_per_step: int = 64,
+    mesh=None,
+) -> List[bytes]:
+    """Multi-host (DCN) twin of encode_batch.
+
+    Under `jax.distributed` (see parallel.mesh.initialize_multihost), every
+    process calls this with ITS OWN list of streams — the same count on
+    every host. The global mesh shards the combined batch over all hosts'
+    devices; each host uploads only its shard's PCM
+    (jax.make_array_from_process_local_data), the jitted step runs globally
+    with no cross-device collectives in the numeric path, and each host
+    renders only its own streams' bytes from its addressable output shards.
+    Returns this host's MP3 byte streams, in local_streams order.
+
+    Single-process it degenerates to the sharded encode_batch (and is
+    byte-identical to per-stream sessions, like everything else).
+    """
+    import jax
+
+    from ..models.pipeline import (
+        fetch_outputs,
+        frame_results_from_outputs,
+        init_carry,
+        make_chunk_encoder,
+    )
+    from ..io.framing import FrameAssembler
+    from .mesh import process_batch_bounds, put_global
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_proc = jax.process_count()
+    n_dev = mesh.devices.size
+    local_dev = n_dev // n_proc
+    ch = options.channels
+    frame_len = SAMPLES_PER_FRAME * ch
+    n_local = len(local_streams)
+    B_local = max(((n_local + local_dev - 1) // local_dev) * local_dev, local_dev)
+    B_global = B_local * n_proc
+
+    lo, hi = process_batch_bounds(mesh, B_global)
+    assert hi - lo == B_local, (lo, hi, B_local)
+
+    lengths = np.array([len(s) for s in local_streams], dtype=np.int64)
+    rem = lengths % frame_len
+    n_frames = np.zeros(B_local, dtype=np.int64)
+    n_frames[:n_local] = lengths // frame_len + (rem > 0)
+    t_local = int(n_frames.max()) if n_local else 0
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        t_all = multihost_utils.process_allgather(np.array([t_local]))
+        t_total = int(np.max(t_all))
+    else:
+        t_total = t_local
+
+    run = make_chunk_encoder(options, frames_per_step)
+    carry = jax.tree_util.tree_map(
+        lambda x: put_global(mesh, np.asarray(x), batch_axis=0),
+        init_carry(B_local, options),
+    )
+
+    from ..native import native_available
+
+    if native_available():
+        from ..native import NativeStreamRenderer
+
+        renderers = [NativeStreamRenderer(options) for _ in range(n_local)]
+        use_native = True
+    else:
+        renderers = [FrameAssembler(options) for _ in range(n_local)]
+        use_native = False
+
+    out = [bytearray() for _ in range(n_local)]
+    Tc = frames_per_step
+
+    def build_local_chunk(start: int):
+        pcm = np.zeros((Tc, B_local, frame_len), dtype=np.float32)
+        t_idx = start + np.arange(Tc, dtype=np.int64)
+        valid = t_idx[:, None] < n_frames[None, :]
+        final = np.zeros((Tc, B_local), dtype=bool)
+        for b in range(n_local):
+            lo_s = start * frame_len
+            hi_s = min((start + Tc) * frame_len, int(lengths[b]))
+            if hi_s > lo_s:
+                seg = np.asarray(local_streams[b][lo_s:hi_s], dtype=np.float32)
+                nrows = (hi_s - lo_s + frame_len - 1) // frame_len
+                buf = np.zeros(nrows * frame_len, dtype=np.float32)
+                buf[: hi_s - lo_s] = seg
+                pcm[:nrows, b] = buf.reshape(nrows, frame_len)
+            if rem[b] and start <= n_frames[b] - 1 < start + Tc:
+                final[int(n_frames[b] - 1 - start), b] = True
+        return pcm, final, valid
+
+    def local_rows(global_arr) -> np.ndarray:
+        """Assemble this host's [T, B_local, ...] rows from its addressable
+        shards of a [T, B_global, ...] mesh-sharded array."""
+        parts = {}
+        for shard in global_arr.addressable_shards:
+            b0 = shard.index[1].start or 0
+            parts[b0] = np.asarray(shard.data)
+        blocks = [parts[k] for k in sorted(parts)]
+        return np.concatenate(blocks, axis=1)
+
+    for start in range(0, t_total, Tc):
+        pcm, final, valid = build_local_chunk(start)
+        carry, outs = run(
+            carry,
+            put_global(mesh, pcm, batch_axis=1),
+            put_global(mesh, final, batch_axis=1),
+            put_global(mesh, valid, batch_axis=1),
+        )
+        fetched = fetch_outputs({"packed": local_rows(outs["packed"])}, options)
+        if use_native:
+            counts = valid.sum(axis=0)
+            for b in range(n_local):
+                F = int(counts[b])
+                out[b] += renderers[b].render_packed(
+                    fetched["bitrate_index"][:F, b],
+                    fetched["padding"][:F, b],
+                    fetched["mdb"][:F, b],
+                    fetched["slot"][:F, b],
+                    fetched["part23"][:F, b],
+                    fetched["big_values"][:F, b],
+                    fetched["gain"][:F, b],
+                    fetched["block_type"][:F, b],
+                    fetched["preflag"][:F, b],
+                    fetched["region0"][:F, b],
+                    fetched["region1"][:F, b],
+                    fetched["subblock_gain"][:F, b],
+                    fetched["main_data"][:F, b],
+                    fetched["hb"][:F, b],
+                    table_select=fetched["table_select"][:F, b],
+                    count1table=fetched["count1table"][:F, b],
+                    scalefac_compress=fetched["scalefac_compress"][:F, b],
+                )
+        else:
+            for t in range(Tc):
+                for b in range(n_local):
+                    if valid[t, b]:
+                        out[b] += renderers[b].push(
+                            frame_results_from_outputs(fetched, options, t, b)
+                        )
+
+    for b in range(n_local):
+        out[b] += (
+            renderers[b].flush_buffered()
+        )
+    return [bytes(o) for o in out]
+
+
 def encode_corpus(
     options: MP3EncoderOptions,
     streams: Sequence[np.ndarray],

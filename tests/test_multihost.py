@@ -81,6 +81,41 @@ print("worker", pid, "ok rows", idx.tolist())
 """
 
 
+ENCODE_WORKER = r"""
+import os, re, sys
+port, pid, nproc, outdir = sys.argv[1:5]
+flags = re.sub(
+    r"--xla_force_host_platform_device_count=\S+",
+    "",
+    os.environ.get("XLA_FLAGS", ""),
+)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=4"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from swiftmp3_tpu.parallel import initialize_multihost
+initialize_multihost(f"127.0.0.1:{port}", int(nproc), int(pid))
+
+from swiftmp3_tpu.options import MP3EncoderOptions, Mode
+from swiftmp3_tpu.parallel import encode_batch_multihost
+
+def stream(i):
+    rng = np.random.default_rng(100 + i)
+    return (rng.standard_normal(1152 * (2 + i % 3) + 137 * i) * 0.4).astype(np.float32)
+
+n_per_host = 2
+my_streams = [stream(int(pid) * n_per_host + j) for j in range(n_per_host)]
+opts = MP3EncoderOptions(mode=Mode.MONO)
+blobs = encode_batch_multihost(opts, my_streams, frames_per_step=4)
+for j, blob in enumerate(blobs):
+    with open(os.path.join(outdir, f"enc_{pid}_{j}.mp3"), "wb") as f:
+        f.write(blob)
+print("worker", pid, "encoded", [len(b) for b in blobs])
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -136,3 +171,42 @@ def test_two_process_global_mesh_matches_single_process(tmp_path):
     run = jax.jit(make_chunk_fn(options))
     _, ref = run(init_carry(B, options), pcm, final, valid)
     np.testing.assert_array_equal(global_out, np.asarray(ref["packed"]))
+
+
+def test_two_process_encode_batch_multihost_bytes(tmp_path):
+    """encode_batch_multihost across 2 processes produces byte streams equal
+    to single-session encodes of the same streams."""
+    port = _free_port()
+    script = tmp_path / "worker_enc.py"
+    script.write_text(ENCODE_WORKER)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(pid), "2", str(tmp_path)],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so}\n{se[-3000:]}"
+
+    from swiftmp3_tpu import MP3Encoder, MP3EncoderOptions, Mode
+
+    opts = MP3EncoderOptions(mode=Mode.MONO)
+    for i in range(4):
+        pid, j = divmod(i, 2)
+        got = (tmp_path / f"enc_{pid}_{j}.mp3").read_bytes()
+        rng = np.random.default_rng(100 + i)
+        pcm = (rng.standard_normal(1152 * (2 + i % 3) + 137 * i) * 0.4).astype(
+            np.float32
+        )
+        s = MP3Encoder(opts, backend="tpu").new_session()
+        want = s.encode(pcm) + s.flush()
+        assert got == want, f"stream {i}: {len(got)} vs {len(want)} bytes"

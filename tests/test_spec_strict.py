@@ -223,6 +223,23 @@ def test_device_layout_matches_golden_fuzz():
         assert bytes_d == bytes_g, trial
 
 
+def test_spec_strict_vbr_backends_agree_and_decode():
+    """VBR interacts with the strict layout through the per-frame budget
+    only; backends must agree and streams decode frame-complete."""
+    pcm = _noise(1.5, seed=12)
+    opts = MP3EncoderOptions.spec_strict(
+        mode=Mode.JOINT_STEREO, vbr=True, quality=3, bitrate_kbps=128
+    )
+    pcm2 = np.repeat(pcm, 2)
+    a = _encode(opts, pcm2, "numpy")
+    b = _encode(opts, pcm2, "tpu")
+    assert a == b
+    frames = parse_frames(b)
+    dec = decode_mp3(b)
+    assert dec.frame_count == len(frames)
+    assert dec.pcm.shape[0] == len(frames) * 1152
+
+
 # --- real_scalefactors -----------------------------------------------------------
 
 
