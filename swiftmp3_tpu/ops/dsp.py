@@ -1116,11 +1116,25 @@ def rate_loop_precompute_strict(
 
     k = jnp.arange(N_GAIN_CANDIDATES, dtype=jnp.int32)
     gains = gstart[..., None] + 4 * k
-    qk = quantize_at_gains(mag, sign_neg, gains, iso=iso)  # [..., 20, 576]
 
-    lay = strict_layout_device(
-        qk, sample_rate, is_long[..., None], count1_coding, region_table_select
-    )
+    # lax.map over the gain axis: the layout body (region bounds, 5 length
+    # LUT trees, both count1 alignments) is large HLO — unrolling it 20x
+    # made XLA compile times pathological on v5e; mapping compiles it once.
+    def _one_gain(kk):
+        q_k = quantize_at_gains(mag, sign_neg, (gstart + 4 * kk)[..., None], iso=iso)[
+            ..., 0, :
+        ]
+        lay_k = strict_layout_device(
+            q_k, sample_rate, is_long, count1_coding, region_table_select
+        )
+        return lay_k["bits"], lay_k["bv"]
+
+    bits_k, bv_k = jax.lax.map(_one_gain, k)  # [20, ...]
+    perm = tuple(range(1, bits_k.ndim)) + (0,)
+    lay = {
+        "bits": jnp.transpose(bits_k, perm),
+        "bv": jnp.transpose(bv_k, perm),
+    }
     bits = lay["bits"]
     if part2 is not None:
         bits = bits + part2[..., None]
