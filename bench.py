@@ -56,12 +56,7 @@ def _make_audio(rng, B, T, n, channels, sample_rate):
     sig = (base[None, :] * rng.uniform(0.5, 1.0, (B, 1)) + ar).astype(np.float32)
     sig = np.clip(sig, -0.99, 0.99)
     mono = (sig * 32767).astype(np.int16)
-    return (
-        np.repeat(mono[..., None], channels, axis=-1)
-        .reshape(B, T, n)
-        .transpose(1, 0, 2)
-        .copy()
-    )
+    return np.repeat(mono[..., None], channels, axis=-1).reshape(B, T, n)
 
 
 def main() -> None:
@@ -86,8 +81,8 @@ def main() -> None:
     rng = np.random.default_rng(0)
     pcms = [_make_audio(rng, B, T, n, options.channels, options.sample_rate)
             for _ in range(n_iter + 1)]
-    final = np.zeros((T, B), dtype=bool)
-    valid = np.ones((T, B), dtype=bool)
+    final = np.zeros((B, T), dtype=bool)
+    valid = np.ones((B, T), dtype=bool)
 
     enc = BatchEncoder(options, B, frames_per_step=T)
 

@@ -15,7 +15,7 @@ streams, almost everything is data-parallel —
   Phase 3 (parallel): re-quantize at the selected gains, big_values,
     region counts, preflag; assemble outputs.
 
-Chunk masking contract: `valid[t, b]` must be a PREFIX in t for each stream
+Chunk masking contract: `valid[b, t]` must be a PREFIX in t for each stream
 (invalid frames only at the tail of a chunk). Both the session backend and
 encode_batch construct chunks this way; the carry-out state is gathered at
 each stream's last valid frame.
@@ -93,8 +93,16 @@ def main_data_cap(options: MP3EncoderOptions) -> int:
 
 def make_chunk_fn(options: MP3EncoderOptions):
     """Build the chunk encode function
-    (carry, pcm [T,B,1152*ch], final [T,B], valid [T,B]) -> (carry, outputs).
+    (carry, pcm [B,T,1152*ch], final [B,T], valid [B,T]) -> (carry, outputs).
 
+    All chunk tensors are BATCH-MAJOR (batch axis leading, matching the
+    carry and the mesh sharding axis, so every input/output shards as
+    P('data') with no per-tensor special case, and host renderers slice
+    contiguous [b, :F] rows). Measured perf-neutral vs the old time-major
+    contract — XLA fused the [T,B]->[B,T] relayout into the filterbank
+    (an ISOLATED jit of the transpose reads ~5 ms/step; in the full graph
+    it is free — don't trust stage timings for layout decisions). Only the
+    small per-frame integer tensors are transposed for the time scan.
     `valid` must be a prefix along T per stream (see module docstring).
     """
     sr = options.sample_rate
@@ -124,15 +132,13 @@ def make_chunk_fn(options: MP3EncoderOptions):
             pcm = jnp.nan_to_num(
                 pcm.astype(jnp.float32), nan=0.0, posinf=0.0, neginf=0.0
             )
-        T, B = pcm.shape[0], pcm.shape[1]
+        B, T = pcm.shape[0], pcm.shape[1]
 
         # ---------------- Phase 1: parallel DSP (batch-major) ----------------
-        # One big transpose up front ([T,B,n] -> [B, T*n]); every [.., 576]
-        # tensor afterwards stays in [B, ch, 2T, ...] layout — only scalar-ish
-        # per-granule tensors are reordered for the time scan. (The naive
-        # time-major formulation spent ~2/3 of the step relayouting 37 MB
-        # tensors.)
-        pcm_bt = jnp.moveaxis(pcm, 0, 1).reshape(B, T * pcm.shape[-1])
+        # pcm arrives batch-major: the reshape to [B, T*n] is free, and every
+        # [.., 576] tensor afterwards stays in [B, ch, 2T, ...] layout — only
+        # scalar-ish per-granule tensors are reordered for the time scan.
+        pcm_bt = pcm.reshape(B, T * pcm.shape[-1])
         if ch == 1:
             pcm_chunk = pcm_bt[:, None, :]  # [B, 1, T*1152]
         else:
@@ -199,8 +205,14 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 x, (2, 0, 3, 1) + tuple(range(4, x.ndim))
             ).reshape((T, B, n_gran) + x.shape[4:])
 
-        frame_e = dsp.mean_square(pcm) if is_vbr else jnp.zeros((T, B), jnp.float32)
+        frame_e = (
+            jnp.swapaxes(dsp.mean_square(pcm), 0, 1)  # [B,T] -> [T,B], tiny
+            if is_vbr
+            else jnp.zeros((T, B), jnp.float32)
+        )
         granule_e = tm(dsp.mean_square(granule_pcm))
+        final_t = jnp.swapaxes(final, 0, 1)  # [B,T] -> [T,B], tiny
+        valid_t = jnp.swapaxes(valid, 0, 1)
 
         # ---------------- Phase 2: integer scan over T ----------------
         int_carry = {
@@ -297,8 +309,8 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 tm(pre["k_budget"]),
                 frame_e,
                 granule_e,
-                final,
-                valid,
+                final_t,
+                valid_t,
             ),
         )
         br_idx, padding, mdb, slot, k_sel, has_fit, bits_sel = ys
@@ -353,14 +365,14 @@ def make_chunk_fn(options: MP3EncoderOptions):
         main_data, _total_bits = dsp.pack_main_data(
             frame_major(chunks), frame_major(nb), cap_bytes
         )
-        main_data = jnp.swapaxes(
-            main_data.reshape(B, T, cap_bytes), 0, 1
-        )  # [T, B, cap]
+        main_data = main_data.reshape(B, T, cap_bytes)
 
         # Pack ALL outputs into ONE uint8 tensor: the tunnel charges ~45 ms
         # latency per transfer regardless of size, so the int32 metadata rides
-        # as a bitcast byte tail behind each frame's main_data image.
-        # Layout must match fetch_outputs below.
+        # as a bitcast byte tail behind each frame's main_data image. The
+        # meta block is assembled time-major (the scan's natural order) and
+        # swapped once — it is ~100x smaller than main_data. Layout must
+        # match fetch_outputs below.
         table_sel = jnp.stack(
             [tm(ts0_b), tm(ts1_b), tm(ts2_b)], axis=-1
         ).reshape(T, B, 3 * n_gran)
@@ -384,13 +396,13 @@ def make_chunk_fn(options: MP3EncoderOptions):
             ],
             axis=-1,
         ).astype(jnp.int32)
-        meta_bytes = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(
-            T, B, -1
-        )
+        meta_bytes = jax.lax.bitcast_convert_type(
+            jnp.swapaxes(meta, 0, 1), jnp.uint8
+        ).reshape(B, T, -1)
         outputs = {"packed": jnp.concatenate([main_data, meta_bytes], axis=-1)}
 
         # ---------------- Carry-out state at each stream's last valid ----
-        count_valid = jnp.sum(valid.astype(jnp.int32), axis=0)  # [B]
+        count_valid = jnp.sum(valid.astype(jnp.int32), axis=1)  # [B]
         idx = count_valid[:, None, None] * 1152 + jnp.arange(480)[None, None, :]
         fb_hist = jnp.take_along_axis(full_x, jnp.broadcast_to(idx, (B, ch, 480)), axis=-1)
         all_ov = jnp.concatenate([carry["overlap"][:, :, None], cur], axis=2)
@@ -434,13 +446,14 @@ _GRANULE_FIELDS = (
 
 
 def fetch_outputs(outs, options: MP3EncoderOptions) -> dict:
-    """Transfer the packed chunk output to host and unpack to named arrays."""
+    """Transfer the packed chunk output to host and unpack to named arrays
+    (all BATCH-MAJOR, [B, T, ...], matching the device layout)."""
     n_gran = 2 * options.channels
     packed = np.asarray(outs["packed"])
     cap = main_data_cap(options)
     main_data = packed[..., :cap]
     meta = packed[..., cap:].copy().view(np.int32)
-    T, B = meta.shape[0], meta.shape[1]
+    B, T = meta.shape[0], meta.shape[1]
     d = {
         "bitrate_index": meta[..., 0],
         "padding": meta[..., 1],
@@ -452,9 +465,9 @@ def fetch_outputs(outs, options: MP3EncoderOptions) -> dict:
     for name in _GRANULE_FIELDS:
         d[name] = meta[..., o : o + n_gran]
         o += n_gran
-    d["subblock_gain"] = meta[..., o : o + 3 * n_gran].reshape(T, B, n_gran, 3)
+    d["subblock_gain"] = meta[..., o : o + 3 * n_gran].reshape(B, T, n_gran, 3)
     o += 3 * n_gran
-    d["table_select"] = meta[..., o : o + 3 * n_gran].reshape(T, B, n_gran, 3)
+    d["table_select"] = meta[..., o : o + 3 * n_gran].reshape(B, T, n_gran, 3)
     o += 3 * n_gran
     d["count1table"] = meta[..., o : o + n_gran]
     o += n_gran
@@ -468,31 +481,31 @@ def fetch_outputs(outs, options: MP3EncoderOptions) -> dict:
 def frame_results_from_outputs(
     outs: dict, options: MP3EncoderOptions, t: int, b: int
 ) -> FrameResult:
-    """Convert one (time, batch) slice of stacked chunk outputs to a
-    FrameResult for the host assembler."""
+    """Convert one (stream, time) slice of stacked chunk outputs to a
+    FrameResult for the host assembler (outputs are batch-major)."""
     ch = options.channels
     n_gran = 2 * ch
     granules = [[None] * ch for _ in range(2)]
     for g in range(n_gran):
         gr, c = divmod(g, ch)
-        block = int(outs["block_type"][t, b, g])
+        block = int(outs["block_type"][b, t, g])
         granules[gr][c] = GranuleInfo(
-            part23_length=int(outs["part23"][t, b, g]),
-            big_values=int(outs["big_values"][t, b, g]),
-            global_gain=int(outs["gain"][t, b, g]),
-            scalefac_compress=int(outs["scalefac_compress"][t, b, g]),
+            part23_length=int(outs["part23"][b, t, g]),
+            big_values=int(outs["big_values"][b, t, g]),
+            global_gain=int(outs["gain"][b, t, g]),
+            scalefac_compress=int(outs["scalefac_compress"][b, t, g]),
             window_switching=0 if block == dsp.BLOCK_LONG else 1,
             block_type=block,
             mixed_block_flag=1 if block == dsp.BLOCK_MIXED else 0,
-            table_select=tuple(int(x) for x in outs["table_select"][t, b, g]),
-            subblock_gain=tuple(int(x) for x in outs["subblock_gain"][t, b, g]),
-            region0_count=int(outs["region0"][t, b, g]),
-            region1_count=int(outs["region1"][t, b, g]),
-            preflag=int(outs["preflag"][t, b, g]),
+            table_select=tuple(int(x) for x in outs["table_select"][b, t, g]),
+            subblock_gain=tuple(int(x) for x in outs["subblock_gain"][b, t, g]),
+            region0_count=int(outs["region0"][b, t, g]),
+            region1_count=int(outs["region1"][b, t, g]),
+            preflag=int(outs["preflag"][b, t, g]),
             scalefac_scale=0,
-            count1table_select=int(outs["count1table"][t, b, g]),
+            count1table_select=int(outs["count1table"][b, t, g]),
         )
-    hb = int(outs["hb"][t, b])
+    hb = int(outs["hb"][b, t])
     cap = outs["main_data"].shape[-1]
     if hb > cap:
         raise RuntimeError(
@@ -501,13 +514,13 @@ def frame_results_from_outputs(
             "main_data_cap for this configuration"
         )
     return FrameResult(
-        bitrate_index=int(outs["bitrate_index"][t, b]),
-        padding=int(outs["padding"][t, b]),
-        main_data_begin=int(outs["mdb"][t, b]),
-        slot_size=int(outs["slot"][t, b]),
+        bitrate_index=int(outs["bitrate_index"][b, t]),
+        padding=int(outs["padding"][b, t]),
+        main_data_begin=int(outs["mdb"][b, t]),
+        slot_size=int(outs["slot"][b, t]),
         granules=granules,
-        big_values=np.asarray(outs["big_values"][t, b], dtype=np.int32),
-        main_data=outs["main_data"][t, b, :hb].tobytes(),
+        big_values=np.asarray(outs["big_values"][b, t], dtype=np.int32),
+        main_data=outs["main_data"][b, t, :hb].tobytes(),
     )
 
 
@@ -531,12 +544,12 @@ class TPUBackend:
         results: List[FrameResult] = []
         for start in range(0, F, self.CHUNK):
             count = min(self.CHUNK, F - start)
-            pcm = np.zeros((self.CHUNK, 1, n), dtype=np.float32)
-            fin = np.zeros((self.CHUNK, 1), dtype=bool)
-            val = np.zeros((self.CHUNK, 1), dtype=bool)
-            pcm[:count, 0] = frames[start : start + count]
-            fin[:count, 0] = is_final[start : start + count]
-            val[:count, 0] = True
+            pcm = np.zeros((1, self.CHUNK, n), dtype=np.float32)
+            fin = np.zeros((1, self.CHUNK), dtype=bool)
+            val = np.zeros((1, self.CHUNK), dtype=bool)
+            pcm[0, :count] = frames[start : start + count]
+            fin[0, :count] = is_final[start : start + count]
+            val[0, :count] = True
             self.carry, outs = self._run(self.carry, pcm, fin, val)
             outs = fetch_outputs(outs, self.options)
             for t in range(count):

@@ -1,9 +1,9 @@
 """Batched multi-stream encoding: the TPU throughput path.
 
-`BatchEncoder` encodes B independent streams in lockstep: PCM is reshaped to
-[T, B, frame] and scanned over T on device (batch axis sharded over the
-mesh), then each stream's fixed-shape outputs are rendered to bytes by a
-per-stream host assembler. Streams of unequal length are handled with
+`BatchEncoder` encodes B independent streams in lockstep: PCM rides as
+batch-major [B, T, frame] chunks scanned over T on device (batch axis
+sharded over the mesh), then each stream's fixed-shape outputs are rendered
+to bytes by a per-stream host assembler. Streams of unequal length are handled with
 per-(t, b) valid/final masks that freeze the carry and reproduce single-
 session semantics exactly (including the zero-padded `isFinal` frame for a
 trailing partial frame and the delayed-frame flush).
@@ -24,7 +24,7 @@ from ..models.pipeline import (
     make_chunk_encoder,
 )
 from ..options import MP3EncoderOptions, SAMPLES_PER_FRAME
-from .mesh import carry_sharding, make_mesh, time_major_sharding
+from .mesh import carry_sharding, make_mesh
 
 
 class BatchEncoder:
@@ -66,7 +66,8 @@ class BatchEncoder:
         else:
             self.renderers = None
             self.assemblers = [FrameAssembler(options) for _ in range(batch)]
-        self._xm = time_major_sharding(mesh) if mesh is not None else None
+        # every chunk tensor is batch-leading, like the carry
+        self._xm = carry_sharding(mesh) if mesh is not None else None
 
     def _put(self, arr):
         # Explicit device_put even unsharded: passing numpy straight into jit
@@ -82,8 +83,8 @@ class BatchEncoder:
         return (self._put(pcm), self._put(final), self._put(valid))
 
     def step(self, pcm, final, valid):
-        """Run one device scan chunk. pcm: [T, B, 1152*ch] float32 or int16
-        (normalized by 1/32768 on device); final/valid: [T, B]. Accepts
+        """Run one device scan chunk. pcm: [B, T, 1152*ch] float32 or int16
+        (normalized by 1/32768 on device); final/valid: [B, T]. Accepts
         numpy arrays or device arrays from prepare(). Returns stacked
         outputs (device arrays, host copy already in flight)."""
         self.carry, outs = self._run(
@@ -101,38 +102,38 @@ class BatchEncoder:
     def drain(self, outs, valid: np.ndarray) -> List[bytes]:
         """Render one chunk's outputs to bytes per stream."""
         outs = fetch_outputs(outs, self.options)
-        T, B = valid.shape
+        B, T = valid.shape
         if self.use_native:
-            counts = valid.sum(axis=0)  # valid is a prefix along T
+            counts = valid.sum(axis=1)  # valid is a prefix along T
             emitted = []
             for b in range(B):
                 F = int(counts[b])
                 emitted.append(
                     self.renderers[b].render_packed(
-                        outs["bitrate_index"][:F, b],
-                        outs["padding"][:F, b],
-                        outs["mdb"][:F, b],
-                        outs["slot"][:F, b],
-                        outs["part23"][:F, b],
-                        outs["big_values"][:F, b],
-                        outs["gain"][:F, b],
-                        outs["block_type"][:F, b],
-                        outs["preflag"][:F, b],
-                        outs["region0"][:F, b],
-                        outs["region1"][:F, b],
-                        outs["subblock_gain"][:F, b],
-                        outs["main_data"][:F, b],
-                        outs["hb"][:F, b],
-                        table_select=outs["table_select"][:F, b],
-                        count1table=outs["count1table"][:F, b],
-                        scalefac_compress=outs["scalefac_compress"][:F, b],
+                        outs["bitrate_index"][b, :F],
+                        outs["padding"][b, :F],
+                        outs["mdb"][b, :F],
+                        outs["slot"][b, :F],
+                        outs["part23"][b, :F],
+                        outs["big_values"][b, :F],
+                        outs["gain"][b, :F],
+                        outs["block_type"][b, :F],
+                        outs["preflag"][b, :F],
+                        outs["region0"][b, :F],
+                        outs["region1"][b, :F],
+                        outs["subblock_gain"][b, :F],
+                        outs["main_data"][b, :F],
+                        outs["hb"][b, :F],
+                        table_select=outs["table_select"][b, :F],
+                        count1table=outs["count1table"][b, :F],
+                        scalefac_compress=outs["scalefac_compress"][b, :F],
                     )
                 )
             return emitted
         emitted = [bytearray() for _ in range(B)]
         for t in range(T):
             for b in range(B):
-                if not valid[t, b]:
+                if not valid[b, t]:
                     continue
                 fr = frame_results_from_outputs(outs, self.options, t, b)
                 emitted[b] += self.assemblers[b].push(fr)
@@ -189,10 +190,10 @@ def encode_batch(
 
     def build_chunk(start: int):
         count = min(Tc, T_total - start)
-        pcm = np.zeros((Tc, B, frame_len), dtype=pcm_dtype)
+        pcm = np.zeros((B, Tc, frame_len), dtype=pcm_dtype)
         t_idx = start + np.arange(Tc, dtype=np.int64)
-        valid = t_idx[:, None] < n_frames[None, :]
-        final = np.zeros((Tc, B), dtype=bool)
+        valid = t_idx[None, :] < n_frames[:, None]
+        final = np.zeros((B, Tc), dtype=bool)
         for b in range(n_streams):
             lo = start * frame_len
             hi = min((start + count) * frame_len, int(lengths[b]))
@@ -203,9 +204,9 @@ def encode_batch(
                 nrows = (hi - lo + frame_len - 1) // frame_len
                 buf = np.zeros(nrows * frame_len, dtype=pcm_dtype)
                 buf[: hi - lo] = seg
-                pcm[:nrows, b] = buf.reshape(nrows, frame_len)
+                pcm[b, :nrows] = buf.reshape(nrows, frame_len)
             if rem[b] and start <= n_frames[b] - 1 < start + Tc:
-                final[int(n_frames[b] - 1 - start), b] = True
+                final[b, int(n_frames[b] - 1 - start)] = True
         return pcm, final, valid
 
     # Software pipeline, 3 stages deep: while chunk k computes, chunk k+1's
@@ -322,10 +323,10 @@ def encode_batch_multihost(
     Tc = frames_per_step
 
     def build_local_chunk(start: int):
-        pcm = np.zeros((Tc, B_local, frame_len), dtype=np.float32)
+        pcm = np.zeros((B_local, Tc, frame_len), dtype=np.float32)
         t_idx = start + np.arange(Tc, dtype=np.int64)
-        valid = t_idx[:, None] < n_frames[None, :]
-        final = np.zeros((Tc, B_local), dtype=bool)
+        valid = t_idx[None, :] < n_frames[:, None]
+        final = np.zeros((B_local, Tc), dtype=bool)
         for b in range(n_local):
             lo_s = start * frame_len
             hi_s = min((start + Tc) * frame_len, int(lengths[b]))
@@ -334,57 +335,57 @@ def encode_batch_multihost(
                 nrows = (hi_s - lo_s + frame_len - 1) // frame_len
                 buf = np.zeros(nrows * frame_len, dtype=np.float32)
                 buf[: hi_s - lo_s] = seg
-                pcm[:nrows, b] = buf.reshape(nrows, frame_len)
+                pcm[b, :nrows] = buf.reshape(nrows, frame_len)
             if rem[b] and start <= n_frames[b] - 1 < start + Tc:
-                final[int(n_frames[b] - 1 - start), b] = True
+                final[b, int(n_frames[b] - 1 - start)] = True
         return pcm, final, valid
 
     def local_rows(global_arr) -> np.ndarray:
-        """Assemble this host's [T, B_local, ...] rows from its addressable
-        shards of a [T, B_global, ...] mesh-sharded array."""
+        """Assemble this host's [B_local, T, ...] rows from its addressable
+        shards of a [B_global, T, ...] mesh-sharded array."""
         parts = {}
         for shard in global_arr.addressable_shards:
-            b0 = shard.index[1].start or 0
+            b0 = shard.index[0].start or 0
             parts[b0] = np.asarray(shard.data)
         blocks = [parts[k] for k in sorted(parts)]
-        return np.concatenate(blocks, axis=1)
+        return np.concatenate(blocks, axis=0)
 
     for start in range(0, t_total, Tc):
         pcm, final, valid = build_local_chunk(start)
         carry, outs = run(
             carry,
-            put_global(mesh, pcm, batch_axis=1),
-            put_global(mesh, final, batch_axis=1),
-            put_global(mesh, valid, batch_axis=1),
+            put_global(mesh, pcm, batch_axis=0),
+            put_global(mesh, final, batch_axis=0),
+            put_global(mesh, valid, batch_axis=0),
         )
         fetched = fetch_outputs({"packed": local_rows(outs["packed"])}, options)
         if use_native:
-            counts = valid.sum(axis=0)
+            counts = valid.sum(axis=1)
             for b in range(n_local):
                 F = int(counts[b])
                 out[b] += renderers[b].render_packed(
-                    fetched["bitrate_index"][:F, b],
-                    fetched["padding"][:F, b],
-                    fetched["mdb"][:F, b],
-                    fetched["slot"][:F, b],
-                    fetched["part23"][:F, b],
-                    fetched["big_values"][:F, b],
-                    fetched["gain"][:F, b],
-                    fetched["block_type"][:F, b],
-                    fetched["preflag"][:F, b],
-                    fetched["region0"][:F, b],
-                    fetched["region1"][:F, b],
-                    fetched["subblock_gain"][:F, b],
-                    fetched["main_data"][:F, b],
-                    fetched["hb"][:F, b],
-                    table_select=fetched["table_select"][:F, b],
-                    count1table=fetched["count1table"][:F, b],
-                    scalefac_compress=fetched["scalefac_compress"][:F, b],
+                    fetched["bitrate_index"][b, :F],
+                    fetched["padding"][b, :F],
+                    fetched["mdb"][b, :F],
+                    fetched["slot"][b, :F],
+                    fetched["part23"][b, :F],
+                    fetched["big_values"][b, :F],
+                    fetched["gain"][b, :F],
+                    fetched["block_type"][b, :F],
+                    fetched["preflag"][b, :F],
+                    fetched["region0"][b, :F],
+                    fetched["region1"][b, :F],
+                    fetched["subblock_gain"][b, :F],
+                    fetched["main_data"][b, :F],
+                    fetched["hb"][b, :F],
+                    table_select=fetched["table_select"][b, :F],
+                    count1table=fetched["count1table"][b, :F],
+                    scalefac_compress=fetched["scalefac_compress"][b, :F],
                 )
         else:
             for t in range(Tc):
                 for b in range(n_local):
-                    if valid[t, b]:
+                    if valid[b, t]:
                         out[b] += renderers[b].push(
                             frame_results_from_outputs(fetched, options, t, b)
                         )

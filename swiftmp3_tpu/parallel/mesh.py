@@ -106,5 +106,6 @@ def carry_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def time_major_sharding(mesh: Mesh) -> NamedSharding:
-    """[T, B, ...] arrays: shard the second (batch) axis."""
+    """DEPRECATED: chunk tensors are batch-major since round 2 (use
+    carry_sharding / batch_sharding); kept for callers of the old layout."""
     return NamedSharding(mesh, P(None, DATA_AXIS))

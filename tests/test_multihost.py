@@ -49,15 +49,15 @@ lo, hi = process_batch_bounds(mesh, B)
 assert hi - lo == 4, (lo, hi)
 
 rng = np.random.default_rng(7)
-pcm = (rng.standard_normal((T, B, n)) * 0.4).astype(np.float32)
-final = np.zeros((T, B), dtype=bool)
-valid = np.ones((T, B), dtype=bool)
+pcm = (rng.standard_normal((B, T, n)) * 0.4).astype(np.float32)
+final = np.zeros((B, T), dtype=bool)
+valid = np.ones((B, T), dtype=bool)
 
 carry_np = {k: np.asarray(v) for k, v in init_carry(B, options).items()}
 carry = {k: put_global(mesh, v[lo:hi], batch_axis=0) for k, v in carry_np.items()}
-pcm_g = put_global(mesh, pcm[:, lo:hi], batch_axis=1)
-fin_g = put_global(mesh, final[:, lo:hi], batch_axis=1)
-val_g = put_global(mesh, valid[:, lo:hi], batch_axis=1)
+pcm_g = put_global(mesh, pcm[lo:hi], batch_axis=0)
+fin_g = put_global(mesh, final[lo:hi], batch_axis=0)
+val_g = put_global(mesh, valid[lo:hi], batch_axis=0)
 
 run = jax.jit(make_chunk_fn(options))
 new_carry, outs = run(carry, pcm_g, fin_g, val_g)
@@ -67,15 +67,15 @@ jax.block_until_ready(outs)
 packed = outs["packed"]
 rows = {}
 for shard in packed.addressable_shards:
-    b0 = shard.index[1].start or 0
+    b0 = shard.index[0].start or 0
     data = np.asarray(shard.data)
-    for j in range(data.shape[1]):
-        rows[b0 + j] = data[:, j]
+    for j in range(data.shape[0]):
+        rows[b0 + j] = data[j]
 idx = np.array(sorted(rows), dtype=np.int64)
 np.save(os.path.join(outdir, f"idx_{pid}.npy"), idx)
 np.save(
     os.path.join(outdir, f"out_{pid}.npy"),
-    np.stack([rows[i] for i in sorted(rows)], axis=1),
+    np.stack([rows[i] for i in sorted(rows)], axis=0),
 )
 print("worker", pid, "ok rows", idx.tolist())
 """
@@ -146,15 +146,15 @@ def test_two_process_global_mesh_matches_single_process(tmp_path):
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{so}\n{se[-3000:]}"
 
-    # stitch the two hosts' rows into the global [T, 8, bytes] output
+    # stitch the two hosts' rows into the global [8, T, bytes] output
     parts = {}
     for pid in range(2):
         idx = np.load(tmp_path / f"idx_{pid}.npy")
         out = np.load(tmp_path / f"out_{pid}.npy")
         for j, b in enumerate(idx):
-            parts[int(b)] = out[:, j]
+            parts[int(b)] = out[j]
     assert sorted(parts) == list(range(8))
-    global_out = np.stack([parts[b] for b in range(8)], axis=1)
+    global_out = np.stack([parts[b] for b in range(8)], axis=0)
 
     # single-process reference on the in-test 8-device CPU mesh
     import jax
@@ -165,9 +165,9 @@ def test_two_process_global_mesh_matches_single_process(tmp_path):
     options = MP3EncoderOptions(mode=Mode.MONO, bitrate_kbps=128)
     T, B, n = 2, 8, 1152
     rng = np.random.default_rng(7)
-    pcm = (rng.standard_normal((T, B, n)) * 0.4).astype(np.float32)
-    final = np.zeros((T, B), dtype=bool)
-    valid = np.ones((T, B), dtype=bool)
+    pcm = (rng.standard_normal((B, T, n)) * 0.4).astype(np.float32)
+    final = np.zeros((B, T), dtype=bool)
+    valid = np.ones((B, T), dtype=bool)
     run = jax.jit(make_chunk_fn(options))
     _, ref = run(init_carry(B, options), pcm, final, valid)
     np.testing.assert_array_equal(global_out, np.asarray(ref["packed"]))

@@ -75,9 +75,9 @@ def test_native_counters():
 
     opts = MP3EncoderOptions(mode=Mode.MONO)
     enc = BatchEncoder(opts, batch=1, frames_per_step=4, use_native=True)
-    pcm = np.zeros((4, 1, 1152), dtype=np.float32)
-    fin = np.zeros((4, 1), dtype=bool)
-    val = np.ones((4, 1), dtype=bool)
+    pcm = np.zeros((1, 4, 1152), dtype=np.float32)
+    fin = np.zeros((1, 4), dtype=bool)
+    val = np.ones((1, 4), dtype=bool)
     outs = enc.step(pcm, fin, val)
     data = enc.drain(outs, val)[0]
     data += enc.flush()[0]

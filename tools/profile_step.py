@@ -53,9 +53,9 @@ def main():
     audio_seconds = B * T * 1152 / options.sample_rate
 
     rng = np.random.default_rng(0)
-    pcm = (rng.standard_normal((T, B, n)) * 0.3).astype(np.float32)
-    final = np.zeros((T, B), dtype=bool)
-    valid = np.ones((T, B), dtype=bool)
+    pcm = (rng.standard_normal((B, T, n)) * 0.3).astype(np.float32)
+    final = np.zeros((B, T), dtype=bool)
+    valid = np.ones((B, T), dtype=bool)
     carry = init_carry(B, options)
 
     pcm_d = jax.device_put(pcm)
@@ -69,7 +69,7 @@ def main():
     print(f"{'':36s} => {audio_seconds / t_full:8.0f}x realtime")
 
     # ---- stage inputs (batch-major, as the pipeline builds them) ----
-    pcm_bt = np.moveaxis(pcm, 0, 1).reshape(B, T * n)
+    pcm_bt = pcm.reshape(B, T * n)
     left = pcm_bt[:, 0::2].reshape(B, T, 1152)
     right = pcm_bt[:, 1::2].reshape(B, T, 1152)
     pcm_chunk = np.stack([left, right], axis=1).reshape(B, ch, T * 1152)
