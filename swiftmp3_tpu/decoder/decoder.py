@@ -143,14 +143,27 @@ def verify_frame_crcs(data: bytes) -> list:
     """Per protected frame: True if the stored CRC matches the ISO 2.4.3.1
     coverage (header bytes 3-4 + side info). Reference-quirk streams
     (header-only CRC) verify as False — that is the point: real decoders
-    reject them. Unprotected frames are skipped (not in the list)."""
+    reject them. Unprotected frames are skipped (not in the list).
+
+    Accepts the same inputs decode_mp3 does: an ID3v2 prefix is skipped and
+    the walk stops at a truncated or malformed tail."""
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        data = data[10 + size :]
     results = []
     i = 0
     while i + 4 <= len(data):
-        fi = parse_frame(data, i)
+        try:
+            fi = parse_frame(data, i)
+        except (ValueError, IndexError):
+            break
+        if i + fi.size > len(data):
+            break  # truncated final frame
         if fi.crc:
-            stored = (data[i + 4] << 8) | data[i + 5]
             side_len = 17 if fi.channels == 1 else 32
+            if i + 6 + side_len > len(data):
+                break
+            stored = (data[i + 4] << 8) | data[i + 5]
             covered = data[i + 2 : i + 4] + data[i + 6 : i + 6 + side_len]
             results.append(stored == _crc16(bytes(covered)))
         i += fi.size

@@ -162,6 +162,16 @@ class NativeStreamRenderer:
         table_select: np.ndarray = None,  # [F, G, 3]
         count1table: np.ndarray = None,  # [F, G]
     ) -> bytes:
+        if self.options.spec_strict_entropy:
+            # The C++ pack_granule packs table-15 pairs only; it cannot
+            # produce the strict layout's per-region codes / count1 quads /
+            # scalefactor bits, so side info would contradict the bits.
+            # Strict streams flow through render_packed (device-packed
+            # main_data) or the Python FrameAssembler.
+            raise NotImplementedError(
+                "NativeStreamRenderer.render() packs the compat (table-15) "
+                "layout only; use render_packed for spec-strict options"
+            )
         F = len(bitrate_index)
         if F == 0:
             return b""

@@ -293,6 +293,12 @@ def encode_batch_multihost(
     rem = lengths % frame_len
     n_frames = np.zeros(B_local, dtype=np.int64)
     n_frames[:n_local] = lengths // frame_len + (rem > 0)
+    # int16 streams ride raw (device normalizes by 1/32768), like encode_batch
+    pcm_dtype = (
+        np.int16
+        if n_local and all(np.asarray(s).dtype == np.int16 for s in local_streams)
+        else np.float32
+    )
     t_local = int(n_frames.max()) if n_local else 0
     if n_proc > 1:
         from jax.experimental import multihost_utils
@@ -323,7 +329,7 @@ def encode_batch_multihost(
     Tc = frames_per_step
 
     def build_local_chunk(start: int):
-        pcm = np.zeros((B_local, Tc, frame_len), dtype=np.float32)
+        pcm = np.zeros((B_local, Tc, frame_len), dtype=pcm_dtype)
         t_idx = start + np.arange(Tc, dtype=np.int64)
         valid = t_idx[None, :] < n_frames[:, None]
         final = np.zeros((B_local, Tc), dtype=bool)
@@ -331,9 +337,13 @@ def encode_batch_multihost(
             lo_s = start * frame_len
             hi_s = min((start + Tc) * frame_len, int(lengths[b]))
             if hi_s > lo_s:
-                seg = np.asarray(local_streams[b][lo_s:hi_s], dtype=np.float32)
+                seg = np.asarray(local_streams[b][lo_s:hi_s])
+                if seg.dtype == np.int16 and pcm_dtype == np.float32:
+                    seg = seg.astype(np.float32) / np.float32(32768.0)
+                else:
+                    seg = seg.astype(pcm_dtype)
                 nrows = (hi_s - lo_s + frame_len - 1) // frame_len
-                buf = np.zeros(nrows * frame_len, dtype=np.float32)
+                buf = np.zeros(nrows * frame_len, dtype=pcm_dtype)
                 buf[: hi_s - lo_s] = seg
                 pcm[b, :nrows] = buf.reshape(nrows, frame_len)
             if rem[b] and start <= n_frames[b] - 1 < start + Tc:

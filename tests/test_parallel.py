@@ -79,3 +79,19 @@ def test_encode_corpus_complete_files():
         off = blob.index(b"Info")
         declared = int.from_bytes(blob[off + 8 : off + 12], "big")
         assert declared == dec.frame_count + 1
+
+
+def test_multihost_single_process_int16_and_float_match():
+    """encode_batch_multihost (single-process degenerate case) matches
+    per-session encodes for both float32 and raw int16 streams."""
+    from swiftmp3_tpu.parallel import encode_batch_multihost
+
+    opts = MP3EncoderOptions(mode=Mode.MONO)
+    rng = np.random.default_rng(11)
+    f32 = (rng.standard_normal(1152 * 3 + 200) * 0.4).astype(np.float32)
+    i16 = (rng.standard_normal(1152 * 2 + 900) * 8000).astype(np.int16)
+    for pcm in (f32, i16):
+        got = encode_batch_multihost(opts, [pcm], frames_per_step=4)[0]
+        sess = MP3Encoder(opts, backend="tpu").new_session()
+        want = sess.encode(pcm) + sess.flush()
+        assert got == want, pcm.dtype

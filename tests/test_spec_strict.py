@@ -38,8 +38,7 @@ def test_iso_quantization_unit_gain_and_snr():
     assert q_iso.snr_db > q_ref.snr_db + 3.0, (q_ref, q_iso)
 
 
-@pytest.mark.parametrize("backend", ["numpy", "tpu"])
-def test_iso_quantization_backends_agree(backend):
+def test_iso_quantization_backends_agree():
     rng = np.random.default_rng(3)
     x = rng.standard_normal(1152 * 5).astype(np.float32) * 0.3
     opts = MP3EncoderOptions(mode=Mode.MONO, iso_quantization=True)
@@ -72,8 +71,7 @@ def test_iso_crc_validates_and_reference_quirk_fails():
     assert r_strict and all(r_strict)
 
 
-@pytest.mark.parametrize("backend", ["numpy", "tpu"])
-def test_iso_crc_backends_agree(backend):
+def test_iso_crc_backends_agree():
     pcm = _sine(0.4, freq=523.0)
     opts = MP3EncoderOptions(
         mode=Mode.STEREO, crc_protected=True, iso_crc=True, reservoir_mode="aligned"
@@ -149,6 +147,21 @@ def test_entropy_flags_emit_side_info_fields():
         i += fi.size
     assert any(t not in (0, 15) for t in tids), tids  # smaller tables chosen
     assert 10 not in tids and 13 not in tids  # corrupt tables never emitted
+    assert c1ts <= {0, 1}
+    # count1 quads actually fire: with the flag off (same signal/options
+    # otherwise) the big_values region must grow to cover the sparse tail
+    from swiftmp3_tpu.ops.reference import strict_entropy_layout
+
+    rng2 = np.random.default_rng(4)
+    q = np.zeros(576, dtype=np.int32)
+    q[:180] = rng2.integers(-9, 10, 180)
+    q[rng2.choice(np.arange(200, 560), 24, replace=False)] = rng2.choice(
+        [-1, 1], 24
+    )
+    on = strict_entropy_layout(q, 44100, 0, True, True)
+    off = strict_entropy_layout(q, 44100, 0, False, True)
+    assert on["n_count1"] > 0 and on["big_values"] < off["big_values"]
+    assert on["part23_bits"] < off["part23_bits"]
 
 
 def test_entropy_flags_improve_low_bitrate_snr():
@@ -339,3 +352,22 @@ def test_spec_strict_preset_roundtrip():
     q = encode_decode_quality(opts, pcm)
     assert abs(q.gain - 1.0) < 0.05 and q.snr_db > 15.0, q
     assert len(frames) > 30
+
+
+def test_verify_frame_crcs_tolerates_id3_and_truncation():
+    """The CRC verifier accepts the same inputs decode_mp3 does."""
+    from swiftmp3_tpu import ID3Tag
+
+    pcm = _sine(0.4)
+    opts = MP3EncoderOptions(
+        mode=Mode.MONO, crc_protected=True, iso_crc=True,
+        id3_tag=ID3Tag(title="T", artist="A"),
+    )
+    s = MP3Encoder(opts, backend="numpy").new_session()
+    audio = s.encode(pcm) + s.flush()
+    blob = s.generate_id3_tag() + audio
+    r = verify_frame_crcs(blob)  # ID3 prefix skipped
+    assert r and all(r)
+    r2 = verify_frame_crcs(blob[:-100])  # truncated tail: no crash
+    assert len(r2) == len(r) - 1 and all(r2)
+    assert verify_frame_crcs(audio[:3]) == []
