@@ -677,25 +677,31 @@ def pack_main_data(chunks: jax.Array, nbits: jax.Array, cap_bytes: int) -> tuple
     lo = (win & 0xFFFF).astype(jnp.int32)
 
     n_half = cap_bytes // 2
+    # hi-factor dimension sized to the ACTUAL cap, not the theoretical
+    # 2160-byte worst case: scatter FLOPs scale with hi_dim, and targets
+    # beyond the cap are dropped either way (truncated frames are rejected
+    # host-side via hb > cap). 34 -> 14 at the 128 kbps stereo cap, ~2.4x
+    # less MXU work.
+    hi_dim = (n_half + _LO_DIM - 1) // _LO_DIM
 
     def scatter_halfwords(values: jax.Array, target: jax.Array) -> jax.Array:
         """sum_{p: target_p == h} values_p for h < n_half, via factorized
         one-hot matmuls. One-hots and byte-plane values are exact in
         bfloat16 (integers <= 255); accumulation is f32 on the MXU."""
-        t_hi = (target >> 5)[..., None] == jnp.arange(_HI_DIM, dtype=jnp.int32)
+        t_hi = (target >> 5)[..., None] == jnp.arange(hi_dim, dtype=jnp.int32)
         t_lo = (target & 31)[..., None] == jnp.arange(_LO_DIM, dtype=jnp.int32)
         Bm = t_lo.astype(jnp.bfloat16)  # [blk, P, 32]
         out = 0
         for plane_shift in (0, 8):
             v = ((values >> plane_shift) & 0xFF).astype(jnp.bfloat16)
-            Av = t_hi.astype(jnp.bfloat16) * v[..., None]  # [blk, P, 34]
+            Av = t_hi.astype(jnp.bfloat16) * v[..., None]  # [blk, P, hi_dim]
             S = jax.lax.dot_general(
                 Av,
                 Bm,
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [blk, 34, 32]
-            plane = S.reshape(S.shape[0], _HI_DIM * _LO_DIM).astype(jnp.int32)
+            )  # [blk, hi_dim, 32]
+            plane = S.reshape(S.shape[0], hi_dim * _LO_DIM).astype(jnp.int32)
             out = out + (plane << plane_shift)
         return out[:, :n_half]
 
