@@ -150,3 +150,26 @@ def test_quality_report_sine():
     # its SNR is bounded by side-info/data mismatch, not coding quality
     rep_c = encode_decode_quality(MP3EncoderOptions(mode=Mode.MONO), pcm)
     assert rep_c.snr_db < rep.snr_db
+
+
+def test_long_stream_batch_matches_session():
+    """~45 s of audio (1700+ frames): the 64-frame-chunk batch path and the
+    8-frame-chunk session backend agree byte-for-byte — long-run stability
+    of the reservoir/padding/VBR carries across chunk boundaries."""
+    from swiftmp3_tpu import MP3Encoder, MP3EncoderOptions, Mode
+    from swiftmp3_tpu.parallel import encode_batch
+
+    sr = 44100
+    rng = np.random.default_rng(77)
+    t = np.arange(int(45.1 * sr)) / sr
+    pcm = (
+        0.3 * np.sin(2 * np.pi * 220 * t)
+        + 0.15 * np.sin(2 * np.pi * 1318.5 * t)
+        + 0.05 * rng.standard_normal(len(t))
+    ).astype(np.float32)
+    opts = MP3EncoderOptions(mode=Mode.MONO, vbr=True, quality=4)
+    got = encode_batch(opts, [pcm], frames_per_step=64)[0]
+    sess = MP3Encoder(opts, backend="tpu").new_session()
+    want = sess.encode(pcm) + sess.flush()
+    assert got == want
+    assert sess.encoded_frame_count > 1700
