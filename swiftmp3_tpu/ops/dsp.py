@@ -536,7 +536,8 @@ def rate_loop_select(
     k_eval = jnp.where(evaluated & in_budget, k, -1)
     k_last = jnp.max(k_eval, axis=-1)
     k_sel = jnp.where(has_fit, k_fit, k_last).astype(jnp.int32)
-    bits_sel = jnp.take_along_axis(bits, k_sel[..., None], axis=-1)[..., 0]
+    # where-sum select, not take_along_axis (TPU gathers ~10 ns/element)
+    bits_sel = jnp.sum(jnp.where(k == k_sel[..., None], bits, 0), axis=-1)
     return k_sel, has_fit, bits_sel
 
 
@@ -552,7 +553,8 @@ def rate_loop_finalize(
     q_sel = quantize_at_gains(
         pre["mag"], pre["sign_neg"], gains_sel[..., None], iso=pre.get("iso", False)
     )[..., 0, :]
-    bv_sel = jnp.take_along_axis(pre["bv"], k_sel[..., None], axis=-1)[..., 0]
+    k = jnp.arange(N_GAIN_CANDIDATES, dtype=jnp.int32)
+    bv_sel = jnp.sum(jnp.where(k == k_sel[..., None], pre["bv"], 0), axis=-1)
     gain_out = jnp.where(has_fit, gains_sel, jnp.minimum(gains_sel + 4, 255))
     return gain_out.astype(jnp.int32), q_sel, bv_sel
 

@@ -148,6 +148,116 @@ from .dsp import (  # noqa: E402
     _T15_LEN_WORDS,
 )
 
+
+# --- Device-side Huffman bit packing kernel ------------------------------------
+# Same law as ops.dsp.pack_main_data (halfword decomposition, OR == SUM over
+# disjoint bits, factorized one-hot matmuls) but VMEM-resident: the XLA path
+# materializes ~4.5 GB of one-hot operands in HBM per 8192-frame chunk
+# (measured 5.7 ms, bandwidth/batched-matmul-util bound); here the bit-offset
+# cumsum runs as a log-doubling roll chain in VMEM and the one-hots are built
+# in registers and fed to the MXU as ONE stacked block-diagonal matmul per
+# (byte-plane, straddle-target) combo — full 128-row MXU utilization at the
+# price of computing BF x BF frame blocks and keeping only the diagonal.
+
+BF = 8  # frames per tile (M = BF*_HI_PAD = 128 rows -> full MXU stationary dim)
+
+
+def _pack_kernel(chunks_ref, nbits_ref, out_ref, *, P: int, hi_pad: int):
+    chunks = chunks_ref[:, :].astype(jnp.uint32)
+    nbits = nbits_ref[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BF, P), 1)
+
+    # exclusive cumsum of nbits along lanes (log-doubling roll+mask)
+    s = nbits
+    sh = 1
+    while sh < P:
+        s = s + jnp.where(lane >= sh, pltpu.roll(s, sh, axis=1), 0)
+        sh *= 2
+    off = s - nbits
+
+    h = off >> 4
+    sb = off & 15
+    shift = jnp.where(nbits > 0, 32 - sb - nbits, 0).astype(jnp.uint32)
+    win = jnp.where(nbits > 0, chunks << shift, jnp.uint32(0))
+    hi = (win >> 16).astype(jnp.int32)
+    lo = (win & 0xFFFF).astype(jnp.int32)
+
+    def stacked_onehot_rows(target, width):
+        # [BF*width, P] bf16 with row f*width+i = (target[f, :] == i)
+        t3 = jnp.broadcast_to(target[:, None, :], (BF, width, P))
+        i3 = jax.lax.broadcasted_iota(jnp.int32, (BF, width, P), 1)
+        return (t3 == i3).astype(jnp.bfloat16).reshape(BF * width, P)
+
+    acc = None
+    for target, values in ((h, hi), (h + 1, lo)):
+        Bm = stacked_onehot_rows(target & 31, 32)  # [BF*32, P]
+        t_hi = target >> 5
+        for plane in (0, 8):
+            v = (values >> plane) & 0xFF
+            A3 = jnp.where(
+                jnp.broadcast_to(t_hi[:, None, :], (BF, hi_pad, P))
+                == jax.lax.broadcasted_iota(jnp.int32, (BF, hi_pad, P), 1),
+                jnp.broadcast_to(v[:, None, :], (BF, hi_pad, P)),
+                0,
+            ).astype(jnp.bfloat16)
+            A = A3.reshape(BF * hi_pad, P)
+            M = jax.lax.dot_general(
+                A,
+                Bm,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BF*hi_pad, BF*32]
+            # diagonal frame blocks only
+            blocks = [
+                M[f * hi_pad : (f + 1) * hi_pad, f * 32 : (f + 1) * 32][None]
+                for f in range(BF)
+            ]
+            plane_val = jnp.concatenate(blocks, axis=0).astype(jnp.int32)
+            contrib = plane_val << plane
+            acc = contrib if acc is None else acc + contrib
+    out_ref[:, :, :] = acc
+
+
+def pack_pallas(
+    chunks: jax.Array, nbits: jax.Array, cap_bytes: int, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Drop-in replacement for ops.dsp.pack_main_data (same contract).
+
+    chunks/nbits: [F, P] int32 per-slot codes (<= 15 bits each) and lengths;
+    returns (bytes [F, cap_bytes] uint8, total_bits [F] int32).
+    """
+    F, P = chunks.shape
+    n_half = cap_bytes // 2
+    hi_dim = (n_half + 31) // 32
+    hi_pad = ((hi_dim + 7) // 8) * 8
+    P_pad = ((P + 127) // 128) * 128
+    F_pad = ((F + BF - 1) // BF) * BF
+
+    total_bits = jnp.sum(nbits, axis=-1).astype(jnp.int32)
+
+    c = jnp.pad(chunks, ((0, F_pad - F), (0, P_pad - P)))
+    nb = jnp.pad(nbits, ((0, F_pad - F), (0, P_pad - P)))
+
+    halfwords = pl.pallas_call(
+        partial(_pack_kernel, P=P_pad, hi_pad=hi_pad),
+        out_shape=jax.ShapeDtypeStruct((F_pad, hi_pad, 32), jnp.int32),
+        grid=(F_pad // BF,),
+        in_specs=[
+            pl.BlockSpec((BF, P_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BF, P_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (BF, hi_pad, 32), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(c, nb)
+
+    hw = halfwords.reshape(F_pad, hi_pad * 32)[:F, :n_half]
+    hi8 = (hw >> 8).astype(jnp.uint8)
+    lo8 = (hw & 0xFF).astype(jnp.uint8)
+    out_bytes = jnp.stack([hi8, lo8], axis=-1).reshape(F, cap_bytes)
+    return out_bytes, total_bits
+
 BG = 8  # granule rows per tile
 _PAIR_LANES = 384  # 288 pairs padded to 3*128
 

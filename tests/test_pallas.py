@@ -47,6 +47,33 @@ def test_device_pack_matches_host_pack():
         assert by[f, : len(host_bytes)].tobytes() == host_bytes
 
 
+@pytest.mark.parametrize(
+    "F,P,cap", [(16, 1152, 894), (5, 576, 894), (8, 1812, 1536), (3, 1152, 2160)]
+)
+def test_pack_pallas_matches_xla(F, P, cap):
+    """The VMEM pack kernel (interpret mode on CPU) is bit-identical to the
+    XLA pack across frame/slot/cap shapes, including non-128-multiple P."""
+    import jax
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(7)
+    nb = rng.integers(0, 16, size=(F, P)).astype(np.int32)
+    scale = (cap * 8 - 64) / max(nb.sum(axis=1).max(), 1)
+    if scale < 1:  # keep every frame under the cap
+        nb = np.where(rng.random((F, P)) < scale, nb, 0)
+    ch = np.zeros((F, P), np.int32)
+    nz = nb > 0
+    ch[nz] = rng.integers(0, 1 << 15, size=nz.sum()) & ((1 << nb[nz]) - 1)
+    b_ref, t_ref = jax.jit(lambda c, n: dsp.pack_main_data(c, n, cap))(ch, nb)
+    b_pl, t_pl = jax.jit(
+        lambda c, n: pk.pack_pallas(c, n, cap, interpret=True)
+    )(jnp.asarray(ch), jnp.asarray(nb))
+    assert np.array_equal(np.asarray(b_ref), np.asarray(b_pl))
+    assert np.array_equal(np.asarray(t_ref), np.asarray(t_pl))
+
+
 def test_t15_code_lookup_exact():
     import jax.numpy as jnp
 
