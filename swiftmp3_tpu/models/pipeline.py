@@ -22,7 +22,8 @@ each stream's last valid frame.
 
 Carry layout (per stream):
     fb_hist   [B, ch, 480]  f32  trailing PCM for the polyphase filterbank
-    overlap   [B, ch, 32, 18] f32  MDCT overlap (post frequency-inversion)
+    overlap   [B, ch, 576]  f32  MDCT overlap: last granule's frequency-
+              inverted subband samples, flat (t*32 + sb) filterbank order
     stream_len [B] i32  reservoir byte-stream length mirror
     avail      [B] i32  reservoir borrowing counter (MP3Encoder.swift:2096)
     pad_rem    [B] i32  Bresenham padding accumulator (MP3Encoder.swift:456)
@@ -52,11 +53,18 @@ from ..ops import dsp
 from ..ops import pallas_kernels
 
 
+# Debug-only trace-time ablations for perf attribution (set by
+# tools/attribute_step.py before tracing; empty in production, zero cost).
+# Members: "ingest" (int16 normalize + deinterleave + stereo stack),
+# "meta" (side-info meta assembly + packed-output concat).
+_ABLATE: frozenset = frozenset()
+
+
 def init_carry(batch: int, options: MP3EncoderOptions):
     ch = options.channels
     return {
         "fb_hist": jnp.zeros((batch, ch, 480), dtype=jnp.float32),
-        "overlap": jnp.zeros((batch, ch, 32, 18), dtype=jnp.float32),
+        "overlap": jnp.zeros((batch, ch, 576), dtype=jnp.float32),
         "stream_len": jnp.zeros(batch, dtype=jnp.int32),
         "avail": jnp.zeros(batch, dtype=jnp.int32),
         "pad_rem": jnp.zeros(batch, dtype=jnp.int32),
@@ -139,7 +147,11 @@ def make_chunk_fn(options: MP3EncoderOptions):
         # [.., 576] tensor afterwards stays in [B, ch, 2T, ...] layout — only
         # scalar-ish per-granule tensors are reordered for the time scan.
         pcm_bt = pcm.reshape(B, T * pcm.shape[-1])
-        if ch == 1:
+        if "ingest" in _ABLATE:
+            s = jnp.sum(pcm_bt, dtype=jnp.float32) * jnp.float32(1e-30)
+            ramp = jnp.arange(T * 1152, dtype=jnp.float32) * jnp.float32(1e-7)
+            pcm_chunk = jnp.zeros((B, ch, T * 1152), jnp.float32) + s + ramp
+        elif ch == 1:
             pcm_chunk = pcm_bt[:, None, :]  # [B, 1, T*1152]
         else:
             left = pcm_bt[:, 0::2].reshape(B, T, 1152)
@@ -152,15 +164,13 @@ def make_chunk_fn(options: MP3EncoderOptions):
 
         granule_pcm = pcm_chunk.reshape(B, ch, T, 2, 576)  # free view
 
-        # Filterbank: Pallas kernel on real TPUs (slightly faster and keeps
-        # window tiles in VMEM); XLA fusion elsewhere and for odd tile sizes.
-        use_pallas = (
-            jax.devices()[0].platform == "tpu" and (36 * T) % 96 == 0
-        )
-        if use_pallas:
-            S, full_x = pallas_kernels.polyphase_chunk_pallas(
-                carry["fb_hist"], pcm_chunk
-            )
+        # Filterbank: folded five-matmul form (full-width MXU; see
+        # dsp.polyphase_chunk_matmul) on every platform — measured faster
+        # than both the stepwise XLA fusion and the Pallas kernel (whose
+        # 32-lane minor layout idles 3/4 of each vreg), and keeps CPU-jax
+        # and chip numerics on one HLO. Stepwise fallback for odd shapes.
+        if (36 * T) % 4 == 0:
+            S, full_x = dsp.polyphase_chunk_matmul(carry["fb_hist"], pcm_chunk)
         else:
             S, full_x = dsp.polyphase_chunk(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
 
@@ -380,33 +390,46 @@ def make_chunk_fn(options: MP3EncoderOptions):
         # meta block is assembled time-major (the scan's natural order) and
         # swapped once — it is ~100x smaller than main_data. Layout must
         # match fetch_outputs below.
-        table_sel = jnp.stack(
-            [tm(ts0_b), tm(ts1_b), tm(ts2_b)], axis=-1
-        ).reshape(T, B, 3 * n_gran)
-        meta = jnp.concatenate(
-            [
-                br_idx[..., None],
-                padding[..., None],
-                mdb[..., None],
-                slot[..., None],
-                bits_sel,
-                tm(big_values_b),
-                tm(gain_b),
-                tm(block_b),
-                tm(pref_b),
-                tm(region0_b),
-                tm(region1_b),
-                tm(sb_gain_b).reshape(T, B, 3 * n_gran),
-                table_sel,
-                tm(c1t_b),
-                tm(scfc_b),
-            ],
-            axis=-1,
-        ).astype(jnp.int32)
-        meta_bytes = jax.lax.bitcast_convert_type(
-            jnp.swapaxes(meta, 0, 1), jnp.uint8
-        ).reshape(B, T, -1)
-        outputs = {"packed": jnp.concatenate([main_data, meta_bytes], axis=-1)}
+        if "meta" in _ABLATE:
+            z = jnp.int32(0)
+            for x in (br_idx, padding, mdb, slot, k_sel, bits_sel,
+                      big_values_b, gain_b, block_b, pref_b, region0_b,
+                      region1_b, sb_gain_b, ts0_b, ts1_b, ts2_b, c1t_b,
+                      scfc_b):
+                z = z + jnp.sum(x) * 0
+            fake = (z + jnp.arange(main_data.shape[-1], dtype=jnp.int32) % 250
+                    ).astype(jnp.uint8)
+            outputs = {"packed": main_data + fake}
+        else:
+            table_sel = jnp.stack(
+                [tm(ts0_b), tm(ts1_b), tm(ts2_b)], axis=-1
+            ).reshape(T, B, 3 * n_gran)
+            meta = jnp.concatenate(
+                [
+                    br_idx[..., None],
+                    padding[..., None],
+                    mdb[..., None],
+                    slot[..., None],
+                    bits_sel,
+                    tm(big_values_b),
+                    tm(gain_b),
+                    tm(block_b),
+                    tm(pref_b),
+                    tm(region0_b),
+                    tm(region1_b),
+                    tm(sb_gain_b).reshape(T, B, 3 * n_gran),
+                    table_sel,
+                    tm(c1t_b),
+                    tm(scfc_b),
+                ],
+                axis=-1,
+            ).astype(jnp.int32)
+            meta_bytes = jax.lax.bitcast_convert_type(
+                jnp.swapaxes(meta, 0, 1), jnp.uint8
+            ).reshape(B, T, -1)
+            outputs = {
+                "packed": jnp.concatenate([main_data, meta_bytes], axis=-1)
+            }
 
         # ---------------- Carry-out state at each stream's last valid ----
         # One-hot einsum selects, not take_along_axis: TPU gathers cost
@@ -423,12 +446,12 @@ def make_chunk_fn(options: MP3EncoderOptions):
         fb_hist = jnp.einsum(
             "bt,bctj->bcj", sel_t, slabs, precision=jax.lax.Precision.HIGHEST
         )
-        all_ov = jnp.concatenate([carry["overlap"][:, :, None], cur], axis=2)
+        all_ov = jnp.concatenate([carry["overlap"][:, :, None, :], cur], axis=2)
         sel_g = (
             (2 * count_valid)[:, None] == jnp.arange(2 * T + 1)
         ).astype(jnp.float32)
         overlap = jnp.einsum(
-            "bg,bcgse->bcse", sel_g, all_ov, precision=jax.lax.Precision.HIGHEST
+            "bg,bcgj->bcj", sel_g, all_ov, precision=jax.lax.Precision.HIGHEST
         )
 
         new_carry = dict(int_carry)

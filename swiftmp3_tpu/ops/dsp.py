@@ -246,6 +246,60 @@ def polyphase_chunk(hist: jax.Array, pcm: jax.Array) -> tuple[jax.Array, jax.Arr
     return S.astype(_F32), x
 
 
+def _build_polyphase_fold() -> list[np.ndarray]:
+    """Fold reversed-window x cosine-matrix into five [128, 128] matrices.
+
+    S[pos, k] = sum_u x[32*pos + u] * C[u, k], C[u, k] =
+    Wrev[u] * MrevT[u % 64, k] (u < 512). Packing x into 128-sample rows and
+    4 window positions per output row (pos = 4r + c -> out col c*32 + k)
+    gives S4[r] = sum_d row[r+d] @ C3[d] — full-width MXU matmuls instead of
+    the K=32/N=32 shapes of the stepwise form (which idle ~15/16 of the MXU).
+    """
+    Wrev = np.asarray(ISO_WINDOW[::-1], dtype=np.float64)  # [512]
+    MrevT = np.asarray(ANALYSIS_MATRIX[:, ::-1].T, dtype=np.float64)  # [64, 32]
+    C = Wrev[:, None] * MrevT[np.arange(512) % 64]  # [512, 32]
+    mats = []
+    for d in range(5):
+        M = np.zeros((128, 128))
+        for c in range(4):
+            for l in range(128):
+                u = 128 * d + l - 32 * c
+                if 0 <= u < 512:
+                    M[l, c * 32 : (c + 1) * 32] = C[u]
+        mats.append(M.astype(np.float32))
+    return mats
+
+
+_POLY_FOLD = [jnp.asarray(m) for m in _build_polyphase_fold()]
+
+
+def polyphase_chunk_matmul(
+    hist: jax.Array, pcm: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """polyphase_chunk via five folded [128, 128] matmuls (same contract:
+    returns (S [..., 36T, 32], full signal x); T must be even so 36T % 4 == 0).
+    ULP-level differences from the stepwise form only (constant fold + one
+    dot-accumulation order); integer parity pinned by fixtures/stream tests.
+    """
+    x_full = jnp.concatenate([hist, pcm], axis=-1)
+    L = x_full.shape[-1]
+    T36 = (L - 480) // 32
+    assert T36 % 4 == 0
+    R_out = T36 // 4
+    x = jnp.pad(x_full, [(0, 0)] * (x_full.ndim - 1) + [(0, 32)])
+    A = x.reshape(*x.shape[:-1], (L + 32) // 128, 128)
+    S4 = None
+    for d in range(5):
+        term = jnp.matmul(
+            jax.lax.slice_in_dim(A, d, d + R_out, axis=-2),
+            _POLY_FOLD[d],
+            precision=_HIGHEST,
+        )
+        S4 = term if S4 is None else S4 + term
+    S = S4.reshape(*S4.shape[:-2], T36, 32)
+    return S.astype(_F32), x_full
+
+
 # --- MDCT + aliasing reduction ----------------------------------------------
 
 
@@ -335,36 +389,119 @@ def mdct_frame(
     return spectra, cur1
 
 
+def _build_mdct_fold() -> dict:
+    """Fold window x MDCT matrix x norm (x aliasing) into dense [576, 576]
+    float64-built matrices over the flat (t*32 + sb) granule layout.
+
+    The chunk MDCT then becomes plain `granule_flat @ M` MXU matmuls with no
+    [.., 32, 36] combined-window intermediates: rows are the granule's 576
+    subband samples in filterbank order (free reshape of the [18, 32]
+    filterbank output), columns are the spectrum's (sb*18 + m) layout.
+    Subband independence makes the matrices block-sparse; zero terms add
+    exactly 0.0 in f32, so the dense matmul sums only the real 36-term
+    window like the two-step formulation (ULP-level grouping differences
+    only — integer parity on the test surface is unchanged, enforced by the
+    frozen fixtures and golden stream tests).
+    """
+    W36 = np.asarray(LONG_WINDOW, dtype=np.float64)  # [36]
+    ML = np.asarray(LONG_MDCT_MATRIX, dtype=np.float64)  # [18, 36]
+    SW = np.asarray(SHORT_WINDOW, dtype=np.float64)  # [12]
+    MS = np.asarray(SHORT_MDCT_MATRIX, dtype=np.float64)  # [6, 12]
+
+    # unaliased long law: out[sb*18+m] = sum_t combined[t]*W36[t]*ML[m,t]/9
+    # prev rows cover combined positions 0..17, cur rows 18..35.
+    blk_p = np.einsum("t,mt->tm", W36[:18], ML[:, :18]) / 9.0  # [18, 18]
+    blk_c = np.einsum("t,mt->tm", W36[18:], ML[:, 18:]) / 9.0
+    Lp = np.zeros((576, 576))
+    Lc = np.zeros((576, 576))
+    for sb in range(32):
+        rows = np.arange(18) * 32 + sb
+        cols = sb * 18 + np.arange(18)
+        Lp[np.ix_(rows, cols)] = blk_p
+        Lc[np.ix_(rows, cols)] = blk_c
+
+    # aliasing butterflies as an in->out matrix over the (sb*18+m) space
+    # (MP3Encoder.swift:1581-1616; see _aliasing_reduce)
+    A = np.eye(576)
+    cs = np.asarray(ALIASING_CS, dtype=np.float64)
+    ca = np.asarray(ALIASING_CA, dtype=np.float64)
+    for b in range(31):
+        for i in range(8):
+            pu = b * 18 + (17 - i)  # upper position of subband b
+            pl = (b + 1) * 18 + i  # lower position of subband b+1
+            A[pu, pu] = cs[i]
+            A[pl, pu] = ca[i]
+            A[pl, pl] = cs[i]
+            A[pu, pl] = -ca[i]
+
+    # short law: window w at combined offset 6w+6, out index 3m+w, /3 norm
+    Sp = np.zeros((576, 576))
+    Sc = np.zeros((576, 576))
+    for w in range(3):
+        for j in range(12):
+            u = 6 * w + 6 + j
+            tgt = Sp if u < 18 else Sc
+            t = u if u < 18 else u - 18
+            for m in range(6):
+                wgt = SW[j] * MS[m, j] / 3.0
+                for sb in range(32):
+                    tgt[t * 32 + sb, sb * 18 + 3 * m + w] += wgt
+
+    f32 = lambda x: jnp.asarray(x.astype(np.float32))  # noqa: E731
+    return {
+        "long_alias_p": f32(Lp @ A),
+        "long_alias_c": f32(Lc @ A),
+        "long36_p": f32(Lp[:, :36]),  # unaliased long, subbands 0-1 (mixed)
+        "long36_c": f32(Lc[:, :36]),
+        "short_p": f32(Sp),
+        "short_c": f32(Sc),
+    }
+
+
+_MDCT_FOLD = _build_mdct_fold()
+_SIGN_FLAT = jnp.asarray(
+    np.asarray(_freq_inversion_sign()).reshape(576)
+)  # (t*32+sb) order
+
+
 def mdct_chunk(
     S: jax.Array, overlap: jax.Array, block_type: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
-    """MDCT for all 2T granules of a chunk at once.
+    """MDCT for all 2T granules of a chunk at once (folded-matrix form).
 
-    S: [..., 36T, 32]; overlap: [..., 32, 18] carried into the chunk;
-    block_type: [..., 2T]. The overlap chain across granules is just
-    'previous granule's (frequency-inverted) subband samples', so the whole
-    chunk is parallel: prev_g = cur_{g-1} with g = -1 the incoming overlap.
+    S: [..., 36T, 32]; overlap: [..., 576] carried into the chunk — the
+    previous granule's frequency-inverted subband samples in flat
+    (t*32 + sb) order; block_type: [..., 2T]. The overlap chain across
+    granules is just 'previous granule's inverted samples', so the whole
+    chunk is parallel: prev_g = cur_{g-1} with g = -1 the incoming overlap
+    (MP3Encoder.swift:1512-1616).
 
-    Returns (spectra [..., 2T, 576], cur [..., 2T, 32, 18] post-inversion
-    subband samples — gather index 2*valid_count - 1 for the carry-out).
+    Each law (long+aliasing, short, mixed's unaliased-long head) is one
+    dense [576, 576] matmul pair over (prev, cur) — see _build_mdct_fold.
+    Returns (spectra [..., 2T, 576], signed [..., 2T, 576] post-inversion
+    subband samples; select index 2*valid_count - 1 for the carry-out).
     """
     lead = S.shape[:-2]
     n_gran = S.shape[-2] // 18
-    g = S.reshape(*lead, n_gran, 18, 32) * _INV_SIGN
-    cur = jnp.swapaxes(g, -1, -2)  # [..., 2T, 32, 18]
-    prev = jnp.concatenate([overlap[..., None, :, :], cur[..., :-1, :, :]], axis=-3)
-    combined = jnp.concatenate([prev, cur], axis=-1)  # [..., 2T, 32, 36]
+    flat = S.reshape(*lead, n_gran, 576)  # free: rows are (t, sb)
+    signed = flat * _SIGN_FLAT
+    prev = jnp.concatenate([overlap[..., None, :], signed[..., :-1, :]], axis=-2)
 
-    long_coeffs = _mdct_long_batch(combined)
-    short_coeffs = _mdct_short_batch(combined)
+    def law(mp, mc):
+        return jnp.matmul(prev, mp, precision=_HIGHEST) + jnp.matmul(
+            signed, mc, precision=_HIGHEST
+        )
+
+    long_aliased = law(_MDCT_FOLD["long_alias_p"], _MDCT_FOLD["long_alias_c"])
+    short = law(_MDCT_FOLD["short_p"], _MDCT_FOLD["short_c"])
 
     bt = block_type[..., None]
-    sb_idx = jnp.arange(SUBBANDS, dtype=jnp.int32)
-    use_long = (bt == BLOCK_LONG) | ((bt == BLOCK_MIXED) & (sb_idx < 2))
-    coeffs = jnp.where(use_long[..., None], long_coeffs, short_coeffs)
-    reduced = _aliasing_reduce(coeffs)
-    coeffs = jnp.where((bt == BLOCK_LONG)[..., None], reduced, coeffs)
-    return coeffs.reshape(*coeffs.shape[:-2], 576), cur
+    out = jnp.where(bt == BLOCK_LONG, long_aliased, short)
+    # mixed: unaliased long for subbands 0-1, short above
+    head36 = law(_MDCT_FOLD["long36_p"], _MDCT_FOLD["long36_c"])
+    mixed = jnp.concatenate([head36, short[..., 36:]], axis=-1)
+    out = jnp.where(bt == BLOCK_MIXED, mixed, out)
+    return out.astype(_F32), signed
 
 
 # --- Transient detection -----------------------------------------------------

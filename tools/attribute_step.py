@@ -210,16 +210,28 @@ def main():
 
     measure("integer scan", [patched(jax.lax, "scan", fake_scan)])
 
-    # carry-out gathers
-    real_tala = jnp.take_along_axis
+    # carry-out one-hot selects (einsum since the gather removal)
+    def fake_einsum(spec, a, b, precision=None):
+        if spec == "bt,bctj->bcj":
+            return b[:, :, 0] + (consume(a) * 0)
+        if spec == "bg,bcgse->bcse":
+            return b[:, :, 0] + (consume(a) * 0)
+        return jnp.einsum(spec, a, b, precision=precision)
 
-    def fake_tala(a, idx, axis=None):
-        sl = [slice(None)] * a.ndim
-        sl[axis] = slice(0, idx.shape[axis])
-        out = a[tuple(sl)]
-        return out + (consume(idx.astype(jnp.float32)) * 0).astype(a.dtype)
+    measure("carry-out selects", [patched(pipeline.jnp, "einsum", fake_einsum)])
 
-    measure("carry-out gathers", [patched(jnp, "take_along_axis", fake_tala)])
+    # trace-time ablation branches inside the pipeline
+    measure("ingest (deint+cvt)", [patched(pipeline, "_ABLATE", frozenset({"ingest"}))])
+    measure("meta assembly+concat", [patched(pipeline, "_ABLATE", frozenset({"meta"}))])
+
+    # dispatch floor: a trivial program over the same inputs
+    def noop(carry, pcm, fin, val):
+        s = jnp.sum(pcm, dtype=jnp.float32) * jnp.float32(1e-30)
+        out = {"packed": jnp.zeros((B, T, 8), jnp.uint8) + s.astype(jnp.uint8)}
+        return carry, out
+
+    t_noop = chained_time(jax.jit(noop), carry, pcm_d, fin_d, val_d)
+    print(f"{'dispatch floor (noop)':28s} {t_noop*1e3:8.2f} ms")
 
     print("-" * 58)
     acc = sum(results.values())
