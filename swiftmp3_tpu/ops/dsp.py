@@ -447,15 +447,15 @@ def _build_mdct_fold() -> dict:
                 for sb in range(32):
                     tgt[t * 32 + sb, sb * 18 + 3 * m + w] += wgt
 
+    # Stack the three laws' columns side by side so the whole MDCT is ONE
+    # (prev, cur) matmul pair of [.., 576] @ [576, 1188]: cols 0-575 the
+    # aliased long law, 576-1151 the short law, 1152-1187 the mixed
+    # granules' unaliased-long head (subbands 0-1). Column stacking keeps
+    # every output dot product bit-identical to separate per-law matmuls.
+    MP = np.concatenate([Lp @ A, Sp, Lp[:, :36]], axis=1)
+    MC = np.concatenate([Lc @ A, Sc, Lc[:, :36]], axis=1)
     f32 = lambda x: jnp.asarray(x.astype(np.float32))  # noqa: E731
-    return {
-        "long_alias_p": f32(Lp @ A),
-        "long_alias_c": f32(Lc @ A),
-        "long36_p": f32(Lp[:, :36]),  # unaliased long, subbands 0-1 (mixed)
-        "long36_c": f32(Lc[:, :36]),
-        "short_p": f32(Sp),
-        "short_c": f32(Sc),
-    }
+    return {"p": f32(MP), "c": f32(MC)}
 
 
 _MDCT_FOLD = _build_mdct_fold()
@@ -485,20 +485,23 @@ def mdct_chunk(
     n_gran = S.shape[-2] // 18
     flat = S.reshape(*lead, n_gran, 576)  # free: rows are (t, sb)
     signed = flat * _SIGN_FLAT
-    prev = jnp.concatenate([overlap[..., None, :], signed[..., :-1, :]], axis=-2)
+    # prev_g = signed_{g-1}: slice one padded buffer instead of concatenating
+    # a shifted copy — XLA reads `ext` twice (offset 0 and 1), no extra
+    # 2T x 576 materialization.
+    ext = jnp.concatenate([overlap[..., None, :], signed], axis=-2)
+    prev = jax.lax.slice_in_dim(ext, 0, n_gran, axis=-2)
+    cur = jax.lax.slice_in_dim(ext, 1, n_gran + 1, axis=-2)
 
-    def law(mp, mc):
-        return jnp.matmul(prev, mp, precision=_HIGHEST) + jnp.matmul(
-            signed, mc, precision=_HIGHEST
-        )
-
-    long_aliased = law(_MDCT_FOLD["long_alias_p"], _MDCT_FOLD["long_alias_c"])
-    short = law(_MDCT_FOLD["short_p"], _MDCT_FOLD["short_c"])
+    all_laws = jnp.matmul(prev, _MDCT_FOLD["p"], precision=_HIGHEST) + jnp.matmul(
+        cur, _MDCT_FOLD["c"], precision=_HIGHEST
+    )
+    long_aliased = all_laws[..., :576]
+    short = all_laws[..., 576:1152]
+    head36 = all_laws[..., 1152:]
 
     bt = block_type[..., None]
     out = jnp.where(bt == BLOCK_LONG, long_aliased, short)
     # mixed: unaliased long for subbands 0-1, short above
-    head36 = law(_MDCT_FOLD["long36_p"], _MDCT_FOLD["long36_c"])
     mixed = jnp.concatenate([head36, short[..., 36:]], axis=-1)
     out = jnp.where(bt == BLOCK_MIXED, mixed, out)
     return out.astype(_F32), signed

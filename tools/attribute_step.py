@@ -129,6 +129,7 @@ def main():
     measure(
         "filterbank",
         [patched(dsp, "polyphase_chunk", fake_polyphase),
+         patched(dsp, "polyphase_chunk_matmul", fake_polyphase),
          patched(pallas_kernels, "polyphase_chunk_pallas", fake_polyphase)],
     )
 
@@ -137,7 +138,7 @@ def main():
         n_gran = S.shape[-2] // 18
         s = consume(S, overlap) + consume(block_seq.astype(jnp.float32))
         spectra = fvary(s, (*lead, n_gran, 576)) * jnp.float32(1e-3)
-        cur = fvary(s, (*lead, n_gran, 32, 18))
+        cur = fvary(s, (*lead, n_gran, 576))
         return spectra, cur
 
     measure("mdct", [patched(dsp, "mdct_chunk", fake_mdct)])
@@ -214,7 +215,7 @@ def main():
     def fake_einsum(spec, a, b, precision=None):
         if spec == "bt,bctj->bcj":
             return b[:, :, 0] + (consume(a) * 0)
-        if spec == "bg,bcgse->bcse":
+        if spec == "bg,bcgj->bcj":
             return b[:, :, 0] + (consume(a) * 0)
         return jnp.einsum(spec, a, b, precision=precision)
 
