@@ -69,11 +69,12 @@ def main() -> None:
     enable_compilation_cache()
 
     options = MP3EncoderOptions(mode=Mode.STEREO, bitrate_kbps=128, sample_rate=44100)
-    # B=128 x T=64 won a (B, T) sweep for per-chip throughput (7,0xx vs
-    # 5,7xx at 128x32): longer chunks amortize per-chunk fixed costs while
-    # the working set still fits comfortably.
-    B = int(os.environ.get("BENCH_BATCH", "128"))
-    T = int(os.environ.get("BENCH_FRAMES", "64"))
+    # B=256 x T=128 won the latest (B, T) sweep (~+10% over 128x64 at the
+    # current ~20 ms step): as compute shrank, the ~3.5 ms/step dispatch
+    # floor through the dev tunnel grew in relative terms, so bigger chunks
+    # amortize it further. Working set still fits HBM comfortably.
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    T = int(os.environ.get("BENCH_FRAMES", "128"))
     n = 1152 * options.channels
     n_iter = int(os.environ.get("BENCH_ITERS", "12"))
     audio_seconds = B * T * 1152 / options.sample_rate
