@@ -308,8 +308,10 @@ def _decode_count1_a(r: BitReader) -> list[int]:
 def _requantize(
     q: np.ndarray, g: GranuleSide, sample_rate: int, scalefacs=None
 ) -> np.ndarray:
-    """ISO 2.4.3.4 requantization: xr = |q|^(4/3) * 2^((gain-210)/4) *
-    2^(-(scalefac_scale+1)*(scalefac + preflag*pretab)) per long band."""
+    """ISO 2.4.3.4.7.1 requantization: xr = |q|^(4/3) * 2^((gain-210)/4) *
+    2^(-(scalefac_scale+1)/2 * (scalefac + preflag*pretab)) per long band
+    (scalefac_multiplier = (scalefac_scale+1)/2, so the per-unit factor is
+    sqrt(2) at scalefac_scale=0 and 2 at scalefac_scale=1)."""
     gain_exp = 0.25 * (g.global_gain - 210)
     mag = np.abs(q).astype(np.float64) ** (4.0 / 3.0)
     xr = mag * (2.0 ** gain_exp)
@@ -325,7 +327,7 @@ def _requantize(
             pre = PRETAB[band_idx] if apply_pre else 0
             total = sf + pre
             if total:
-                xr[cursor:end] *= 2.0 ** (-scale_mult * 2.0 * total)
+                xr[cursor:end] *= 2.0 ** (-scale_mult * total)
             cursor = end
     return (np.sign(q) * xr).astype(np.float32)
 

@@ -222,7 +222,8 @@ class GoldenBackend:
                     region0_count=r0,
                     region1_count=r1,
                     preflag=1 if preflag else 0,
-                    scalefac_scale=0,
+                    # 1 iff real_scalefactors (see pipeline.fetch_outputs)
+                    scalefac_scale=1 if opts.real_scalefactors else 0,
                     count1table_select=c1t,
                 )
 

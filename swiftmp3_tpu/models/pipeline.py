@@ -545,7 +545,10 @@ def frame_results_from_outputs(
             region0_count=int(outs["region0"][b, t, g]),
             region1_count=int(outs["region1"][b, t, g]),
             preflag=int(outs["preflag"][b, t, g]),
-            scalefac_scale=0,
+            # 1 iff real_scalefactors: the encoder amplifies amplitudes by
+            # 2^sf, which the ISO factor 2^(-(1+scalefac_scale)/2 * sf)
+            # cancels exactly at scalefac_scale=1 (ISO 2.4.3.4.7.1).
+            scalefac_scale=1 if options.real_scalefactors else 0,
             count1table_select=int(outs["count1table"][b, t, g]),
         )
     hb = int(outs["hb"][b, t])

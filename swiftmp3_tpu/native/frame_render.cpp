@@ -80,6 +80,9 @@ struct StreamState {
     int aligned_mode;  // 1: keep last frame's data at the slot tail
     int iso_crc;       // 1: CRC covers header bytes 3-4 + side info (ISO
                        // 2.4.3.1); 0: 4 header bytes only (reference quirk)
+    int scalefac_scale;  // side-info bit: 1 when real_scalefactors is on
+                         // (encoder amplifies by 2^sf; ISO factor
+                         // 2^(-(1+bit)/2*sf) then cancels exactly)
     // reservoir + delay
     std::vector<uint8_t> reservoir;
     std::vector<uint8_t> buffered_head;
@@ -168,7 +171,7 @@ std::vector<uint8_t> build_head_side(
                 si.write(static_cast<uint32_t>(region1[o]), 3);
             }
             si.write(static_cast<uint32_t>(preflag[o]), 1);
-            si.write(0, 1);  // scalefac_scale
+            si.write(static_cast<uint32_t>(s->scalefac_scale), 1);
             si.write(static_cast<uint32_t>(count1table[o]), 1);
         }
     }
@@ -204,7 +207,8 @@ extern "C" {
 
 void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
                      int copyright_bit, int original_bit, int mode_bits,
-                     int mode_ext, int aligned_mode, int iso_crc) {
+                     int mode_ext, int aligned_mode, int iso_crc,
+                     int scalefac_scale) {
     auto* s = new StreamState();
     s->channels = channels;
     s->sample_rate_index = sample_rate_index;
@@ -215,6 +219,7 @@ void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
     s->mode_ext = mode_ext;
     s->aligned_mode = aligned_mode;
     s->iso_crc = iso_crc;
+    s->scalefac_scale = scalefac_scale;
     return s;
 }
 

@@ -317,9 +317,11 @@ def quantize_to_fit_budget(
 # ~+1.6 dB tonal at ~-0.2 dB noise.
 # scalefac_compress = the smallest index whose (slen1, slen2) hold
 # max(sf) of each group. Quantization multiplies |x|^0.75 by
-# 2^(0.75*sf[band]); ISO decoders divide by 2^sf — band noise drops by
-# 2^-sf, evening out SNR across bands. Requires iso_quantization (the
-# unit-gain law); long-block granules only (switching granules emit 0s).
+# 2^(0.75*sf[band]) (amplitude 2^sf); the emitted scalefac_scale=1 makes
+# the ISO 2.4.3.4.7.1 factor 2^(-(1+scalefac_scale)/2*sf) = 2^-sf cancel it
+# exactly — band noise drops by 2^-sf, evening out SNR across bands.
+# Requires iso_quantization (the unit-gain law); long-block granules only
+# (switching granules emit 0s).
 
 # slen1/slen2 per scalefac_compress (ISO 2.4.2.7)
 SLEN_TABLE = (
