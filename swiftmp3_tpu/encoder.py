@@ -154,7 +154,12 @@ class GoldenBackend:
                 # on any output. See ops.reference.masking_thresholds.
                 sfd = None
                 if opts.real_scalefactors:
-                    sfd = ref.strict_scalefactors(spectrum, sr, block)
+                    sf_law = (
+                        ref.psy_scalefactors
+                        if opts.psy_scalefactors
+                        else ref.strict_scalefactors
+                    )
+                    sfd = sf_law(spectrum, sr, block)
                     gain0 = ref.compute_global_gain_scaled(spectrum, sfd["mag_scale"])
                 else:
                     gain0 = ref.compute_global_gain(spectrum, iso=opts.iso_quantization)

@@ -182,7 +182,12 @@ def make_chunk_fn(options: MP3EncoderOptions):
         if strict_entropy:
             is_long_b = block_b == dsp.BLOCK_LONG  # [B, ch, T, 2]
             if options.real_scalefactors:
-                sfd = dsp.strict_scalefactors_device(spectra, sr, is_long_b)
+                sf_law = (
+                    dsp.psy_scalefactors_device
+                    if options.psy_scalefactors
+                    else dsp.strict_scalefactors_device
+                )
+                sfd = sf_law(spectra, sr, is_long_b)
                 g0 = dsp.initial_gain_scaled(spectra, sfd["mag_scale"])
                 mag_scale, part2 = sfd["mag_scale"], sfd["part2"]
             else:

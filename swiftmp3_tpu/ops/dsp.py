@@ -1452,6 +1452,14 @@ def strict_scalefactors_device(
         sfs.append(sf_b.astype(jnp.int32))
     sf = jnp.stack(sfs, axis=-1)  # [..., 21]
 
+    return _sf_finish_device(sf, members, spectrum)
+
+
+def _sf_finish_device(sf: jax.Array, members, spectrum: jax.Array) -> dict:
+    """Shared tail of the scalefactor laws: smallest scalefac_compress whose
+    (slen1, slen2) hold each group's max, part2 bits, and the per-
+    coefficient 2^(0.75*sf) magnitude multipliers."""
+
     def bitlen(m):
         return jnp.where(
             m == 0, 0, jnp.where(m <= 1, 1, jnp.where(m <= 3, 2, jnp.where(m <= 7, 3, 4)))
@@ -1482,6 +1490,51 @@ def strict_scalefactors_device(
         "part2": part2.astype(jnp.int32),
         "mag_scale": mag_scale,
     }
+
+
+# Twin constants of reference.PSY_SLOPE / PSY_ALPHA_* (tests assert they
+# match): mask skirt in exponent units per band; fraction of the mask gap
+# converted to scalefactor amplification.
+_PSY_SLOPE = 4
+_PSY_ALPHA_NUM, _PSY_ALPHA_DEN = 1, 2
+
+
+def psy_scalefactors_device(
+    spectrum: jax.Array, sample_rate: int, is_long: jax.Array
+) -> dict:
+    """Masking-driven scalefactors (options.psy_scalefactors): device twin
+    of reference.psy_scalefactors. All-integer exponent arithmetic (frexp of
+    band peaks + max-plus spreading scans), so golden and device agree
+    bit-exactly by construction."""
+    members = _BAND_MEMBERS.get(sample_rate, _BAND_MEMBERS[44100])
+    absx = jnp.abs(spectrum)
+    gp = jnp.max(absx, axis=-1)
+    _, ge = jnp.frexp(gp)
+    EMPTY = -(1 << 14)
+
+    pes = []
+    for b in range(21):
+        pb = jnp.max(jnp.where(members[b], absx, 0.0), axis=-1)
+        _, pe_b = jnp.frexp(pb)
+        pes.append(jnp.where(pb > 0, pe_b.astype(jnp.int32), EMPTY))
+    # max-plus spreading: M_b = max_b' (pe_b' - PSY_SLOPE*|b-b'|)
+    Ms = list(pes)
+    for b in range(1, 21):
+        Ms[b] = jnp.maximum(Ms[b], Ms[b - 1] - _PSY_SLOPE)
+    for b in range(19, -1, -1):
+        Ms[b] = jnp.maximum(Ms[b], Ms[b + 1] - _PSY_SLOPE)
+    M = jnp.stack(Ms, axis=-1)  # [..., 21]
+    pe = jnp.stack(pes, axis=-1)
+    m_max = jnp.max(M, axis=-1, keepdims=True)
+
+    gap = m_max - M  # >= 0
+    v = (_PSY_ALPHA_NUM * gap) // _PSY_ALPHA_DEN
+    v = jnp.minimum(v, jnp.maximum(0, ge[..., None].astype(jnp.int32) - pe))
+    caps = jnp.asarray([15] * 11 + [7] * 10, dtype=jnp.int32)
+    sf = jnp.clip(v, 0, caps)
+    sf = jnp.where(pe == EMPTY, 0, sf)
+    sf = jnp.where(((gp > 0) & is_long)[..., None], sf, 0).astype(jnp.int32)
+    return _sf_finish_device(sf, members, spectrum)
 
 
 def initial_gain_scaled(spectrum: jax.Array, mag_scale: jax.Array) -> jax.Array:

@@ -101,6 +101,15 @@ class MP3EncoderOptions:
     #   only; requires iso_quantization (the amplification must cancel at
     #   unit gain on ISO decoders).
     real_scalefactors: bool = False
+    # psy_scalefactors: masking-driven scalefactor allocation instead of
+    #   real_scalefactors' peak-share law: band peak exponents are spread
+    #   across scalefactor bands with a max-plus skirt (simplified
+    #   psychoacoustic masking — the reference computes thresholds but never
+    #   uses them, MP3Encoder.swift:961), and each band is amplified by half
+    #   its gap to the spread mask. +0.5..+1.5 dB decoder-oracle SNR on
+    #   tonal/speech-like signals over the peak-share law, neutral on noise.
+    #   Requires real_scalefactors (same emission machinery).
+    psy_scalefactors: bool = False
 
     def __post_init__(self):
         # Quality is clamped, not rejected (MP3Encoder.swift:110).
@@ -116,6 +125,11 @@ class MP3EncoderOptions:
             raise ValueError(
                 "real_scalefactors requires iso_quantization (the per-band "
                 "amplification only cancels at unit gain under the ISO law)"
+            )
+        if self.psy_scalefactors and not self.real_scalefactors:
+            raise ValueError(
+                "psy_scalefactors requires real_scalefactors (it selects the "
+                "scalefactor LAW; emission rides the same machinery)"
             )
 
     @property

@@ -338,6 +338,84 @@ def test_scalefactor_device_matches_golden():
         )
 
 
+# --- psy_scalefactors ----------------------------------------------------------
+
+
+def test_psy_scalefactors_requires_real_scalefactors():
+    with pytest.raises(ValueError):
+        MP3EncoderOptions(
+            iso_quantization=True, psy_scalefactors=True
+        )
+
+
+def test_psy_constants_twin():
+    from swiftmp3_tpu.ops import dsp, reference
+
+    assert dsp._PSY_SLOPE == reference.PSY_SLOPE
+    assert (dsp._PSY_ALPHA_NUM, dsp._PSY_ALPHA_DEN) == (
+        reference.PSY_ALPHA_NUM,
+        reference.PSY_ALPHA_DEN,
+    )
+
+
+def test_psy_scalefactors_device_matches_golden():
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.ops import dsp
+    from swiftmp3_tpu.ops.reference import psy_scalefactors
+
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        spec = (rng.standard_normal(576) * 10 ** rng.uniform(-6, 1)).astype(np.float32)
+        if trial % 5 == 0:  # strongly banded spectra exercise the spreading
+            spec[rng.integers(0, 576, 400)] = 0.0
+        if trial % 11 == 0:
+            spec[:] = 0.0
+        sr = [44100, 48000, 32000][trial % 3]
+        block = 0 if trial % 4 else 2
+        g = psy_scalefactors(spec, sr, block)
+        d = dsp.psy_scalefactors_device(
+            jnp.asarray(spec)[None], sr, jnp.asarray([block == 0])
+        )
+        np.testing.assert_array_equal(np.asarray(d["sf"])[0], g["sf"], err_msg=str(trial))
+        assert int(np.asarray(d["compress"])[0]) == g["compress"]
+        assert int(np.asarray(d["part2"])[0]) == g["part2_bits"]
+        np.testing.assert_array_equal(
+            np.asarray(d["mag_scale"])[0], g["mag_scale"], err_msg=str(trial)
+        )
+
+
+def test_psy_scalefactors_backends_agree_and_decode():
+    pcm = _noise(1.2, seed=9)
+    opts = MP3EncoderOptions.spec_strict(mode=Mode.MONO, psy_scalefactors=True)
+    a = _encode(opts, pcm, "numpy")
+    b = _encode(opts, pcm, "tpu")
+    assert a == b
+    frames = parse_frames(b)
+    dec = decode_mp3(b)
+    assert dec.frame_count == len(frames)
+
+
+def test_psy_scalefactors_improve_speechlike_snr():
+    """Masking-driven allocation beats the peak-share law on speech-like
+    material (the reference's computed-but-dead thresholds made live)."""
+    sr = 44100
+    t = np.arange(2 * sr) / sr
+    rng = np.random.default_rng(3)
+    speechish = (
+        np.sin(2 * np.pi * 180 * t) * 0.4 * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+        + 0.1 * np.sin(2 * np.pi * 2500 * t)
+        + 0.02 * rng.standard_normal(len(t))
+    ).astype(np.float32)
+    base = MP3EncoderOptions.spec_strict(mode=Mode.MONO)
+    q_peak = encode_decode_quality(base, speechish)
+    q_psy = encode_decode_quality(
+        base.replace(psy_scalefactors=True), speechish
+    )
+    assert q_psy.snr_db > q_peak.snr_db + 0.8, (q_peak, q_psy)
+    assert abs(q_psy.gain - 1.0) < 0.05, q_psy
+
+
 # --- spec_strict preset ----------------------------------------------------------
 
 
