@@ -126,6 +126,7 @@ class FrameInfo:
     main_data_begin: int
     granules: list  # [2][ch] GranuleSide
     main_data: bytes
+    scfsi: list = None  # [ch][4] bits: granule 1 reuses gr0's sf per group
 
 
 def _crc16(data: bytes) -> int:
@@ -188,8 +189,7 @@ def parse_frame(data: bytes, offset: int) -> FrameInfo:
     r = BitReader(data[side_off : side_off + side_len])
     mdb = r.read(9)
     r.read(5 if channels == 1 else 3)
-    for _ in range(channels):
-        r.read(4)  # scfsi (always 0 from our encoder)
+    scfsi = [[r.read(1) for _ in range(4)] for _ in range(channels)]
     granules = [[None] * channels for _ in range(2)]
     for gr in range(2):
         for ch in range(channels):
@@ -230,6 +230,7 @@ def parse_frame(data: bytes, offset: int) -> FrameInfo:
         main_data_begin=mdb,
         granules=granules,
         main_data=bytes(data[main_off : offset + size]),
+        scfsi=scfsi,
     )
 
 
@@ -485,6 +486,7 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
             continue
         r = BitReader(bytes(store), start_bit)
         granule_pcm = np.zeros((2, channels, 576), dtype=np.float64)
+        gr0_sf = [None] * channels  # granule 0 scalefactors for scfsi reuse
         ok = True
         for gr in range(2):
             for ch in range(channels):
@@ -498,9 +500,24 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
                     if n_sf_bits:
                         r.read(n_sf_bits)  # short-block sfs: parsed, unused
                 else:
-                    scalefacs = [r.read(slen1) for _ in range(11)] + [
-                        r.read(slen2) for _ in range(10)
-                    ]
+                    # scfsi (ISO 2.4.2.7): granule 1 reuses gr0's values for
+                    # flagged groups (0-5, 6-10, 11-15, 16-20) — no bits read
+                    share = (
+                        fi.scfsi[ch]
+                        if gr == 1 and fi.scfsi is not None and gr0_sf[ch]
+                        else [0, 0, 0, 0]
+                    )
+                    groups = ((0, 6), (6, 11), (11, 16), (16, 21))
+                    scalefacs = [0] * 21
+                    for gi, (lo, hi) in enumerate(groups):
+                        for band in range(lo, hi):
+                            slen = slen1 if band < 11 else slen2
+                            if share[gi]:
+                                scalefacs[band] = gr0_sf[ch][band]
+                            else:
+                                scalefacs[band] = r.read(slen)
+                    if gr == 0:
+                        gr0_sf[ch] = scalefacs
                 try:
                     q = _decode_granule_spectrum(r, g, sr, part_start)
                 except (ValueError, IndexError):

@@ -142,6 +142,8 @@ class GoldenBackend:
         strict = opts.spec_strict_entropy
         strict_chunks: list = []
         strict_nbits: list = []
+        gr0_sfd: dict = {}  # per-channel (sfd, block) of granule 0 for scfsi
+        scfsi_bits = [[0, 0, 0, 0] for _ in range(channels)]
 
         for gr in range(2):
             for ch in range(channels):
@@ -160,13 +162,24 @@ class GoldenBackend:
                         else ref.strict_scalefactors
                     )
                     sfd = sf_law(spectrum, sr, block)
+                    sf_write = np.ones(21, dtype=bool)
+                    if opts.scfsi:
+                        if gr == 0:
+                            gr0_sfd[ch] = (sfd, block)
+                        else:
+                            sfd0, block0 = gr0_sfd[ch]
+                            scfsi_bits[ch], sf_write = ref.scfsi_decide(
+                                sfd0["sf"], sfd["sf"],
+                                block0 == ref.BLOCK_LONG,
+                                block == ref.BLOCK_LONG,
+                            )
                     gain0 = ref.compute_global_gain_scaled(spectrum, sfd["mag_scale"])
                 else:
                     gain0 = ref.compute_global_gain(spectrum, iso=opts.iso_quantization)
                 self.vbr.update(gain0, ref.frame_energy(gsamples))
                 counter = None
                 if strict:
-                    part2 = sfd["part2_bits"] if sfd else 0
+                    part2 = ref.scfsi_part2_bits(sfd, sf_write) if sfd else 0
                     counter = lambda qq, _b=block, _p2=part2: _p2 + ref.strict_entropy_layout(  # noqa: E731
                         qq, sr, _b, opts.count1_coding, opts.region_table_select
                     )["part23_bits"]
@@ -199,7 +212,9 @@ class GoldenBackend:
                     c1t = layout["count1table_select"]
                     if sfd is not None:
                         scfc = sfd["compress"]
-                        sf_chunks, sf_nbits = ref.scalefactor_chunks(sfd)
+                        sf_chunks, sf_nbits = ref.scalefactor_chunks_masked(
+                            sfd, sf_write
+                        )
                         strict_chunks.append(sf_chunks)
                         strict_nbits.append(sf_nbits)
                     strict_chunks.append(layout["chunks"])
@@ -259,6 +274,7 @@ class GoldenBackend:
             big_values=big_values,
             chunks=np.concatenate(strict_chunks) if strict else None,
             nbits=np.concatenate(strict_nbits) if strict else None,
+            scfsi=scfsi_bits if opts.scfsi else None,
         )
 
 

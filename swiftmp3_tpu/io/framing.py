@@ -45,6 +45,7 @@ class FrameResult:
     main_data: Optional[bytes] = None  # pre-packed Huffman bytes (device)
     chunks: Optional[np.ndarray] = None  # spec-strict layout chunk stream
     nbits: Optional[np.ndarray] = None  # (reference.strict_entropy_layout)
+    scfsi: Optional[list] = None  # [channels][4] side-info bits (options.scfsi)
 
 
 class BitReservoir:
@@ -127,7 +128,7 @@ class FrameAssembler:
             main_data, _part_bits = pack_frame_main_data(fr.quantized, fr.big_values)
         self.reservoir.append(main_data)
 
-        scfsi = [[0, 0, 0, 0] for _ in range(channels)]
+        scfsi = fr.scfsi if fr.scfsi is not None else [[0, 0, 0, 0]] * channels
         side_info = build_side_info(channels, fr.granules, scfsi, fr.main_data_begin)
 
         header = self._build_header(fr.bitrate_index, fr.padding)

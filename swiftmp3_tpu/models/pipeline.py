@@ -190,10 +190,17 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 sfd = sf_law(spectra, sr, is_long_b)
                 g0 = dsp.initial_gain_scaled(spectra, sfd["mag_scale"])
                 mag_scale, part2 = sfd["mag_scale"], sfd["part2"]
+                if options.scfsi:
+                    # granule 1 skips retransmitting groups equal to granule
+                    # 0's; the saved part2 bits return to the rate budget
+                    scfsi_nib, sf_write = dsp.scfsi_device(sfd["sf"], is_long_b)
+                    part2 = dsp.scfsi_part2_device(sfd, sf_write)
+                else:
+                    scfsi_nib = sf_write = None
             else:
                 sfd = None
                 g0 = dsp.initial_gain(spectra, iso=iso_quant)
-                mag_scale = part2 = None
+                mag_scale = part2 = scfsi_nib = sf_write = None
             pre = dsp.rate_loop_precompute_strict(
                 spectra,
                 g0,
@@ -206,7 +213,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 part2=part2,
             )
         else:
-            sfd = None
+            sfd = scfsi_nib = sf_write = None
             g0 = dsp.initial_gain(spectra, iso=iso_quant)  # [B, ch, T, gr]
             pre = dsp.rate_loop_precompute(
                 spectra,
@@ -344,7 +351,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
             chunks, nb = dsp.strict_chunks_device(quantized, lay)
             if sfd is not None:
                 # scalefactor bits lead each granule's main_data (part2)
-                sf_chunks, sf_nbits = dsp.scalefactor_chunks_device(sfd)
+                sf_chunks, sf_nbits = dsp.scalefactor_chunks_device(sfd, sf_write)
                 chunks = jnp.concatenate([sf_chunks, chunks], axis=-1)
                 nb = jnp.concatenate([sf_nbits, nb], axis=-1)
                 scfc_b = sfd["compress"]
@@ -426,6 +433,11 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     table_sel,
                     tm(c1t_b),
                     tm(scfc_b),
+                    (
+                        jnp.transpose(scfsi_nib, (2, 0, 1))
+                        if scfsi_nib is not None
+                        else jnp.zeros((T, B, ch), jnp.int32)
+                    ),
                 ],
                 axis=-1,
             ).astype(jnp.int32)
@@ -520,6 +532,8 @@ def fetch_outputs(outs, options: MP3EncoderOptions) -> dict:
     d["count1table"] = meta[..., o : o + n_gran]
     o += n_gran
     d["scalefac_compress"] = meta[..., o : o + n_gran]
+    o += n_gran
+    d["scfsi"] = meta[..., o : o + options.channels]  # [B, T, ch] nibbles
     # per-frame main_data byte counts (incl. part2 scalefactor bits when
     # real_scalefactors is on); pack truncation is checked by renderers
     d["hb"] = (d["part23"].sum(axis=-1) + 7) // 8
@@ -572,6 +586,10 @@ def frame_results_from_outputs(
         granules=granules,
         big_values=np.asarray(outs["big_values"][b, t], dtype=np.int32),
         main_data=outs["main_data"][b, t, :hb].tobytes(),
+        scfsi=[
+            [(int(outs["scfsi"][b, t, c]) >> (3 - g)) & 1 for g in range(4)]
+            for c in range(ch)
+        ],
     )
 
 

@@ -135,7 +135,7 @@ std::vector<uint8_t> build_head_side(
     const int32_t* block_type, const int32_t* preflag, const int32_t* region0,
     const int32_t* region1, const int32_t* subblock_gain,
     const int32_t* scalefac_compress, const int32_t* table_select,
-    const int32_t* count1table) {
+    const int32_t* count1table, const int32_t* scfsi) {
     const int ch = s->channels;
     const int G = 2 * ch;
     const int side_bytes = (ch == 1) ? 17 : 32;
@@ -143,7 +143,8 @@ std::vector<uint8_t> build_head_side(
     BitWriter si;
     si.write(static_cast<uint32_t>(mdb_v > 511 ? 511 : mdb_v), 9);
     si.write(0, ch == 1 ? 5 : 3);
-    for (int c = 0; c < ch; c++) si.write(0, 4);  // scfsi
+    for (int c = 0; c < ch; c++)  // scfsi nibble per channel (options.scfsi)
+        si.write(scfsi ? static_cast<uint32_t>(scfsi[static_cast<int64_t>(f) * ch + c]) & 15u : 0u, 4);
     for (int gr = 0; gr < 2; gr++) {
         for (int c = 0; c < ch; c++) {
             int g = gr * ch + c;
@@ -282,7 +283,7 @@ int64_t mp3_render_frames(void* p, int F,
         std::vector<uint8_t> head_side = build_head_side(
             s, f, bitrate_index[f], padding[f], mdb[f], part23, big_values,
             gain, block_type, preflag, region0, region1, subblock_gain,
-            scalefac_compress, table_select, count1table);
+            scalefac_compress, table_select, count1table, nullptr);
 
         // --- emit previous buffered frame with its reservoir slot
         if (s->has_buffered) {
@@ -321,6 +322,7 @@ int64_t mp3_render_frames_packed(void* p, int F,
                                  const int32_t* region1, const int32_t* subblock_gain,
                                  const int32_t* scalefac_compress,
                                  const int32_t* table_select, const int32_t* count1table,
+                                 const int32_t* scfsi,
                                  const uint8_t* main_data, int cap,
                                  const int32_t* hb, uint8_t* out,
                                  int64_t out_capacity, int32_t* frame_sizes_out,
@@ -337,7 +339,7 @@ int64_t mp3_render_frames_packed(void* p, int F,
         std::vector<uint8_t> head_side = build_head_side(
             s, f, bitrate_index[f], padding[f], mdb[f], part23, big_values,
             gain, block_type, preflag, region0, region1, subblock_gain,
-            scalefac_compress, table_select, count1table);
+            scalefac_compress, table_select, count1table, scfsi);
 
         if (s->has_buffered) {
             size_t slot_n = static_cast<size_t>(s->buffered_slot);

@@ -74,6 +74,7 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p, i32p, i32p, i32p,  # part23, big_values, gain, block_type
             i32p, i32p, i32p, i32p,  # preflag, region0, region1, subblock_gain
             i32p, i32p, i32p,        # scalefac_compress, table_select, count1table
+            i32p,                    # scfsi [F, ch]
             u8p, ctypes.c_int,       # main_data, cap
             i32p,                    # hb
             u8p, ctypes.c_int64,     # out, capacity
@@ -220,6 +221,7 @@ class NativeStreamRenderer:
         scalefac_compress: np.ndarray = None,  # [F, G]
         table_select: np.ndarray = None,  # [F, G, 3]
         count1table: np.ndarray = None,  # [F, G]
+        scfsi: np.ndarray = None,  # [F, ch] nibbles (options.scfsi)
     ) -> bytes:
         F = len(bitrate_index)
         if F == 0:
@@ -227,6 +229,8 @@ class NativeStreamRenderer:
         scalefac_compress, table_select, count1table = self._sideinfo_defaults(
             F, scalefac_compress, table_select, count1table
         )
+        if scfsi is None:
+            scfsi = np.zeros((F, self.options.channels), dtype=np.int32)
         cap = main_data.shape[-1]
         out_cap = int(slot.sum()) + F * 40 + 8192
         out = np.empty(out_cap, dtype=np.uint8)
@@ -242,6 +246,7 @@ class NativeStreamRenderer:
             c(part23), c(big_values), c(gain), c(block_type),
             c(preflag), c(region0), c(region1), c(subblock_gain),
             c(scalefac_compress), c(table_select), c(count1table),
+            c(scfsi),
             c(main_data, np.uint8), cap, c(hb),
             out, out_cap, sizes, n_emitted,
         )

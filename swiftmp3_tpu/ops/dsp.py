@@ -1551,10 +1551,48 @@ def initial_gain_scaled(spectrum: jax.Array, mag_scale: jax.Array) -> jax.Array:
     return jnp.where(raw_peak > 0, gain, 210).astype(jnp.int32)
 
 
-def scalefactor_chunks_device(sfd: dict) -> tuple[jax.Array, jax.Array]:
+def scalefactor_chunks_device(
+    sfd: dict, write: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array]:
     """(chunks, nbits) for the 21 scalefactor slots per granule (band order,
-    slen1 bits for bands 0-10 then slen2 for 11-20; slen 0 writes nothing)."""
+    slen1 bits for bands 0-10 then slen2 for 11-20; slen 0 writes nothing).
+    `write` [..., 21] bool masks scfsi-shared bands to zero width."""
     sf = sfd["sf"]
     n1 = jnp.broadcast_to(sfd["slen1"][..., None], sf[..., :11].shape)
     n2 = jnp.broadcast_to(sfd["slen2"][..., None], sf[..., 11:].shape)
-    return sf, jnp.concatenate([n1, n2], axis=-1).astype(jnp.int32)
+    nbits = jnp.concatenate([n1, n2], axis=-1).astype(jnp.int32)
+    if write is not None:
+        nbits = jnp.where(write, nbits, 0)
+    return sf, nbits
+
+
+# scfsi group boundaries (ISO 2.4.2.7); twin of reference.SCFSI_GROUPS
+_SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
+def scfsi_device(sf: jax.Array, is_long: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Batched twin of reference.scfsi_decide over a frame's granule pair.
+
+    sf: [..., 2, 21] int32 (granule axis second-to-last); is_long [..., 2]
+    bool. Returns (scfsi_nibble [...] int32 — the 4 side-info bits packed
+    MSB-first, write [..., 2, 21] bool — granule-1 shared bands False)."""
+    sf0, sf1 = sf[..., 0, :], sf[..., 1, :]
+    both_long = is_long[..., 0] & is_long[..., 1]
+    write1 = jnp.ones(sf1.shape, dtype=bool)
+    nibble = jnp.zeros(both_long.shape, dtype=jnp.int32)
+    for g, (lo, hi) in enumerate(_SCFSI_GROUPS):
+        eq = jnp.all(sf0[..., lo:hi] == sf1[..., lo:hi], axis=-1)
+        shared = eq & both_long
+        nibble = nibble + (shared.astype(jnp.int32) << (3 - g))
+        gmask = (jnp.arange(21) >= lo) & (jnp.arange(21) < hi)
+        write1 = write1 & ~(shared[..., None] & gmask)
+    write = jnp.stack([jnp.ones_like(write1), write1], axis=-2)  # [..., 2, 21]
+    return nibble, write
+
+
+def scfsi_part2_device(sfd: dict, write: jax.Array) -> jax.Array:
+    """part2 bits per granule when only `write`-masked bands are emitted
+    (twin of reference.scfsi_part2_bits)."""
+    n1 = jnp.sum(write[..., :11].astype(jnp.int32), axis=-1)
+    n2 = jnp.sum(write[..., 11:].astype(jnp.int32), axis=-1)
+    return (n1 * sfd["slen1"] + n2 * sfd["slen2"]).astype(jnp.int32)

@@ -467,6 +467,50 @@ def scalefactor_chunks(sfd: dict) -> tuple[np.ndarray, np.ndarray]:
     return sfd["sf"].astype(np.int64), nbits
 
 
+# --- scfsi: scalefactor selection information (options.scfsi) -----------------
+# ISO 2.4.2.7: four per-channel side-info bits mark band GROUPS (0-5, 6-10,
+# 11-15, 16-20) whose scalefactors granule 1 reuses from granule 0 instead
+# of retransmitting. The reference always writes 0s (MP3Encoder.swift:533);
+# we share a group when both granules are long and the values already agree
+# — transparent to decoded audio, and the saved part2 bits go back into the
+# rate budget. Group boundaries nest inside the slen1/slen2 split (11 = 6+5,
+# 10 = 5+5), so the saving per shared group is width x that group's slen.
+
+SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
+def scfsi_decide(
+    sf0: np.ndarray, sf1: np.ndarray, long0: bool, long1: bool
+) -> tuple[list, np.ndarray]:
+    """(scfsi bits [4], granule-1 write mask [21]) for one channel's granule
+    pair. A group is shared iff both granules are long-block and its values
+    are equal; masked bands write no bits (the decoder copies gr0's)."""
+    bits = [0, 0, 0, 0]
+    write = np.ones(21, dtype=bool)
+    if long0 and long1:
+        for g, (lo, hi) in enumerate(SCFSI_GROUPS):
+            if np.array_equal(sf0[lo:hi], sf1[lo:hi]):
+                bits[g] = 1
+                write[lo:hi] = False
+    return bits, write
+
+
+def scfsi_part2_bits(sfd: dict, write: np.ndarray) -> int:
+    """part2 bits for a granule that writes only `write`-masked bands."""
+    n1 = int(np.count_nonzero(write[:11]))
+    n2 = int(np.count_nonzero(write[11:]))
+    return n1 * sfd["slen1"] + n2 * sfd["slen2"]
+
+
+def scalefactor_chunks_masked(
+    sfd: dict, write: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """scalefactor_chunks with shared (unwritten) bands' nbits zeroed; the
+    chunk slot layout stays fixed, zero-width slots emit nothing."""
+    chunks, nbits = scalefactor_chunks(sfd)
+    return chunks, np.where(write, nbits, 0)
+
+
 def quantize_to_fit_budget_scaled(
     spectral: np.ndarray,
     mag_scale: np.ndarray,

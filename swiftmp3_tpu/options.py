@@ -110,6 +110,13 @@ class MP3EncoderOptions:
     #   tonal/speech-like signals over the peak-share law, neutral on noise.
     #   Requires real_scalefactors (same emission machinery).
     psy_scalefactors: bool = False
+    # scfsi: share equal scalefactor band groups between a frame's two
+    #   granules via the four per-channel scfsi side-info bits (ISO 2.4.2.7;
+    #   the reference always writes 0s, MP3Encoder.swift:533). Shared groups
+    #   retransmit nothing; the saved part2 bits return to the rate budget.
+    #   Transparent sharing only (values must already agree). Requires
+    #   real_scalefactors.
+    scfsi: bool = False
 
     def __post_init__(self):
         # Quality is clamped, not rejected (MP3Encoder.swift:110).
@@ -130,6 +137,11 @@ class MP3EncoderOptions:
             raise ValueError(
                 "psy_scalefactors requires real_scalefactors (it selects the "
                 "scalefactor LAW; emission rides the same machinery)"
+            )
+        if self.scfsi and not self.real_scalefactors:
+            raise ValueError(
+                "scfsi requires real_scalefactors (there are no scalefactor "
+                "bits to share otherwise)"
             )
 
     @property

@@ -127,6 +127,7 @@ class BatchEncoder:
                         table_select=outs["table_select"][b, :F],
                         count1table=outs["count1table"][b, :F],
                         scalefac_compress=outs["scalefac_compress"][b, :F],
+                        scfsi=outs["scfsi"][b, :F],
                     )
                 )
             return emitted
@@ -391,6 +392,7 @@ def encode_batch_multihost(
                     table_select=fetched["table_select"][b, :F],
                     count1table=fetched["count1table"][b, :F],
                     scalefac_compress=fetched["scalefac_compress"][b, :F],
+                    scfsi=fetched["scfsi"][b, :F],
                 )
         else:
             for t in range(Tc):

@@ -416,6 +416,83 @@ def test_psy_scalefactors_improve_speechlike_snr():
     assert abs(q_psy.gain - 1.0) < 0.05, q_psy
 
 
+# --- scfsi ----------------------------------------------------------
+
+
+def test_scfsi_requires_real_scalefactors():
+    with pytest.raises(ValueError):
+        MP3EncoderOptions(iso_quantization=True, scfsi=True)
+
+
+def test_scfsi_device_matches_golden():
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.ops import dsp
+    from swiftmp3_tpu.ops import reference as ref
+
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        sf0 = rng.integers(0, 4, 21).astype(np.int32)
+        sf1 = sf0.copy()
+        # force some groups equal, some different
+        for lo, hi in ref.SCFSI_GROUPS:
+            if rng.random() < 0.5:
+                sf1[lo:hi] = rng.integers(0, 4, hi - lo)
+        long0, long1 = bool(rng.random() < 0.8), bool(rng.random() < 0.8)
+        bits, write = ref.scfsi_decide(sf0, sf1, long0, long1)
+        nib, write_d = dsp.scfsi_device(
+            jnp.asarray(np.stack([sf0, sf1]))[None],
+            jnp.asarray([[long0, long1]]),
+        )
+        want_nib = (bits[0] << 3) | (bits[1] << 2) | (bits[2] << 1) | bits[3]
+        assert int(np.asarray(nib)[0]) == want_nib, trial
+        np.testing.assert_array_equal(
+            np.asarray(write_d)[0, 1], write, err_msg=str(trial)
+        )
+        assert np.asarray(write_d)[0, 0].all()
+
+
+def test_scfsi_backends_agree_native_and_decode():
+    from swiftmp3_tpu.parallel import encode_batch
+
+    sr = 44100
+    tt = np.arange(int(1.2 * sr)) / sr
+    pcm = (
+        0.5 * np.sin(2 * np.pi * 440 * tt) + 0.2 * np.sin(2 * np.pi * 2093 * tt)
+    ).astype(np.float32)
+    opts = MP3EncoderOptions.spec_strict(
+        mode=Mode.MONO, scfsi=True, psy_scalefactors=True
+    )
+    a = _encode(opts, pcm, "numpy")
+    b = _encode(opts, pcm, "tpu")
+    assert a == b
+    got = encode_batch(opts, [pcm], frames_per_step=4)[0]
+    assert got == a  # native renderer writes the same scfsi side info
+    dec = decode_mp3(a)
+    assert dec.frame_count == len(parse_frames(a))
+
+
+def test_scfsi_shares_groups_and_decodes_identically_when_forced_equal():
+    """On a stationary tone the psy law yields equal granule scalefactors,
+    so scfsi actually fires; the stream must still decode cleanly and the
+    shared groups must save part2 bits (visible as set scfsi bits)."""
+    from swiftmp3_tpu.decoder.decoder import parse_frame
+
+    pcm = _sine(1.5, amp=0.5)
+    base = MP3EncoderOptions.spec_strict(mode=Mode.MONO, psy_scalefactors=True)
+    data = _encode(base.replace(scfsi=True), pcm, "numpy")
+    nset = 0
+    i = 0
+    while i + 4 <= len(data):
+        fi = parse_frame(data, i)
+        nset += sum(sum(c) for c in fi.scfsi)
+        i += fi.size
+    assert nset > 0
+    q = encode_decode_quality(base.replace(scfsi=True), pcm)
+    q_off = encode_decode_quality(base, pcm)
+    assert q.snr_db > q_off.snr_db - 0.5, (q_off, q)  # no quality loss
+
+
 # --- spec_strict preset ----------------------------------------------------------
 
 
