@@ -127,3 +127,48 @@ def test_fuzz_aligned_decodes(trial):
         assert q.snr_db > 3.0, (trial, q)
     else:  # noise / bursts: coarse-quantized but must stay correlated
         assert q.snr_db > -3.0, (trial, q)
+
+
+N_STRICT_TRIALS = 8
+
+
+@pytest.mark.parametrize("trial", range(N_STRICT_TRIALS))
+def test_fuzz_spec_strict_flags(trial):
+    """Spec-strict flag combinations (incl. psy_scalefactors/scfsi): the
+    cross-backend contract on random signals is STRUCTURAL equality (frame
+    sizes/headers — float-stack ULP flips in the rate loop can move
+    individual bytes on noise-like content; byte equality within a backend
+    is pinned by the frozen fixtures), plus full decoder-oracle acceptance
+    of both streams. Draws ride a small config pool so the per-option-set
+    jit cache bounds compiles."""
+    rng = np.random.default_rng(3000 + trial)
+    mode = [Mode.MONO, Mode.STEREO][trial % 2]
+    psy = bool(trial & 1)
+    scfsi = bool(trial & 2)
+    opts = MP3EncoderOptions.spec_strict(
+        mode=mode, psy_scalefactors=psy, scfsi=scfsi
+    )
+    ch = mode.channels
+    n = (int(rng.integers(3, 10)) * 1152 + int(rng.integers(0, 1152))) * ch
+    kind = int(rng.integers(1, 4))
+    pcm = _random_signal(rng, n, kind)
+
+    outs = {}
+    for be in ["numpy", "tpu"]:
+        s = MP3Encoder(opts, backend=be).new_session()
+        outs[be] = s.encode(pcm) + s.flush()
+
+    fa = parse_frames(outs["numpy"])
+    fb = parse_frames(outs["tpu"])
+    assert len(fa) == len(fb), (trial, psy, scfsi)
+    for a, b in zip(fa, fb):
+        assert (a.size, a.bitrate_kbps, a.padding, a.mode, a.crc_protected) == (
+            b.size, b.bitrate_kbps, b.padding, b.mode, b.crc_protected,
+        ), (trial, psy, scfsi)
+
+    for be, blob in outs.items():
+        dec = decode_mp3(blob)
+        assert dec.frame_count == len(fb), (trial, be)
+        assert np.all(np.isfinite(dec.pcm))
+        if float(np.abs(pcm).max()) > 0.05 and dec.pcm.size:
+            assert float(np.abs(dec.pcm).max()) > 1e-3, (trial, be, psy, scfsi)
