@@ -37,6 +37,17 @@ def main(argv=None) -> int:
         "reservoir, count1 + per-region tables, real scalefactors, ISO "
         "CRC) instead of byte-exact reference-compatible behavior",
     )
+    p.add_argument(
+        "--psy",
+        action="store_true",
+        help="masking-driven scalefactor allocation (implies --spec-strict)",
+    )
+    p.add_argument(
+        "--scfsi",
+        action="store_true",
+        help="share equal scalefactor groups between granules "
+        "(implies --spec-strict)",
+    )
     p.add_argument("--title")
     p.add_argument("--artist")
     p.add_argument("--album")
@@ -72,8 +83,10 @@ def main(argv=None) -> int:
         crc_protected=args.crc,
         id3_tag=tag,
     )
-    if args.spec_strict:
-        options = MP3EncoderOptions.spec_strict(**common)
+    if args.spec_strict or args.psy or args.scfsi:
+        options = MP3EncoderOptions.spec_strict(
+            psy_scalefactors=args.psy, scfsi=args.scfsi, **common
+        )
     else:
         options = MP3EncoderOptions(**common)
     enc = MP3Encoder(options, backend=args.backend)
