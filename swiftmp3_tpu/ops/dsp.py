@@ -1268,6 +1268,13 @@ def rate_loop_precompute_strict(
     # lax.map over the gain axis: the layout body (region bounds, 5 length
     # LUT trees, both count1 alignments) is large HLO — unrolling it 20x
     # made XLA compile times pathological on v5e; mapping compiles it once.
+    # A fused Pallas kernel for the full strict law was built and measured
+    # SLOWER (bit-exact, +57 ms/step vs lax.map's +29 over compat at
+    # 128x64): the strict law needs ~14 cross-lane reductions per gain
+    # (last-nonzero scans, 3 region maxima x 2 pair families, 4 count1
+    # sums) and Mosaic's cross-lane reduction cost dominates — removing 8
+    # of its 10 length-LUT trees recovered only 4.5 ms. See git history
+    # (strict_sweep_pallas) before retrying.
     def _one_gain(kk):
         q_k = quantize_at_gains(mag, sign_neg, (gstart + 4 * kk)[..., None], iso=iso)[
             ..., 0, :
