@@ -168,11 +168,9 @@ def make_chunk_fn(options: MP3EncoderOptions):
         # dsp.polyphase_chunk_matmul) on every platform — measured faster
         # than both the stepwise XLA fusion and the Pallas kernel (whose
         # 32-lane minor layout idles 3/4 of each vreg), and keeps CPU-jax
-        # and chip numerics on one HLO. Stepwise fallback for odd shapes.
-        if (36 * T) % 4 == 0:
-            S, full_x = dsp.polyphase_chunk_matmul(carry["fb_hist"], pcm_chunk)
-        else:
-            S, full_x = dsp.polyphase_chunk(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
+        # and chip numerics on one HLO. (36T is always a multiple of 4, so
+        # the folded form's 128-sample row packing is always exact.)
+        S, full_x = dsp.polyphase_chunk_matmul(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
 
         block_b, sb_gain_b = dsp.transient_frame(granule_pcm)  # [B,ch,T,2],[B,ch,T,2,3]
         block_seq = block_b.reshape(B, ch, 2 * T)  # granule-sequence order

@@ -277,7 +277,8 @@ def polyphase_chunk_matmul(
     hist: jax.Array, pcm: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
     """polyphase_chunk via five folded [128, 128] matmuls (same contract:
-    returns (S [..., 36T, 32], full signal x); T must be even so 36T % 4 == 0).
+    returns (S [..., 36T, 32], full signal x); 36T is a multiple of 4 for
+    every integer T, so the 4-positions-per-row packing is always exact).
     ULP-level differences from the stepwise form only (constant fold + one
     dot-accumulation order); integer parity pinned by fixtures/stream tests.
     """

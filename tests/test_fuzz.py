@@ -142,9 +142,11 @@ def test_fuzz_spec_strict_flags(trial):
     of both streams. Draws ride a small config pool so the per-option-set
     jit cache bounds compiles."""
     rng = np.random.default_rng(3000 + trial)
-    mode = [Mode.MONO, Mode.STEREO][trial % 2]
-    psy = bool(trial & 1)
-    scfsi = bool(trial & 2)
+    # independent bits: mode, psy, scfsi each flip on a different trial bit
+    # so all four (mode, psy) combinations get coverage across 8 trials
+    mode = [Mode.MONO, Mode.STEREO][trial & 1]
+    psy = bool(trial & 2)
+    scfsi = bool(trial & 4)
     opts = MP3EncoderOptions.spec_strict(
         mode=mode, psy_scalefactors=psy, scfsi=scfsi
     )

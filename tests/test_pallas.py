@@ -115,3 +115,72 @@ def test_rate_sweep_pallas_matches_xla(iso):
     )
     assert np.array_equal(np.asarray(bits_p), np.asarray(bits))
     assert np.array_equal(np.asarray(bv_p), np.asarray(bv))
+
+
+def test_polyphase_matmul_matches_stepwise():
+    """The folded five-matmul filterbank (the production path) agrees with
+    the stepwise formulation to float32 ULP level, and returns the same
+    full-signal buffer."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    for T in (2, 6):
+        hist = jnp.asarray(rng.standard_normal((3, 2, 480)).astype(np.float32))
+        pcm = jnp.asarray(
+            rng.standard_normal((3, 2, T * 1152)).astype(np.float32)
+        )
+        S_a, x_a = dsp.polyphase_chunk(hist, pcm)
+        S_b, x_b = dsp.polyphase_chunk_matmul(hist, pcm)
+        assert np.array_equal(np.asarray(x_a), np.asarray(x_b))
+        np.testing.assert_allclose(
+            np.asarray(S_a), np.asarray(S_b), rtol=0, atol=2e-4
+        )
+        scale = float(np.abs(np.asarray(S_a)).max())
+        assert (
+            float(np.abs(np.asarray(S_a) - np.asarray(S_b)).max()) <= 4e-6 * max(scale, 1.0)
+        )
+
+
+def test_mdct_fold_matches_stepwise():
+    """The folded-matrix mdct_chunk (production) agrees with the two-step
+    windowed formulation (windows x small matmuls x aliasing butterflies)
+    for all block types, and the flat signed carry matches exactly."""
+    import jax.numpy as jnp
+
+    def two_step(S, overlap, block_type):
+        lead = S.shape[:-2]
+        n_gran = S.shape[-2] // 18
+        signed = S.reshape(*lead, n_gran, 576) * dsp._SIGN_FLAT
+        g = signed.reshape(*lead, n_gran, 18, 32)
+        cur = jnp.swapaxes(g, -1, -2)
+        ov = jnp.swapaxes(overlap.reshape(*lead, 18, 32), -1, -2)
+        prev = jnp.concatenate(
+            [ov[..., None, :, :], cur[..., :-1, :, :]], axis=-3
+        )
+        combined = jnp.concatenate([prev, cur], axis=-1)
+        long_c = dsp._mdct_long_batch(combined)
+        short_c = dsp._mdct_short_batch(combined)
+        bt = block_type[..., None]
+        sb = jnp.arange(32, dtype=jnp.int32)
+        use_long = (bt == dsp.BLOCK_LONG) | ((bt == dsp.BLOCK_MIXED) & (sb < 2))
+        coeffs = jnp.where(use_long[..., None], long_c, short_c)
+        reduced = dsp._aliasing_reduce(coeffs)
+        coeffs = jnp.where((bt == dsp.BLOCK_LONG)[..., None], reduced, coeffs)
+        return coeffs.reshape(*coeffs.shape[:-2], 576), signed
+
+    rng = np.random.default_rng(4)
+    T = 3
+    S = jnp.asarray(rng.standard_normal((2, 2, 36 * T, 32)).astype(np.float32))
+    overlap = jnp.asarray(rng.standard_normal((2, 2, 576)).astype(np.float32))
+    bt = jnp.asarray(
+        rng.choice(
+            [dsp.BLOCK_LONG, dsp.BLOCK_SHORT, dsp.BLOCK_MIXED], (2, 2, 2 * T)
+        ).astype(np.int32)
+    )
+    out_a, cur_a = two_step(S, overlap, bt)
+    out_b, cur_b = dsp.mdct_chunk(S, overlap, bt)
+    assert np.array_equal(np.asarray(cur_a), np.asarray(cur_b))
+    scale = float(np.abs(np.asarray(out_a)).max())
+    assert float(np.abs(np.asarray(out_a) - np.asarray(out_b)).max()) <= 1e-5 * max(
+        scale, 1.0
+    )

@@ -212,12 +212,14 @@ def main():
     measure("integer scan", [patched(jax.lax, "scan", fake_scan)])
 
     # carry-out one-hot selects (einsum since the gather removal)
+    real_einsum = jnp.einsum  # captured: the patch rebinds jnp.einsum itself
+
     def fake_einsum(spec, a, b, precision=None):
         if spec == "bt,bctj->bcj":
             return b[:, :, 0] + (consume(a) * 0)
         if spec == "bg,bcgj->bcj":
             return b[:, :, 0] + (consume(a) * 0)
-        return jnp.einsum(spec, a, b, precision=precision)
+        return real_einsum(spec, a, b, precision=precision)
 
     measure("carry-out selects", [patched(pipeline.jnp, "einsum", fake_einsum)])
 

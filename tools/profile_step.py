@@ -75,7 +75,7 @@ def main():
     pcm_chunk = np.stack([left, right], axis=1).reshape(B, ch, T * 1152)
     pcm_chunk_d = jax.device_put(jnp.asarray(pcm_chunk))
     fb_hist = jax.device_put(jnp.zeros((B, ch, 480), jnp.float32))
-    overlap = jax.device_put(jnp.zeros((B, ch, 32, 18), jnp.float32))
+    overlap = jax.device_put(jnp.zeros((B, ch, 576), jnp.float32))
     jax.block_until_ready(pcm_chunk_d)
 
     # filterbank
