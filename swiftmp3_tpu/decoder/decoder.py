@@ -330,6 +330,16 @@ def _requantize(
             if total:
                 xr[cursor:end] *= 2.0 ** (-scale_mult * total)
             cursor = end
+    # ISO 2.4.3.4.7.1 per-window gain for short blocks: window w of a short
+    # subband is attenuated by 2^(-2*subblock_gain[w]). In this encoder
+    # family's short layout, coefficient i belongs to window (i%18)%3;
+    # mixed granules keep subbands 0-1 (first 36 coefficients) long.
+    if g.window_switching and g.block_type == 2 and any(g.subblock_gain):
+        w_of = (np.arange(576) % 18) % 3
+        factor = (2.0 ** (-2.0 * np.asarray(g.subblock_gain, dtype=np.float64)))[w_of]
+        if g.mixed_block_flag:
+            factor[:36] = 1.0
+        xr *= factor
     return (np.sign(q) * xr).astype(np.float32)
 
 

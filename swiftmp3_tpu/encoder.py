@@ -150,6 +150,10 @@ class GoldenBackend:
                 gsamples = chans[ch][gr * SAMPLES_PER_GRANULE : (gr + 1) * SAMPLES_PER_GRANULE]
                 S, self.fb_buffers[ch] = ref.analyze_subbands(gsamples, self.fb_buffers[ch])
                 block, sb_gain = ref.transient_detect(gsamples)
+                if opts.iso_quantization:
+                    # unit-gain law: the quantizer applies no per-window
+                    # gains, so emit zeros (see pipeline twin)
+                    sb_gain = [0, 0, 0]
                 spectrum, self.overlap[ch] = ref.mdct_apply(S, self.overlap[ch], block)
                 # Masking thresholds are computed-but-unused in the reference
                 # (MP3Encoder.swift:961 vs :734-744); skipped here — no effect

@@ -173,6 +173,12 @@ def make_chunk_fn(options: MP3EncoderOptions):
         S, full_x = dsp.polyphase_chunk_matmul(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
 
         block_b, sb_gain_b = dsp.transient_frame(granule_pcm)  # [B,ch,T,2],[B,ch,T,2,3]
+        if iso_quant:
+            # The quantizer never applies per-window gains, so the
+            # reference's heuristic subblock_gain values make conforming
+            # decoders attenuate short windows by 2^(-2*sbg) spuriously;
+            # the unit-gain law emits zeros (mirrors preflag suppression).
+            sb_gain_b = jnp.zeros_like(sb_gain_b)
         block_seq = block_b.reshape(B, ch, 2 * T)  # granule-sequence order
         spectra, cur = dsp.mdct_chunk(S, carry["overlap"], block_seq)
         spectra = spectra.reshape(B, ch, T, 2, 576)  # [B,ch,T,gr,576]

@@ -493,6 +493,64 @@ def test_scfsi_shares_groups_and_decodes_identically_when_forced_equal():
     assert q.snr_db > q_off.snr_db - 0.5, (q_off, q)  # no quality loss
 
 
+# --- subblock_gain under the unit-gain law ---------------------------------------
+
+
+def test_iso_quantization_emits_zero_subblock_gain():
+    """The quantizer applies no per-window gains, so the unit-gain law
+    emits subblock_gain=0 for switching granules (the reference's heuristic
+    values would make conforming decoders attenuate windows spuriously).
+    Compat streams keep the reference's nonzero values."""
+    from swiftmp3_tpu.decoder.decoder import parse_frame
+
+    rng = np.random.default_rng(6)
+    n = 8 * 1152
+    pcm = np.zeros(n, dtype=np.float32)
+    for p in range(0, n - 300, 2200):  # bursts force short blocks
+        pcm[p : p + 150] = (rng.standard_normal(150) * 0.9).astype(np.float32)
+
+    def gains(data, want_switching):
+        vals, saw_switching = [], False
+        i = 0
+        while i + 4 <= len(data):
+            fi = parse_frame(data, i)
+            for gr in fi.granules:
+                for g in gr:
+                    if g.window_switching:
+                        saw_switching = True
+                        vals.extend(g.subblock_gain)
+            i += fi.size
+        assert saw_switching == want_switching
+        return vals
+
+    strict = _encode(MP3EncoderOptions.spec_strict(mode=Mode.MONO), pcm, "numpy")
+    assert all(v == 0 for v in gains(strict, True))
+    compat = _encode(MP3EncoderOptions(mode=Mode.MONO), pcm, "numpy")
+    assert any(v != 0 for v in gains(compat, True))
+
+
+def test_oracle_applies_subblock_gain():
+    """The decoder oracle attenuates short windows by 2^(-2*sbg[w]) per
+    ISO 2.4.3.4.7.1 (coefficient i -> window (i%18)%3 in this layout)."""
+    from swiftmp3_tpu.decoder.decoder import GranuleSide, _requantize
+
+    q = np.ones(576, dtype=np.int32)
+    g = GranuleSide()
+    g.global_gain = 210
+    g.window_switching = 1
+    g.block_type = 2
+    g.mixed_block_flag = 0
+    g.subblock_gain = (0, 1, 2)
+    xr = _requantize(q, g, 44100)
+    w_of = (np.arange(576) % 18) % 3
+    np.testing.assert_allclose(xr[w_of == 0], 1.0)
+    np.testing.assert_allclose(xr[w_of == 1], 0.25)
+    np.testing.assert_allclose(xr[w_of == 2], 0.0625)
+    g.mixed_block_flag = 1
+    xr = _requantize(q, g, 44100)
+    np.testing.assert_allclose(xr[:36], 1.0)  # long head unaffected
+
+
 # --- spec_strict preset ----------------------------------------------------------
 
 
