@@ -26,6 +26,7 @@ _EXPORTS = {
     "encode_batch": ".batch",
     "encode_batch_multihost": ".batch",
     "encode_corpus": ".batch",
+    "StreamPool": ".pool",
 }
 
 __all__ = sorted(_EXPORTS)

@@ -16,6 +16,7 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import List, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..io.framing import FrameAssembler
@@ -57,6 +58,7 @@ class BatchEncoder:
             if render_threads > 1 and batch > 1
             else None
         )
+        self._reset_fn = None
         self._run = make_chunk_encoder(options, frames_per_step)
         carry = init_carry(batch, options)
         if mesh is not None:
@@ -108,6 +110,40 @@ class BatchEncoder:
             except AttributeError:
                 break
         return outs
+
+    def reset_lanes(self, lanes: np.ndarray) -> None:
+        """Reset the device carry and host renderer state of the masked
+        lanes to fresh-stream initial state (continuous batching: a lane
+        whose stream finished is recycled for a new stream). lanes: [B]
+        bool. Unmasked lanes are untouched bit-for-bit."""
+        mask = np.asarray(lanes, dtype=bool)
+        if not mask.any():
+            return
+        if self._reset_fn is None:
+            B = self.batch
+
+            @jax.jit
+            def _reset(carry, init, m):
+                def one(c, i):
+                    mm = m.reshape((B,) + (1,) * (c.ndim - 1))
+                    return jnp.where(mm, i, c)
+
+                return jax.tree_util.tree_map(one, carry, init)
+
+            self._reset_fn = _reset
+        init = init_carry(self.batch, self.options)
+        if self.mesh is not None:
+            init = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, carry_sharding(self.mesh)), init
+            )
+        self.carry = self._reset_fn(self.carry, init, self._put(mask))
+        for b in np.flatnonzero(mask):
+            if self.use_native:
+                from ..native import NativeStreamRenderer
+
+                self.renderers[int(b)] = NativeStreamRenderer(self.options)
+            else:
+                self.assemblers[int(b)] = FrameAssembler(self.options)
 
     def drain(self, outs, valid: np.ndarray) -> List[bytes]:
         """Render one chunk's outputs to bytes per stream. Streams render
