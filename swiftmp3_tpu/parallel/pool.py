@@ -48,6 +48,7 @@ class _Stream:
     out: bytearray = field(default_factory=bytearray)
     done: bool = False
     frames: int = 0
+    frame_sizes: Optional[List[int]] = None  # snapshot at finish (Xing)
 
 
 class StreamPool:
@@ -118,6 +119,18 @@ class StreamPool:
 
     def frame_count(self, sid: int) -> int:
         return self._streams[sid].frames
+
+    def xing_header(self, sid: int) -> bytes:
+        """Xing/Info frame (frame count, byte count, 100-byte seek TOC)
+        for a finished stream — prepend it to result() like
+        EncoderSession.generate_xing_header()."""
+        from ..io.xing import build_xing_header
+
+        s = self._streams[sid]
+        if not s.done:
+            raise ValueError(f"stream {sid} is not finished")
+        sizes = s.frame_sizes or []
+        return build_xing_header(self.options, len(sizes), sum(sizes), sizes)
 
     @property
     def idle(self) -> bool:
@@ -195,11 +208,17 @@ class StreamPool:
             if finishing[lane]:
                 # the one-frame delay: flush the lane's buffered last frame
                 s.out += self._flush_lane(lane)
+                s.frame_sizes = list(self._lane_frame_sizes(lane))
                 s.done = True
                 self._lane_owner[lane] = None
                 s.lane = None
                 reset_mask[lane] = True
         self.enc.reset_lanes(reset_mask)
+
+    def _lane_frame_sizes(self, lane: int):
+        if self.enc.use_native:
+            return self.enc.renderers[lane].frame_sizes
+        return self.enc.assemblers[lane].frame_sizes
 
     def _flush_lane(self, lane: int) -> bytes:
         if self.enc.use_native:

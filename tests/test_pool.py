@@ -128,3 +128,18 @@ def test_pool_feed_after_close_raises():
         pool.feed(sid, np.zeros(10, dtype=np.float32))
     with pytest.raises(ValueError):
         pool.result(pool.submit())  # not finished
+
+
+def test_pool_xing_header_matches_session():
+    opts = MP3EncoderOptions(mode=Mode.MONO)
+    rng = np.random.default_rng(5)
+    pcm = _sig(rng, 3 * 1152 + 200, 1)
+    pool = StreamPool(opts, lanes=1, frames_per_step=2)
+    sid = pool.submit()
+    pool.feed(sid, pcm)
+    pool.close(sid)
+    pool.run_until_idle()
+    s = MP3Encoder(opts, backend="tpu").new_session()
+    body = s.encode(pcm) + s.flush()
+    assert pool.result(sid) == body
+    assert pool.xing_header(sid) == s.generate_xing_header()
