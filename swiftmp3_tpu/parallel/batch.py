@@ -81,6 +81,13 @@ class BatchEncoder:
         # every chunk tensor is batch-leading, like the carry
         self._xm = carry_sharding(mesh) if mesh is not None else None
 
+    def close(self) -> None:
+        """Release the render thread pool (idempotent; the encoder stays
+        usable — drain falls back to the serial loop)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
     def _put(self, arr):
         # Explicit device_put even unsharded: passing numpy straight into jit
         # uses a slow synchronous transfer path on the tunneled TPU runtime
@@ -131,12 +138,18 @@ class BatchEncoder:
                 return jax.tree_util.tree_map(one, carry, init)
 
             self._reset_fn = _reset
-        init = init_carry(self.batch, self.options)
-        if self.mesh is not None:
-            init = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, carry_sharding(self.mesh)), init
-            )
-        self.carry = self._reset_fn(self.carry, init, self._put(mask))
+            # device-resident init pytree, built once (serving resets a
+            # lane nearly every step; re-uploading it each time would pay
+            # the host->device transfer repeatedly)
+            init = init_carry(self.batch, self.options)
+            if self.mesh is not None:
+                init = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, carry_sharding(self.mesh)), init
+                )
+            else:
+                init = jax.tree_util.tree_map(jax.device_put, init)
+            self._init_dev = init
+        self.carry = self._reset_fn(self.carry, self._init_dev, self._put(mask))
         for b in np.flatnonzero(mask):
             if self.use_native:
                 from ..native import NativeStreamRenderer

@@ -13,6 +13,7 @@ B device lanes:
     pool.step()                      # run one device chunk (call in a loop)
     if pool.done(sid):
         data = pool.result(sid)      # the finished MP3 byte stream
+        pool.release(sid)            # drop its buffers (long-running servers)
 
 Each lane carries one stream's device state (filterbank history, MDCT
 overlap, reservoir mirrors — the same carry pytree as a single session);
@@ -24,8 +25,16 @@ carry bit-for-bit (the pipeline's prefix-valid contract).
 Byte-exactness: a stream's output is identical to encoding it alone with
 `EncoderSession` under the same options and backend float stack — pinned by
 tests/test_pool.py against staggered arrivals, mixed lengths, and lane
-reuse. The reference has no equivalent (its sessions are one-stream
-objects; see SURVEY §5 "long-context streaming").
+reuse. int16 feeds stay int16 end-to-end (half the host->device transfer;
+the device normalizes by 1/32768, which is exact in float32, so bytes are
+identical to the float path). The reference has no equivalent (its sessions
+are one-stream objects; see SURVEY §5 "long-context streaming").
+
+Known limitation: step() runs upload -> compute -> render synchronously;
+it does not software-pipeline the next chunk's upload under the current
+step the way bench.py/encode_batch do (the next chunk's contents depend on
+this step's lane recycling). On a PCIe host the upload is ~2 ms and this
+doesn't bind.
 """
 
 from __future__ import annotations
@@ -39,10 +48,56 @@ from ..options import MP3EncoderOptions, SAMPLES_PER_FRAME
 from .batch import BatchEncoder
 
 
+class _ChunkBuffer:
+    """Append-only-at-back, consume-at-front sample buffer.
+
+    Keeps fed chunks as a list (no O(n^2) re-concatenation on small feeds)
+    and tracks dtype: all-int16 feeds stay int16; any float feed upgrades
+    the whole stream to float32 (exactly int16/32768, so bytes match)."""
+
+    def __init__(self):
+        self._chunks: List[np.ndarray] = []
+        self._len = 0
+        self.is_int16 = True
+
+    def __len__(self) -> int:
+        return self._len
+
+    def append(self, arr: np.ndarray) -> None:
+        if arr.dtype != np.int16:
+            if self.is_int16:
+                self.is_int16 = False
+                self._chunks = [
+                    c.astype(np.float32) / np.float32(32768.0) for c in self._chunks
+                ]
+        elif not self.is_int16:
+            arr = arr.astype(np.float32) / np.float32(32768.0)
+        self._chunks.append(arr)
+        self._len += len(arr)
+
+    def pop(self, n: int) -> np.ndarray:
+        """Remove and return the first n samples (n <= len)."""
+        out, got = [], 0
+        while got < n:
+            c = self._chunks[0]
+            take = min(len(c), n - got)
+            out.append(c[:take])
+            if take == len(c):
+                self._chunks.pop(0)
+            else:
+                self._chunks[0] = c[take:]
+            got += take
+        self._len -= n
+        dt = np.int16 if self.is_int16 else np.float32
+        if not out:
+            return np.zeros(0, dtype=dt)
+        return np.concatenate(out) if len(out) > 1 else out[0]
+
+
 @dataclass
 class _Stream:
     sid: int
-    buffer: np.ndarray  # interleaved float32/int16 samples, frame tail kept
+    buffer: _ChunkBuffer = field(default_factory=_ChunkBuffer)
     closed: bool = False
     lane: Optional[int] = None
     out: bytearray = field(default_factory=bytearray)
@@ -81,26 +136,25 @@ class StreamPool:
         """Open a new stream; returns its id. Feed PCM with feed()."""
         sid = self._next_sid
         self._next_sid += 1
-        self._streams[sid] = _Stream(
-            sid, np.zeros(0, dtype=np.float32)
-        )
+        self._streams[sid] = _Stream(sid)
         self._waiting.append(sid)
         return sid
 
     def feed(self, sid: int, pcm) -> None:
-        """Append interleaved PCM samples (float in [-1, 1] or int16).
-        Non-finite samples are zeroed (EncoderSession parity)."""
+        """Append interleaved PCM samples (float in [-1, 1] or int16; int16
+        stays int16 through the device transport). Non-finite samples are
+        zeroed (EncoderSession parity)."""
         s = self._streams[sid]
         if s.closed:
             raise ValueError(f"stream {sid} is closed")
         arr = np.asarray(pcm)
         if arr.dtype == np.int16:
-            arr = arr.astype(np.float32).reshape(-1) / np.float32(32768.0)
+            arr = arr.reshape(-1)
         else:
             arr = arr.astype(np.float32).reshape(-1)
-        if not np.isfinite(arr).all():
-            arr = np.nan_to_num(arr, nan=0.0, posinf=0.0, neginf=0.0)
-        s.buffer = np.concatenate([s.buffer, arr])
+            if not np.isfinite(arr).all():
+                arr = np.nan_to_num(arr, nan=0.0, posinf=0.0, neginf=0.0)
+        s.buffer.append(arr)
 
     def close(self, sid: int) -> None:
         """Mark the stream complete; its tail is zero-padded to a full
@@ -111,11 +165,20 @@ class StreamPool:
         return self._streams[sid].done
 
     def result(self, sid: int) -> bytes:
-        """The finished MP3 bytes; raises if the stream is not done."""
+        """The finished MP3 bytes; raises if the stream is not done.
+        Long-running servers should release(sid) afterwards."""
         s = self._streams[sid]
         if not s.done:
             raise ValueError(f"stream {sid} is not finished")
         return bytes(s.out)
+
+    def release(self, sid: int) -> None:
+        """Drop a finished stream's state (bytes, counters). Without this,
+        finished streams accumulate for the pool's lifetime."""
+        s = self._streams[sid]
+        if not s.done:
+            raise ValueError(f"stream {sid} is not finished")
+        del self._streams[sid]
 
     def frame_count(self, sid: int) -> int:
         return self._streams[sid].frames
@@ -132,6 +195,10 @@ class StreamPool:
         sizes = s.frame_sizes or []
         return build_xing_header(self.options, len(sizes), sum(sizes), sizes)
 
+    def shutdown(self) -> None:
+        """Release the render thread pool (finished streams stay readable)."""
+        self.enc.close()
+
     @property
     def idle(self) -> bool:
         """True when no lane has work and nothing is waiting."""
@@ -139,57 +206,70 @@ class StreamPool:
 
     # ---- scheduling -------------------------------------------------------
 
-    def _assign_lanes(self) -> None:
+    def _assign_lanes(self) -> int:
+        assigned = 0
         for lane in range(self.lanes):
             if self._lane_owner[lane] is not None or not self._waiting:
                 continue
             sid = self._waiting.pop(0)
             self._lane_owner[lane] = sid
             self._streams[sid].lane = lane
+            assigned += 1
+        return assigned
 
-    def _lane_chunk(self, s: _Stream):
-        """(pcm [T, n], final [T], valid [T], consumed, finishing) for one
-        lane's next chunk. EncoderSession parity: `final` is raised ONLY on
-        a zero-padded partial tail frame (a stream ending exactly on a
-        frame boundary encodes its last frame unflagged, like flush());
-        an open stream only emits the whole frames it has buffered."""
+    def _lane_chunk(self, s: _Stream, pcm_row: np.ndarray):
+        """Fill pcm_row [T, n] and return (final [T], valid [T], consumed,
+        finishing). EncoderSession parity: `final` is raised ONLY on a
+        zero-padded partial tail frame (a stream ending exactly on a frame
+        boundary encodes its last frame unflagged, like flush()); an open
+        stream only emits the whole frames it has buffered."""
         T, n = self.T, self._n
         avail_frames = len(s.buffer) // n
         tail = len(s.buffer) - avail_frames * n
-        pcm = np.zeros((T, n), dtype=np.float32)
         final = np.zeros(T, dtype=bool)
         valid = np.zeros(T, dtype=bool)
         emit = min(avail_frames, T)
-        if emit:
-            pcm[:emit] = s.buffer[: emit * n].reshape(emit, n)
-            valid[:emit] = True
         consumed = emit * n
+        if emit:
+            pcm_row[:emit] = s.buffer.pop(consumed).reshape(emit, n)
+            valid[:emit] = True
         if s.closed and tail and emit == avail_frames and emit < T:
             # the padded isFinal frame (EncoderSession.flush)
-            pcm[emit, :tail] = s.buffer[consumed : consumed + tail]
+            pcm_row[emit, :tail] = s.buffer.pop(tail)
             valid[emit] = True
             final[emit] = True
             consumed += tail
-        finishing = s.closed and consumed == len(s.buffer)
-        return pcm, final, valid, consumed, finishing
+        finishing = s.closed and len(s.buffer) == 0
+        return final, valid, consumed, finishing
 
-    def step(self) -> None:
+    def step(self) -> int:
         """Assign waiting streams to free lanes, run one device chunk, and
         route rendered bytes to their streams; finished streams free their
-        lane (reset + recycle)."""
-        self._assign_lanes()
+        lane (reset + recycle). Returns a progress count (frames encoded +
+        streams finished + lanes assigned); 0 means this step did nothing
+        and an identical next step would too."""
+        progress = self._assign_lanes()
         B, T, n = self.lanes, self.T, self._n
-        pcm = np.zeros((B, T, n), dtype=np.float32)
+        active = [
+            (lane, self._streams[sid])
+            for lane, sid in enumerate(self._lane_owner)
+            if sid is not None
+        ]
+        # int16 end-to-end when every active stream's buffer is int16
+        all_i16 = bool(active) and all(s.buffer.is_int16 for _, s in active)
+        pcm = np.zeros((B, T, n), dtype=np.int16 if all_i16 else np.float32)
         final = np.zeros((B, T), dtype=bool)
         valid = np.zeros((B, T), dtype=bool)
-        consumed = [0] * B
-        finishing = [False] * B
-        for lane, sid in enumerate(self._lane_owner):
-            if sid is None:
-                continue
-            pcm[lane], final[lane], valid[lane], consumed[lane], finishing[lane] = (
-                self._lane_chunk(self._streams[sid])
-            )
+        finishing: Dict[int, bool] = {}
+        for lane, s in active:
+            row = pcm[lane]
+            if not all_i16 and s.buffer.is_int16 and len(s.buffer):
+                # mixed-dtype step: normalize this lane's int16 on host
+                fin, val, cons, fini = self._lane_chunk_f32(s, row)
+            else:
+                fin, val, cons, fini = self._lane_chunk(s, row)
+            final[lane], valid[lane] = fin, val
+            finishing[lane] = fini
 
         rendered = None
         if valid.any():
@@ -197,14 +277,12 @@ class StreamPool:
             rendered = self.enc.drain(outs, valid)
 
         reset_mask = np.zeros(B, dtype=bool)
-        for lane, sid in enumerate(self._lane_owner):
-            if sid is None:
-                continue
-            s = self._streams[sid]
+        for lane, s in active:
             if rendered is not None:
                 s.out += rendered[lane]
-                s.frames += int(valid[lane].sum())
-                s.buffer = s.buffer[consumed[lane] :]
+                nf = int(valid[lane].sum())
+                s.frames += nf
+                progress += nf
             if finishing[lane]:
                 # the one-frame delay: flush the lane's buffered last frame
                 s.out += self._flush_lane(lane)
@@ -213,7 +291,19 @@ class StreamPool:
                 self._lane_owner[lane] = None
                 s.lane = None
                 reset_mask[lane] = True
+                progress += 1
         self.enc.reset_lanes(reset_mask)
+        return progress
+
+    def _lane_chunk_f32(self, s: _Stream, pcm_row: np.ndarray):
+        """_lane_chunk for an int16-buffered stream in a float32 step: the
+        int16 samples assign into the float row (exact cast), then the
+        valid frames normalize by 1/32768 (exact; session parity)."""
+        fin, val, cons, fini = self._lane_chunk(s, pcm_row)
+        nf = int(val.sum())
+        if nf:
+            pcm_row[:nf] /= np.float32(32768.0)
+        return fin, val, cons, fini
 
     def _lane_frame_sizes(self, lane: int):
         if self.enc.use_native:
@@ -226,9 +316,21 @@ class StreamPool:
         return self.enc.assemblers[lane].flush_buffered()
 
     def run_until_idle(self, max_steps: int = 1_000_000) -> None:
-        """Convenience: step until every submitted stream is done."""
+        """Convenience: step until every submitted stream is done. Raises
+        immediately on a stalled pool (e.g. a stream that was never closed
+        and lacks a full frame: no step can make progress)."""
         for _ in range(max_steps):
             if self.idle:
                 return
-            self.step()
+            if self.step() == 0:
+                stalled = [
+                    sid
+                    for sid in self._lane_owner
+                    if sid is not None and not self._streams[sid].closed
+                ]
+                raise RuntimeError(
+                    "StreamPool stalled: no lane can make progress "
+                    f"(open streams holding lanes: {stalled} — feed more "
+                    "PCM or close() them)"
+                )
         raise RuntimeError("run_until_idle: step budget exhausted")

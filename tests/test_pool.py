@@ -143,3 +143,41 @@ def test_pool_xing_header_matches_session():
     body = s.encode(pcm) + s.flush()
     assert pool.result(sid) == body
     assert pool.xing_header(sid) == s.generate_xing_header()
+
+
+def test_pool_int16_feed_matches_float():
+    """int16 feeds ride the int16 transport and still produce bytes equal
+    to the float session (device 1/32768 normalization is exact)."""
+    opts = MP3EncoderOptions(mode=Mode.MONO)
+    rng = np.random.default_rng(6)
+    f = _sig(rng, 3 * 1152 + 300, 1)
+    i16 = (f * 32767).astype(np.int16)
+    pool = StreamPool(opts, lanes=2, frames_per_step=2)
+    a = pool.submit()
+    pool.feed(a, i16)
+    pool.close(a)
+    # second lane runs a float stream concurrently (mixed-dtype step path)
+    b = pool.submit()
+    pool.feed(b, f)
+    pool.close(b)
+    pool.run_until_idle()
+    s = MP3Encoder(opts, backend="tpu").new_session()
+    want_i16 = s.encode(i16) + s.flush()
+    assert pool.result(a) == want_i16
+    assert pool.result(b) == _session_encode(opts, f)
+
+
+def test_pool_release_and_stall_detection():
+    opts = MP3EncoderOptions(mode=Mode.MONO)
+    pool = StreamPool(opts, lanes=1, frames_per_step=2)
+    sid = pool.submit()
+    pool.feed(sid, np.zeros(500, dtype=np.float32))  # sub-frame, never closed
+    with pytest.raises(RuntimeError, match="stalled"):
+        pool.run_until_idle()
+    pool.close(sid)
+    pool.run_until_idle()
+    _ = pool.result(sid)
+    pool.release(sid)
+    with pytest.raises(KeyError):
+        pool.result(sid)
+    pool.shutdown()
