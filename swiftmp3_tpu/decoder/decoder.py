@@ -481,7 +481,9 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
 
     sr = frames[0].sample_rate
     channels = frames[0].channels
-    ms_mode = frames[0].mode == 0b01 and (frames[0].mode_extension & 0b10)
+    # M/S is signalled PER FRAME by the header's mode_extension (ISO
+    # 2.4.2.3); computed inside the loop below. Reference-compat streams
+    # hardcode 0b10 on every joint frame, so this changes nothing for them.
 
     store = bytearray()
     overlaps = [np.zeros((32, 18), dtype=np.float64) for _ in range(channels)]
@@ -548,6 +550,7 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
         frame_pcm = np.zeros((1152, channels), dtype=np.float64)
         for gr in range(2):
             sub_t = granule_pcm[gr].reshape(channels, 18, 32)  # [ch, t, sb]
+            ms_mode = fi.mode == 0b01 and (fi.mode_extension & 0b10)
             if channels == 2 and ms_mode:
                 m = sub_t[0].copy()
                 s = sub_t[1].copy()

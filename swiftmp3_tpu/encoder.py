@@ -126,14 +126,18 @@ class GoldenBackend:
         total_bits = main_data_size * 8 + usable
         bits_per_granule = total_bits // (2 * channels)
 
+        frame_mode_ext = None  # per-frame header override (iso_mode_ext)
         # Deinterleave + per-frame stereo decision
         if channels == 1:
             chans = [np.asarray(samples, dtype=np.float32)]
         else:
             s = np.asarray(samples, dtype=np.float32)
             left, right = s[0::2].copy(), s[1::2].copy()
-            _use_ms, c0, c1 = ref.stereo_decide(opts.mode.value, left, right)
+            use_ms, c0, c1 = ref.stereo_decide(opts.mode.value, left, right)
             chans = [c0, c1]
+            if opts.iso_mode_ext and opts.mode.value == "joint_stereo":
+                # per-frame header mode_extension from the actual decision
+                frame_mode_ext = 0b10 if use_ms else 0b00
 
         granules = [[None] * channels for _ in range(2)]
         quantized = np.zeros((2 * channels, SAMPLES_PER_GRANULE), dtype=np.int32)
@@ -279,6 +283,7 @@ class GoldenBackend:
             chunks=np.concatenate(strict_chunks) if strict else None,
             nbits=np.concatenate(strict_nbits) if strict else None,
             scfsi=scfsi_bits if opts.scfsi else None,
+            mode_ext=frame_mode_ext,
         )
 
 

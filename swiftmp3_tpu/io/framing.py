@@ -46,6 +46,8 @@ class FrameResult:
     chunks: Optional[np.ndarray] = None  # spec-strict layout chunk stream
     nbits: Optional[np.ndarray] = None  # (reference.strict_entropy_layout)
     scfsi: Optional[list] = None  # [channels][4] side-info bits (options.scfsi)
+    mode_ext: Optional[int] = None  # per-frame header mode_extension override
+    #   (options.iso_mode_ext; None -> the mode's constant)
 
 
 class BitReservoir:
@@ -97,9 +99,13 @@ class FrameAssembler:
         self.total_bytes = 0
         self.frame_sizes: List[int] = []
 
-    def _build_header(self, bitrate_index: int, padding: int) -> bytes:
+    def _build_header(
+        self, bitrate_index: int, padding: int, mode_ext: Optional[int] = None
+    ) -> bytes:
         opts = self.options
-        mode, mode_ext = mode_bits(opts.mode.value)
+        mode, const_ext = mode_bits(opts.mode.value)
+        if mode_ext is None:
+            mode_ext = const_ext
         h = BitstreamWriter()
         h.write(0x7FF, 11)
         h.write(0b11, 2)  # MPEG-1
@@ -131,7 +137,7 @@ class FrameAssembler:
         scfsi = fr.scfsi if fr.scfsi is not None else [[0, 0, 0, 0]] * channels
         side_info = build_side_info(channels, fr.granules, scfsi, fr.main_data_begin)
 
-        header = self._build_header(fr.bitrate_index, fr.padding)
+        header = self._build_header(fr.bitrate_index, fr.padding, fr.mode_ext)
         head = bytearray(header)
         if self.options.crc_protected:
             if self.options.iso_crc:

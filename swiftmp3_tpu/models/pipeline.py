@@ -45,7 +45,7 @@ import numpy as np
 from ..io.framing import FrameResult
 from ..io.sideinfo import GranuleInfo
 from ..options import MP3EncoderOptions, Mode, SAMPLES_PER_FRAME
-from ..tables import bitrate_index, bitrate_value
+from ..tables import bitrate_index, bitrate_value, mode_bits
 from ..ops import dsp
 # Import eagerly: importing inside a traced function would create the
 # kernel module's jnp constants under the tracer (leaked-tracer errors on
@@ -147,6 +147,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
         # [.., 576] tensor afterwards stays in [B, ch, 2T, ...] layout — only
         # scalar-ish per-granule tensors are reordered for the time scan.
         pcm_bt = pcm.reshape(B, T * pcm.shape[-1])
+        use_ms = None  # per-frame M/S decision (joint stereo only)
         if "ingest" in _ABLATE:
             s = jnp.sum(pcm_bt, dtype=jnp.float32) * jnp.float32(1e-30)
             ramp = jnp.arange(T * 1152, dtype=jnp.float32) * jnp.float32(1e-7)
@@ -157,7 +158,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
             left = pcm_bt[:, 0::2].reshape(B, T, 1152)
             right = pcm_bt[:, 1::2].reshape(B, T, 1152)
             if mode is Mode.JOINT_STEREO:
-                _use_ms, c0, c1 = dsp.stereo_decide(left, right)
+                use_ms, c0, c1 = dsp.stereo_decide(left, right)  # [B, T]
             else:
                 c0, c1 = left, right
             pcm_chunk = jnp.stack([c0, c1], axis=1).reshape(B, ch, T * 1152)
@@ -442,6 +443,16 @@ def make_chunk_fn(options: MP3EncoderOptions):
                         if scfsi_nib is not None
                         else jnp.zeros((T, B, ch), jnp.int32)
                     ),
+                    # per-frame header mode_extension: the actual M/S
+                    # decision under iso_mode_ext, else the reference's
+                    # constant (0b10-always for joint stereo)
+                    (
+                        jnp.where(jnp.swapaxes(use_ms, 0, 1), 2, 0)[..., None]
+                        if use_ms is not None and options.iso_mode_ext
+                        else jnp.full(
+                            (T, B, 1), mode_bits(mode.value)[1], jnp.int32
+                        )
+                    ),
                 ],
                 axis=-1,
             ).astype(jnp.int32)
@@ -538,6 +549,8 @@ def fetch_outputs(outs, options: MP3EncoderOptions) -> dict:
     d["scalefac_compress"] = meta[..., o : o + n_gran]
     o += n_gran
     d["scfsi"] = meta[..., o : o + options.channels]  # [B, T, ch] nibbles
+    o += options.channels
+    d["mode_ext"] = meta[..., o]  # [B, T] per-frame header mode_extension
     # per-frame main_data byte counts (incl. part2 scalefactor bits when
     # real_scalefactors is on); pack truncation is checked by renderers
     d["hb"] = (d["part23"].sum(axis=-1) + 7) // 8
@@ -594,6 +607,7 @@ def frame_results_from_outputs(
             [(int(outs["scfsi"][b, t, c]) >> (3 - g)) & 1 for g in range(4)]
             for c in range(ch)
         ],
+        mode_ext=int(outs["mode_ext"][b, t]),
     )
 
 

@@ -109,7 +109,8 @@ void pack_granule(BitWriter& w, const int8_t* q, int big_values) {
     }
 }
 
-void build_header(StreamState* s, int bitrate_index, int padding, uint8_t out[4]) {
+void build_header(StreamState* s, int bitrate_index, int padding, uint8_t out[4],
+                  int mode_ext_override = -1) {
     BitWriter h;
     h.write(0x7FF, 11);
     h.write(0b11, 2);  // MPEG-1
@@ -120,7 +121,8 @@ void build_header(StreamState* s, int bitrate_index, int padding, uint8_t out[4]
     h.write(static_cast<uint32_t>(padding), 1);
     h.write(0, 1);  // private
     h.write(static_cast<uint32_t>(s->mode_bits), 2);
-    h.write(static_cast<uint32_t>(s->mode_ext), 2);
+    h.write(static_cast<uint32_t>(
+        mode_ext_override >= 0 ? mode_ext_override : s->mode_ext), 2);
     h.write(s->copyright_bit ? 1 : 0, 1);
     h.write(s->original_bit ? 1 : 0, 1);
     h.write(0, 2);  // no emphasis
@@ -135,7 +137,8 @@ std::vector<uint8_t> build_head_side(
     const int32_t* block_type, const int32_t* preflag, const int32_t* region0,
     const int32_t* region1, const int32_t* subblock_gain,
     const int32_t* scalefac_compress, const int32_t* table_select,
-    const int32_t* count1table, const int32_t* scfsi) {
+    const int32_t* count1table, const int32_t* scfsi,
+    const int32_t* mode_ext) {
     const int ch = s->channels;
     const int G = 2 * ch;
     const int side_bytes = (ch == 1) ? 17 : 32;
@@ -180,7 +183,8 @@ std::vector<uint8_t> build_head_side(
     while (static_cast<int>(si.bytes.size()) < side_bytes) si.bytes.push_back(0);
 
     uint8_t head[4];
-    build_header(s, bitrate_index, padding, head);
+    build_header(s, bitrate_index, padding, head,
+                 mode_ext ? static_cast<int>(mode_ext[f]) : -1);
     std::vector<uint8_t> head_side;
     head_side.insert(head_side.end(), head, head + 4);
     if (s->crc_protected) {
@@ -283,7 +287,7 @@ int64_t mp3_render_frames(void* p, int F,
         std::vector<uint8_t> head_side = build_head_side(
             s, f, bitrate_index[f], padding[f], mdb[f], part23, big_values,
             gain, block_type, preflag, region0, region1, subblock_gain,
-            scalefac_compress, table_select, count1table, nullptr);
+            scalefac_compress, table_select, count1table, nullptr, nullptr);
 
         // --- emit previous buffered frame with its reservoir slot
         if (s->has_buffered) {
@@ -323,6 +327,7 @@ int64_t mp3_render_frames_packed(void* p, int F,
                                  const int32_t* scalefac_compress,
                                  const int32_t* table_select, const int32_t* count1table,
                                  const int32_t* scfsi,
+                                 const int32_t* mode_ext,
                                  const uint8_t* main_data, int cap,
                                  const int32_t* hb, uint8_t* out,
                                  int64_t out_capacity, int32_t* frame_sizes_out,
@@ -339,7 +344,7 @@ int64_t mp3_render_frames_packed(void* p, int F,
         std::vector<uint8_t> head_side = build_head_side(
             s, f, bitrate_index[f], padding[f], mdb[f], part23, big_values,
             gain, block_type, preflag, region0, region1, subblock_gain,
-            scalefac_compress, table_select, count1table, scfsi);
+            scalefac_compress, table_select, count1table, scfsi, mode_ext);
 
         if (s->has_buffered) {
             size_t slot_n = static_cast<size_t>(s->buffered_slot);

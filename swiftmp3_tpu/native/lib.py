@@ -75,6 +75,7 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p, i32p, i32p, i32p,  # preflag, region0, region1, subblock_gain
             i32p, i32p, i32p,        # scalefac_compress, table_select, count1table
             i32p,                    # scfsi [F, ch]
+            i32p,                    # mode_ext [F]
             u8p, ctypes.c_int,       # main_data, cap
             i32p,                    # hb
             u8p, ctypes.c_int64,     # out, capacity
@@ -174,6 +175,12 @@ class NativeStreamRenderer:
                 "NativeStreamRenderer.render() packs the compat (table-15) "
                 "layout only; use render_packed for spec-strict options"
             )
+        if self.options.iso_mode_ext:
+            raise NotImplementedError(
+                "render() writes the constant header mode_extension; "
+                "iso_mode_ext streams flow through render_packed (per-frame "
+                "mode_ext array)"
+            )
         F = len(bitrate_index)
         if F == 0:
             return b""
@@ -222,6 +229,7 @@ class NativeStreamRenderer:
         table_select: np.ndarray = None,  # [F, G, 3]
         count1table: np.ndarray = None,  # [F, G]
         scfsi: np.ndarray = None,  # [F, ch] nibbles (options.scfsi)
+        mode_ext: np.ndarray = None,  # [F] per-frame header mode_extension
     ) -> bytes:
         F = len(bitrate_index)
         if F == 0:
@@ -231,6 +239,10 @@ class NativeStreamRenderer:
         )
         if scfsi is None:
             scfsi = np.zeros((F, self.options.channels), dtype=np.int32)
+        if mode_ext is None:
+            from ..tables import mode_bits as _mb
+
+            mode_ext = np.full(F, _mb(self.options.mode.value)[1], dtype=np.int32)
         cap = main_data.shape[-1]
         out_cap = int(slot.sum()) + F * 40 + 8192
         out = np.empty(out_cap, dtype=np.uint8)
@@ -246,7 +258,7 @@ class NativeStreamRenderer:
             c(part23), c(big_values), c(gain), c(block_type),
             c(preflag), c(region0), c(region1), c(subblock_gain),
             c(scalefac_compress), c(table_select), c(count1table),
-            c(scfsi),
+            c(scfsi), c(mode_ext),
             c(main_data, np.uint8), cap, c(hb),
             out, out_cap, sizes, n_emitted,
         )

@@ -117,6 +117,13 @@ class MP3EncoderOptions:
     #   Transparent sharing only (values must already agree). Requires
     #   real_scalefactors.
     scfsi: bool = False
+    # iso_mode_ext: emit the joint-stereo header mode_extension PER FRAME
+    #   from the actual M/S decision (0b10 when mid/side was encoded, 0b00
+    #   when left/right won). The reference hardcodes 0b10 on every joint
+    #   frame (MP3Encoder.swift:2547-2556), so conforming decoders apply
+    #   mid/side reconstruction to frames that actually carry L/R —
+    #   garbling the stereo image whenever the per-frame decision flips.
+    iso_mode_ext: bool = False
 
     def __post_init__(self):
         # Quality is clamped, not rejected (MP3Encoder.swift:110).
@@ -167,6 +174,7 @@ class MP3EncoderOptions:
             count1_coding=True,
             region_table_select=True,
             real_scalefactors=True,
+            iso_mode_ext=True,
         )
         base.update(kwargs)
         return cls(**base)

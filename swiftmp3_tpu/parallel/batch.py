@@ -189,6 +189,7 @@ class BatchEncoder:
                     count1table=outs["count1table"][b, :F],
                     scalefac_compress=outs["scalefac_compress"][b, :F],
                     scfsi=outs["scfsi"][b, :F],
+                    mode_ext=outs["mode_ext"][b, :F],
                 )
 
             if self._pool is None:
@@ -456,6 +457,7 @@ def encode_batch_multihost(
                     count1table=fetched["count1table"][b, :F],
                     scalefac_compress=fetched["scalefac_compress"][b, :F],
                     scfsi=fetched["scfsi"][b, :F],
+                    mode_ext=fetched["mode_ext"][b, :F],
                 )
         else:
             for t in range(Tc):

@@ -551,7 +551,68 @@ def test_oracle_applies_subblock_gain():
     np.testing.assert_allclose(xr[:36], 1.0)  # long head unaffected
 
 
-# --- spec_strict preset ----------------------------------------------------------
+# --- iso_mode_ext ----------------------------------------------------------------
+
+
+def _joint_mixed_signal(seconds=1.5, sr=44100, seed=8):
+    """Alternating segments: correlated (M/S wins) and anti-correlated
+    (L/R wins) so the per-frame decision actually flips."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    base = 0.4 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    left = base.copy()
+    right = base.copy()
+    seg = 1152 * 2
+    for start in range(0, n, 2 * seg):
+        right[start : start + seg] *= -1.0  # anti-correlated -> L/R
+    noise = (0.02 * rng.standard_normal(n)).astype(np.float32)
+    stereo = np.empty(2 * n, dtype=np.float32)
+    stereo[0::2] = left + noise
+    stereo[1::2] = right - noise
+    return stereo
+
+
+def test_iso_mode_ext_varies_and_backends_agree():
+    from swiftmp3_tpu.decoder.decoder import parse_frame
+
+    pcm = _joint_mixed_signal()
+    opts = MP3EncoderOptions(mode=Mode.JOINT_STEREO, iso_mode_ext=True)
+    a = _encode(opts, pcm, "numpy")
+    b = _encode(opts, pcm, "tpu")
+    assert a == b
+    exts = set()
+    i = 0
+    while i + 4 <= len(a):
+        fi = parse_frame(a, i)
+        exts.add(fi.mode_extension)
+        i += fi.size
+    assert exts == {0b00, 0b10}, exts  # both decisions actually occur
+    # flag off: the reference's constant 0b10 on every frame
+    off = _encode(opts.replace(iso_mode_ext=False), pcm, "numpy")
+    i = 0
+    while i + 4 <= len(off):
+        fi = parse_frame(off, i)
+        assert fi.mode_extension == 0b10
+        i += fi.size
+
+
+def test_iso_mode_ext_fixes_stereo_image():
+    """With the constant-M/S quirk, L/R frames decode through mid/side
+    reconstruction and the stereo image garbles; per-frame signalling
+    restores it (measured per channel against the input)."""
+    from swiftmp3_tpu.utils.quality import measure_quality
+
+    pcm = _joint_mixed_signal()
+    sr = 44100
+    base = MP3EncoderOptions(mode=Mode.JOINT_STEREO, reservoir_mode="aligned")
+    snrs = {}
+    for flag in (False, True):
+        data = _encode(base.replace(iso_mode_ext=flag), pcm, "numpy")
+        dec = decode_mp3(data)
+        q = measure_quality(pcm[0::2], dec.pcm[:, 0], sr)
+        snrs[flag] = q.snr_db
+    assert snrs[True] > snrs[False] + 3.0, snrs
 
 
 def test_spec_strict_preset_roundtrip():
