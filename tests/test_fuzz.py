@@ -142,9 +142,10 @@ def test_fuzz_spec_strict_flags(trial):
     of both streams. Draws ride a small config pool so the per-option-set
     jit cache bounds compiles."""
     rng = np.random.default_rng(3000 + trial)
-    # independent bits: mode, psy, scfsi each flip on a different trial bit
-    # so all four (mode, psy) combinations get coverage across 8 trials
-    mode = [Mode.MONO, Mode.STEREO][trial & 1]
+    # independent draws: mode cycles all three (incl. joint stereo, whose
+    # strict preset emits per-frame mode_ext); psy/scfsi flip on separate
+    # trial bits so (mode, psy) combinations get coverage across 8 trials
+    mode = [Mode.MONO, Mode.STEREO, Mode.JOINT_STEREO][trial % 3]
     psy = bool(trial & 2)
     scfsi = bool(trial & 4)
     opts = MP3EncoderOptions.spec_strict(
