@@ -66,9 +66,14 @@ def main() -> int:
             slices = np.array_split(pcm, max(1, int(seconds)))
             live[sid] = iter(slices)
             remaining -= 1
-        # each live stream feeds its next ~1 s slice
+        # each live stream feeds its next ~1 s slice, with back-pressure:
+        # streams whose unconsumed backlog exceeds a few chunks skip a turn
+        # (a real ingest loop throttles the same way)
+        backlog_cap = 4 * args.frames_per_step * 1152 * 2
         finished_feeding = []
         for sid, it in live.items():
+            if pool.buffered_samples(sid) > backlog_cap:
+                continue
             chunk = next(it, None)
             if chunk is None:
                 pool.close(sid)
@@ -80,14 +85,12 @@ def main() -> int:
 
         pool.step()
         step += 1
-        for sid in list(pool._streams):
-            if pool.done(sid):
-                done_ids.append((sid, len(pool.result(sid))))
-                pool.release(sid)
+        for sid in pool.finished():
+            done_ids.append((sid, len(pool.result(sid))))
+            pool.release(sid)
         if step % 20 == 0:
-            busy = sum(o is not None for o in pool._lane_owner)
             print(
-                f"step {step:4d}: lanes busy {busy}/{args.lanes}, "
+                f"step {step:4d}: lanes busy {pool.busy_lanes}/{args.lanes}, "
                 f"finished {len(done_ids)}/{args.streams}",
                 file=sys.stderr,
             )

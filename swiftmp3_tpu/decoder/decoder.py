@@ -498,6 +498,7 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
             continue
         r = BitReader(bytes(store), start_bit)
         granule_pcm = np.zeros((2, channels, 576), dtype=np.float64)
+        gr_xr = [[None] * channels for _ in range(2)]  # requantized spectra
         gr0_sf = [None] * channels  # granule 0 scalefactors for scfsi reuse
         ok = True
         for gr in range(2):
@@ -540,21 +541,31 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
                 xr = _requantize(q, g, sr, scalefacs)
                 if not (g.window_switching and g.block_type == 2 and not g.mixed_block_flag):
                     xr = _alias_reduce_decode(xr)
-                sub = _imdct_granule(xr, g, overlaps[ch])
-                granule_pcm[gr, ch] = sub.T.reshape(-1)  # time-major [18*32]
+                gr_xr[gr][ch] = xr
             if not ok:
                 break
         if not ok:
             continue
-        # Mid/side reconstruction (decoder view of joint stereo)
         frame_pcm = np.zeros((1152, channels), dtype=np.float64)
         for gr in range(2):
-            sub_t = granule_pcm[gr].reshape(channels, 18, 32)  # [ch, t, sb]
+            # Mid/side reconstruction happens in the SPECTRAL domain before
+            # the IMDCT (ISO 2.4.3.4.9: the synthesis state then always
+            # stays in the L/R domain, so per-frame mode_extension flips —
+            # iso_mode_ext streams — carry no cross-domain overlap tails).
+            # Matrix law: this encoder family's mid=(L+R)/2, side=(L-R)/2,
+            # so L=m+s, R=m-s; ISO's own convention is /sqrt(2) — a
+            # documented conformance boundary (see ARCHITECTURE.md). Each
+            # channel keeps its own window side-info for the IMDCT, as
+            # conforming decoders do even when block types differ.
             ms_mode = fi.mode == 0b01 and (fi.mode_extension & 0b10)
             if channels == 2 and ms_mode:
-                m = sub_t[0].copy()
-                s = sub_t[1].copy()
-                sub_t = np.stack([m + s, m - s])
+                m, s_ = gr_xr[gr][0], gr_xr[gr][1]
+                gr_xr[gr][0], gr_xr[gr][1] = m + s_, m - s_
+            for ch in range(channels):
+                g = fi.granules[gr][ch]
+                sub = _imdct_granule(gr_xr[gr][ch], g, overlaps[ch])
+                granule_pcm[gr, ch] = sub.T.reshape(-1)  # time-major [18*32]
+            sub_t = granule_pcm[gr].reshape(channels, 18, 32)  # [ch, t, sb]
             for ch in range(channels):
                 synth = synths[ch]
                 for t in range(18):

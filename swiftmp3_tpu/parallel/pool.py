@@ -199,6 +199,18 @@ class StreamPool:
         """Release the render thread pool (finished streams stay readable)."""
         self.enc.close()
 
+    def finished(self) -> List[int]:
+        """ids of done streams not yet released (poll after step())."""
+        return [sid for sid, s in self._streams.items() if s.done]
+
+    def buffered_samples(self, sid: int) -> int:
+        """Samples fed but not yet consumed (ingest back-pressure signal)."""
+        return len(self._streams[sid].buffer)
+
+    @property
+    def busy_lanes(self) -> int:
+        return sum(o is not None for o in self._lane_owner)
+
     @property
     def idle(self) -> bool:
         """True when no lane has work and nothing is waiting."""

@@ -597,6 +597,18 @@ def test_iso_mode_ext_varies_and_backends_agree():
         i += fi.size
 
 
+def test_iso_mode_ext_native_renderer_matches():
+    """The C renderer's per-frame mode_ext array path (BatchEncoder) must
+    produce the same bytes as the session's Python FrameAssembler."""
+    from swiftmp3_tpu.parallel import encode_batch
+
+    pcm = _joint_mixed_signal(1.2)
+    opts = MP3EncoderOptions(mode=Mode.JOINT_STEREO, iso_mode_ext=True)
+    want = _encode(opts, pcm, "tpu")
+    got = encode_batch(opts, [pcm], frames_per_step=4)[0]
+    assert got == want
+
+
 def test_iso_mode_ext_fixes_stereo_image():
     """With the constant-M/S quirk, L/R frames decode through mid/side
     reconstruction and the stereo image garbles; per-frame signalling
