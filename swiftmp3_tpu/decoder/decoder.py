@@ -544,10 +544,6 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
                 gr_xr[gr][ch] = xr
             if not ok:
                 break
-        if not ok:
-            continue
-        frame_pcm = np.zeros((1152, channels), dtype=np.float64)
-        for gr in range(2):
             # Mid/side reconstruction happens in the SPECTRAL domain before
             # the IMDCT (ISO 2.4.3.4.9: the synthesis state then always
             # stays in the L/R domain, so per-frame mode_extension flips —
@@ -556,7 +552,10 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
             # so L=m+s, R=m-s; ISO's own convention is /sqrt(2) — a
             # documented conformance boundary (see ARCHITECTURE.md). Each
             # channel keeps its own window side-info for the IMDCT, as
-            # conforming decoders do even when block types differ.
+            # conforming decoders do even when block types differ. Running
+            # this per granule (not per frame) means a later granule's
+            # decode failure still lets earlier granules advance the
+            # overlap state, like a streaming decoder.
             ms_mode = fi.mode == 0b01 and (fi.mode_extension & 0b10)
             if channels == 2 and ms_mode:
                 m, s_ = gr_xr[gr][0], gr_xr[gr][1]
@@ -565,6 +564,10 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
                 g = fi.granules[gr][ch]
                 sub = _imdct_granule(gr_xr[gr][ch], g, overlaps[ch])
                 granule_pcm[gr, ch] = sub.T.reshape(-1)  # time-major [18*32]
+        if not ok:
+            continue
+        frame_pcm = np.zeros((1152, channels), dtype=np.float64)
+        for gr in range(2):
             sub_t = granule_pcm[gr].reshape(channels, 18, 32)  # [ch, t, sb]
             for ch in range(channels):
                 synth = synths[ch]
