@@ -152,6 +152,7 @@ def test_quality_report_sine():
     assert rep_c.snr_db < rep.snr_db
 
 
+@pytest.mark.slow
 def test_long_stream_batch_matches_session():
     """~45 s of audio (1700+ frames): the 64-frame-chunk batch path and the
     8-frame-chunk session backend agree byte-for-byte — long-run stability

@@ -11,6 +11,8 @@ reproducible.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 48 trials, ~4 min; the inner loop skips them
+
 from swiftmp3_tpu import MP3Encoder, MP3EncoderOptions, Mode
 from swiftmp3_tpu.decoder import decode_mp3
 

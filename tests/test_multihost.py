@@ -14,6 +14,9 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # two-subprocess tests, ~45 s on the 1-CPU rig
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
