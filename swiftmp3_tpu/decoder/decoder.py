@@ -24,6 +24,8 @@ from .tables import (
     SUPPORTED_TABLE_IDS,
     band_table,
     huffman_arrays,
+    short_band_table,
+    short_reorder_dest,
 )
 
 BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
@@ -307,20 +309,33 @@ def _decode_count1_a(r: BitReader) -> list[int]:
 
 
 def _requantize(
-    q: np.ndarray, g: GranuleSide, sample_rate: int, scalefacs=None
+    q: np.ndarray,
+    g: GranuleSide,
+    sample_rate: int,
+    scalefacs=None,
+    sf_short=None,
+    sf_mixed_long=None,
 ) -> np.ndarray:
     """ISO 2.4.3.4.7.1 requantization: xr = |q|^(4/3) * 2^((gain-210)/4) *
     2^(-(scalefac_scale+1)/2 * (scalefac + preflag*pretab)) per long band
     (scalefac_multiplier = (scalefac_scale+1)/2, so the per-unit factor is
-    sqrt(2) at scalefac_scale=0 and 2 at scalefac_scale=1)."""
+    sqrt(2) at scalefac_scale=0 and 2 at scalefac_scale=1).
+
+    Short blocks: the per-(sfb, window) factor 2^(-scalefac_multiplier *
+    sf_short[sfb][w]) (no pretab) applies to window w's lines of short band
+    sfb; `q` must be in the NATURAL subband-major order (coefficient
+    3*line + w), i.e. after the 2.4.3.4.8 reorder-undo. Mixed granules use
+    sf_mixed_long[0..7] on the long head (first 36 coefficients) and
+    sf_short[3..11] above it."""
     gain_exp = 0.25 * (g.global_gain - 210)
     mag = np.abs(q).astype(np.float64) ** (4.0 / 3.0)
     xr = mag * (2.0 ** gain_exp)
-    apply_pre = g.preflag and not (g.window_switching and g.block_type == 2)
+    scale_mult = 0.5 * (g.scalefac_scale + 1)
+    is_short = g.window_switching and g.block_type == 2
+    apply_pre = g.preflag and not is_short
     have_sf = scalefacs is not None and any(scalefacs)
     if apply_pre or have_sf:
         bands = band_table(sample_rate)
-        scale_mult = 0.5 * (g.scalefac_scale + 1)
         cursor = 0
         for band_idx, width in enumerate(bands):
             end = min(cursor + int(width), 576)
@@ -330,6 +345,31 @@ def _requantize(
             if total:
                 xr[cursor:end] *= 2.0 ** (-scale_mult * total)
             cursor = end
+    if is_short and sf_short is not None and any(any(row) for row in sf_short):
+        sbounds = np.concatenate(
+            [[0], np.cumsum(short_band_table(sample_rate)), [192]]
+        ).astype(int)
+        first_sfb = 3 if g.mixed_block_flag else 0
+        for sfb in range(first_sfb, 12):
+            lo, hi = int(sbounds[sfb]), int(sbounds[sfb + 1])
+            for w in range(3):
+                sf = sf_short[sfb][w]
+                if sf:
+                    nat = 3 * np.arange(lo, hi) + w
+                    xr[nat] *= 2.0 ** (-scale_mult * sf)
+    if (
+        is_short
+        and g.mixed_block_flag
+        and sf_mixed_long is not None
+        and any(sf_mixed_long)
+    ):
+        lbounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))]).astype(int)
+        for band_idx in range(8):
+            sf = sf_mixed_long[band_idx]
+            if sf:
+                xr[lbounds[band_idx] : lbounds[band_idx + 1]] *= 2.0 ** (
+                    -scale_mult * sf
+                )
     # ISO 2.4.3.4.7.1 per-window gain for short blocks: window w of a short
     # subband is attenuated by 2^(-2*subblock_gain[w]). In this encoder
     # family's short layout, coefficient i belongs to window (i%18)%3;
@@ -343,11 +383,13 @@ def _requantize(
     return (np.sign(q) * xr).astype(np.float32)
 
 
-def _alias_reduce_decode(xr: np.ndarray) -> np.ndarray:
-    """Decoder-side butterflies (inverse of the encoder's, ISO 2.4.3.4.7)."""
+def _alias_reduce_decode(xr: np.ndarray, n_boundaries: int = 31) -> np.ndarray:
+    """Decoder-side butterflies (inverse of the encoder's, ISO 2.4.3.4.7).
+    n_boundaries=1 is the conforming treatment of mixed blocks (only the
+    long head's subband 0/1 boundary is aliased)."""
     s = xr.copy()
     cs, ca = ALIASING_CS.astype(np.float64), ALIASING_CA.astype(np.float64)
-    for sb in range(31):
+    for sb in range(n_boundaries):
         for j in range(8):
             u = s[sb * 18 + 17 - j]
             l = s[(sb + 1) * 18 + j]
@@ -459,12 +501,35 @@ def _iter_frames(data: bytes, strict: bool = True):
         i += fi.size
 
 
-def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
+def decode_mp3(
+    data: bytes,
+    skip_metadata_frames: bool = True,
+    iso_conventions: bool = False,
+) -> DecodedStream:
     """Decode an MP3 byte stream to PCM.
 
     Skips an ID3v2 prefix and (optionally) a leading Xing/Info metadata
     frame, and stops at a truncated/malformed tail — like real-world
     decoders do.
+
+    iso_conventions selects between decode laws NO header bit signals
+    (every other law is read from the stream itself):
+    - False (default): this encoder family's historical conventions —
+      M/S reconstruction L = M+S, R = M-S (matching the encoder's
+      mid=(L+R)/2 halves, MP3Encoder.swift:2146-2154); switching
+      granules' entropy stream read in the subband-major natural order
+      (no ISO 2.4.3.4.8 reordering); mixed blocks fully alias-reduced.
+    - True: what a conforming ISO 11172-3 decoder implements —
+      L = (M+S)/sqrt(2), R = (M-S)/sqrt(2) (ISO 2.4.3.4.9.2); the
+      2.4.3.4.8 reorder-undo for switching granules; mixed blocks
+      alias-reduced on the long-head boundary only. Use for streams
+      encoded with options.iso_ms_matrix / iso_short_blocks (the
+      spec_strict preset); reading a compat stream this way reproduces
+      exactly the conformance errors real decoders would (the point).
+
+    Short/mixed scalefactors are always parsed per ISO 2.4.2.7 and applied
+    in requantization — convention-independent (zero-width for streams
+    that emit scalefac_compress=0 on switching granules).
     """
     if data[:3] == b"ID3" and len(data) >= 10:
         size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
@@ -508,10 +573,25 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
                 # scalefactors (slen bits; zero for scalefac_compress=0)
                 slen1, slen2 = SLEN[g.scalefac_compress]
                 scalefacs = None
+                sf_short = None  # [12][3] per (short sfb, window)
+                sf_mixed_long = None  # [8] long head bands of a mixed block
                 if g.window_switching and g.block_type == 2 and not g.mixed_block_flag:
-                    n_sf_bits = 6 * 3 * slen1 + 6 * 3 * slen2
-                    if n_sf_bits:
-                        r.read(n_sf_bits)  # short-block sfs: parsed, unused
+                    # pure short: sfb-major, windows consecutive
+                    # (ISO 2.4.2.7: sfbs 0-5 at slen1, 6-11 at slen2)
+                    sf_short = [[0, 0, 0] for _ in range(12)]
+                    for sfb in range(12):
+                        slen = slen1 if sfb < 6 else slen2
+                        for w in range(3):
+                            sf_short[sfb][w] = r.read(slen) if slen else 0
+                elif g.window_switching and g.block_type == 2 and g.mixed_block_flag:
+                    # mixed: 8 long bands at slen1, short sfbs 3-5 at slen1,
+                    # 6-11 at slen2 (per window)
+                    sf_mixed_long = [r.read(slen1) if slen1 else 0 for _ in range(8)]
+                    sf_short = [[0, 0, 0] for _ in range(12)]
+                    for sfb in range(3, 12):
+                        slen = slen1 if sfb < 6 else slen2
+                        for w in range(3):
+                            sf_short[sfb][w] = r.read(slen) if slen else 0
                 else:
                     # scfsi (ISO 2.4.2.7): granule 1 reuses gr0's values for
                     # flagged groups (0-5, 6-10, 11-15, 16-20) — no bits read
@@ -538,9 +618,25 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
                     break
                 # jump to the granule's declared end (robustness)
                 r.pos = part_start + g.part23_length
-                xr = _requantize(q, g, sr, scalefacs)
-                if not (g.window_switching and g.block_type == 2 and not g.mixed_block_flag):
+                is_short_g = g.window_switching and g.block_type == 2
+                if iso_conventions and is_short_g:
+                    # ISO 2.4.3.4.8 reorder-undo: the conforming stream is
+                    # short-sfb-major; scatter back to subband-major for
+                    # the IMDCT. (The encoder-family convention emits
+                    # subband-major directly — no reorder.)
+                    dest = short_reorder_dest(sr, bool(g.mixed_block_flag))
+                    nat = np.zeros(576, dtype=q.dtype)
+                    nat[dest] = q
+                    q = nat
+                xr = _requantize(q, g, sr, scalefacs, sf_short, sf_mixed_long)
+                if not is_short_g:
                     xr = _alias_reduce_decode(xr)
+                elif g.mixed_block_flag:
+                    # conforming decoders alias-reduce only the long head's
+                    # subband 0/1 boundary for mixed blocks; the legacy
+                    # reading kept the full 31 (historical oracle behavior
+                    # for reference-law streams, which alias nothing)
+                    xr = _alias_reduce_decode(xr, 1 if iso_conventions else 31)
                 gr_xr[gr][ch] = xr
             if not ok:
                 break
@@ -559,7 +655,11 @@ def decode_mp3(data: bytes, skip_metadata_frames: bool = True) -> DecodedStream:
             ms_mode = fi.mode == 0b01 and (fi.mode_extension & 0b10)
             if channels == 2 and ms_mode:
                 m, s_ = gr_xr[gr][0], gr_xr[gr][1]
-                gr_xr[gr][0], gr_xr[gr][1] = m + s_, m - s_
+                # iso_conventions: ISO 2.4.3.4.9.2 divides by sqrt(2)
+                # (inverts an (L+-R)/sqrt(2) encode at unit gain); the
+                # encoder-family law inverts mid=(L+R)/2 with L=M+S.
+                k = 1.0 / np.sqrt(2.0) if iso_conventions else 1.0
+                gr_xr[gr][0], gr_xr[gr][1] = (m + s_) * k, (m - s_) * k
             for ch in range(channels):
                 g = fi.granules[gr][ch]
                 sub = _imdct_granule(gr_xr[gr][ch], g, overlaps[ch])

@@ -50,6 +50,50 @@ def band_table(sample_rate: int) -> np.ndarray:
     return np.asarray(_LONG_BANDS.get(sample_rate, _LONG_BANDS[44100]), dtype=np.int32)
 
 
+# Short-block band widths (ISO Table B.8; 12 coded bands per window, the
+# remainder to 192 lines/window is uncoded). Independent transcription —
+# the encoder's copies live in swiftmp3_tpu/tables/iso.py and
+# tests/test_table_independence.py cross-checks the two.
+
+_SHORT_BANDS = {
+    44100: (4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30),
+    48000: (4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26),
+    32000: (4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42),
+}
+
+
+def short_band_table(sample_rate: int) -> np.ndarray:
+    """Short-block band widths (44100 fallback, like band_table)."""
+    return np.asarray(
+        _SHORT_BANDS.get(sample_rate, _SHORT_BANDS[44100]), dtype=np.int32
+    )
+
+
+def short_reorder_dest(sample_rate: int, mixed: bool) -> np.ndarray:
+    """ISO 2.4.3.4.8 reordering as a destination map: the Huffman stream's
+    j-th requantized value lands at natural[dest[j]].
+
+    Derived from the decoder direction of the ISO text (dist10's
+    III_reorder structure): the stream walks short scalefactor bands in
+    order, the three windows of a band consecutively; window w's value for
+    line l lands at natural position 3*l + w (the subband-major layout the
+    IMDCT consumes). Mixed blocks keep their first 36 values (the long
+    head, subbands 0-1) in place and reorder lines >= 12 per window.
+    """
+    widths = short_band_table(sample_rate)
+    starts = list(np.concatenate([[0], np.cumsum(widths), [192]]).astype(int))
+    dest = list(range(36)) if mixed else []
+    for sfb in range(13):  # 12 coded bands + the uncoded remainder band
+        s, e = starts[sfb], starts[sfb + 1]
+        if mixed and e <= 12:
+            continue  # covered by the long head (ISO B.8 puts a band
+            # boundary exactly at line 12 for every rate)
+        for w in range(3):
+            for line in range(s, e):
+                dest.append(3 * line + w)
+    return np.asarray(dest, dtype=np.int64)
+
+
 # --- Aliasing reduction (ISO Table B.9) ---------------------------------------
 # Derived from the eight ci literals: cs = 1/sqrt(1+ci^2), ca = ci*cs.
 

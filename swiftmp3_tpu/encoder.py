@@ -27,7 +27,12 @@ from .options import (
     SUBBANDS,
 )
 from .ops import reference as ref
-from .tables import bitrate_index, bitrate_value
+from .tables import (
+    bitrate_index,
+    bitrate_value,
+    mixed_reorder_src,
+    short_reorder_src,
+)
 
 
 class GoldenBackend:
@@ -133,7 +138,9 @@ class GoldenBackend:
         else:
             s = np.asarray(samples, dtype=np.float32)
             left, right = s[0::2].copy(), s[1::2].copy()
-            use_ms, c0, c1 = ref.stereo_decide(opts.mode.value, left, right)
+            use_ms, c0, c1 = ref.stereo_decide(
+                opts.mode.value, left, right, iso_matrix=opts.iso_ms_matrix
+            )
             chans = [c0, c1]
             if opts.iso_mode_ext and opts.mode.value == "joint_stereo":
                 # per-frame header mode_extension from the actual decision
@@ -158,18 +165,31 @@ class GoldenBackend:
                     # unit-gain law: the quantizer applies no per-window
                     # gains, so emit zeros (see pipeline twin)
                     sb_gain = [0, 0, 0]
-                spectrum, self.overlap[ch] = ref.mdct_apply(S, self.overlap[ch], block)
+                spectrum, self.overlap[ch] = ref.mdct_apply(
+                    S, self.overlap[ch], block,
+                    iso_mixed_alias=opts.iso_short_blocks,
+                )
                 # Masking thresholds are computed-but-unused in the reference
                 # (MP3Encoder.swift:961 vs :734-744); skipped here — no effect
                 # on any output. See ops.reference.masking_thresholds.
+                # iso_short_blocks: the entropy stream of a switching granule
+                # is emitted in the ISO 2.4.3.4.8 reordered order; since
+                # quantization is pointwise, the layout/pack operate on the
+                # permuted quantized values (stream[j] = natural[perm[j]]).
+                perm = None
+                if opts.iso_short_blocks and block != ref.BLOCK_LONG:
+                    perm = (
+                        mixed_reorder_src(sr)
+                        if block == ref.BLOCK_MIXED
+                        else short_reorder_src(sr)
+                    )
                 sfd = None
                 if opts.real_scalefactors:
-                    sf_law = (
-                        ref.psy_scalefactors
-                        if opts.psy_scalefactors
-                        else ref.strict_scalefactors
+                    sfd = ref.granule_scalefactors(
+                        spectrum, sr, block,
+                        psy=opts.psy_scalefactors,
+                        iso_short=opts.iso_short_blocks,
                     )
-                    sfd = sf_law(spectrum, sr, block)
                     sf_write = np.ones(21, dtype=bool)
                     if opts.scfsi:
                         if gr == 0:
@@ -188,8 +208,9 @@ class GoldenBackend:
                 counter = None
                 if strict:
                     part2 = ref.scfsi_part2_bits(sfd, sf_write) if sfd else 0
-                    counter = lambda qq, _b=block, _p2=part2: _p2 + ref.strict_entropy_layout(  # noqa: E731
-                        qq, sr, _b, opts.count1_coding, opts.region_table_select
+                    counter = lambda qq, _b=block, _p2=part2, _pm=perm: _p2 + ref.strict_entropy_layout(  # noqa: E731
+                        qq if _pm is None else qq[_pm],
+                        sr, _b, opts.count1_coding, opts.region_table_select,
                     )["part23_bits"]
                 if sfd is not None:
                     gain, q, bits = ref.quantize_to_fit_budget_scaled(
@@ -212,7 +233,8 @@ class GoldenBackend:
                 scfc = 0
                 if strict:
                     layout = ref.strict_entropy_layout(
-                        q, sr, block, opts.count1_coding, opts.region_table_select
+                        q if perm is None else q[perm],
+                        sr, block, opts.count1_coding, opts.region_table_select,
                     )
                     bv = layout["big_values"]
                     r0, r1 = layout["region0"], layout["region1"]
@@ -243,7 +265,16 @@ class GoldenBackend:
                     global_gain=gain,
                     scalefac_compress=scfc,
                     window_switching=0 if block == ref.BLOCK_LONG else 1,
-                    block_type=block,
+                    # The reference emits its internal enum raw, so mixed
+                    # granules signal block_type=1 — ISO "start", making
+                    # conforming decoders run the long IMDCT over short
+                    # subbands. iso_short_blocks emits the ISO encoding:
+                    # block_type=2 + mixed_block_flag.
+                    block_type=(
+                        2
+                        if (opts.iso_short_blocks and block == ref.BLOCK_MIXED)
+                        else block
+                    ),
                     mixed_block_flag=1 if block == ref.BLOCK_MIXED else 0,
                     table_select=tsel,
                     subblock_gain=tuple(sb_gain),

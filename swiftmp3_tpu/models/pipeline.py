@@ -158,7 +158,9 @@ def make_chunk_fn(options: MP3EncoderOptions):
             left = pcm_bt[:, 0::2].reshape(B, T, 1152)
             right = pcm_bt[:, 1::2].reshape(B, T, 1152)
             if mode is Mode.JOINT_STEREO:
-                use_ms, c0, c1 = dsp.stereo_decide(left, right)  # [B, T]
+                use_ms, c0, c1 = dsp.stereo_decide(
+                    left, right, iso_matrix=options.iso_ms_matrix
+                )  # [B, T]
             else:
                 c0, c1 = left, right
             pcm_chunk = jnp.stack([c0, c1], axis=1).reshape(B, ch, T * 1152)
@@ -181,18 +183,20 @@ def make_chunk_fn(options: MP3EncoderOptions):
             # the unit-gain law emits zeros (mirrors preflag suppression).
             sb_gain_b = jnp.zeros_like(sb_gain_b)
         block_seq = block_b.reshape(B, ch, 2 * T)  # granule-sequence order
-        spectra, cur = dsp.mdct_chunk(S, carry["overlap"], block_seq)
+        spectra, cur = dsp.mdct_chunk(
+            S, carry["overlap"], block_seq,
+            iso_mixed_alias=options.iso_short_blocks,
+        )
         spectra = spectra.reshape(B, ch, T, 2, 576)  # [B,ch,T,gr,576]
 
         if strict_entropy:
             is_long_b = block_b == dsp.BLOCK_LONG  # [B, ch, T, 2]
             if options.real_scalefactors:
-                sf_law = (
-                    dsp.psy_scalefactors_device
-                    if options.psy_scalefactors
-                    else dsp.strict_scalefactors_device
+                sfd = dsp.granule_scalefactors_device(
+                    spectra, sr, block_b,
+                    psy=options.psy_scalefactors,
+                    iso_short=options.iso_short_blocks,
                 )
-                sfd = sf_law(spectra, sr, is_long_b)
                 g0 = dsp.initial_gain_scaled(spectra, sfd["mag_scale"])
                 mag_scale, part2 = sfd["mag_scale"], sfd["part2"]
                 if options.scfsi:
@@ -216,6 +220,8 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 options.region_table_select,
                 mag_scale=mag_scale,
                 part2=part2,
+                block=block_b,
+                iso_short=options.iso_short_blocks,
             )
         else:
             sfd = scfsi_nib = sf_write = None
@@ -574,7 +580,14 @@ def frame_results_from_outputs(
             global_gain=int(outs["gain"][b, t, g]),
             scalefac_compress=int(outs["scalefac_compress"][b, t, g]),
             window_switching=0 if block == dsp.BLOCK_LONG else 1,
-            block_type=block,
+            # iso_short_blocks: ISO encoding block_type=2 + mixed_block_flag
+            # (the reference's raw enum signals mixed as block_type=1 =
+            # ISO "start"; see GoldenBackend twin)
+            block_type=(
+                2
+                if (options.iso_short_blocks and block == dsp.BLOCK_MIXED)
+                else block
+            ),
             mixed_block_flag=1 if block == dsp.BLOCK_MIXED else 0,
             table_select=tuple(int(x) for x in outs["table_select"][b, t, g]),
             subblock_gain=tuple(int(x) for x in outs["subblock_gain"][b, t, g]),

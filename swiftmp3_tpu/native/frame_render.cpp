@@ -83,6 +83,9 @@ struct StreamState {
     int scalefac_scale;  // side-info bit: 1 when real_scalefactors is on
                          // (encoder amplifies by 2^sf; ISO factor
                          // 2^(-(1+bit)/2*sf) then cancels exactly)
+    int iso_short_blocks;  // 1: emit mixed granules as ISO block_type=2 +
+                           // mixed_block_flag (the internal enum's 1 would
+                           // signal "start"; options.iso_short_blocks)
     // reservoir + delay
     std::vector<uint8_t> reservoir;
     std::vector<uint8_t> buffered_head;
@@ -160,7 +163,10 @@ std::vector<uint8_t> build_head_side(
             si.write(static_cast<uint32_t>(scalefac_compress[o]), 4);
             si.write(static_cast<uint32_t>(ws), 1);
             if (ws) {
-                si.write(static_cast<uint32_t>(bt), 2);
+                // block_type arrives as the internal enum (mixed=1); the
+                // ISO encoding for mixed is block_type=2 + mixed_block_flag
+                int bt_emit = (s->iso_short_blocks && bt == 1) ? 2 : bt;
+                si.write(static_cast<uint32_t>(bt_emit), 2);
                 si.write(bt == 1 ? 1u : 0u, 1);  // mixed_block_flag
                 si.write(static_cast<uint32_t>(table_select[o * 3 + 0]), 5);
                 si.write(static_cast<uint32_t>(table_select[o * 3 + 1]), 5);
@@ -213,7 +219,7 @@ extern "C" {
 void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
                      int copyright_bit, int original_bit, int mode_bits,
                      int mode_ext, int aligned_mode, int iso_crc,
-                     int scalefac_scale) {
+                     int scalefac_scale, int iso_short_blocks) {
     auto* s = new StreamState();
     s->channels = channels;
     s->sample_rate_index = sample_rate_index;
@@ -225,6 +231,7 @@ void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
     s->aligned_mode = aligned_mode;
     s->iso_crc = iso_crc;
     s->scalefac_scale = scalefac_scale;
+    s->iso_short_blocks = iso_short_blocks;
     return s;
 }
 

@@ -44,7 +44,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
         lib = ctypes.CDLL(_SO)
         lib.mp3_stream_new.restype = ctypes.c_void_p
-        lib.mp3_stream_new.argtypes = [ctypes.c_int] * 10
+        lib.mp3_stream_new.argtypes = [ctypes.c_int] * 11
         lib.mp3_stream_free.argtypes = [ctypes.c_void_p]
         lib.mp3_frame_count.restype = ctypes.c_uint32
         lib.mp3_frame_count.argtypes = [ctypes.c_void_p]
@@ -116,6 +116,7 @@ class NativeStreamRenderer:
             1 if options.reservoir_mode == "aligned" else 0,
             1 if options.iso_crc else 0,
             1 if options.real_scalefactors else 0,
+            1 if options.iso_short_blocks else 0,
         )
         self.frame_sizes: list[int] = []
 

@@ -453,10 +453,25 @@ def _build_mdct_fold() -> dict:
     # aliased long law, 576-1151 the short law, 1152-1187 the mixed
     # granules' unaliased-long head (subbands 0-1). Column stacking keeps
     # every output dot product bit-identical to separate per-law matmuls.
+    #
+    # iso_mixed_alias (options.iso_short_blocks): the mixed head columns
+    # get the subband-0/1 boundary butterfly folded in (Lp @ A1) — the one
+    # boundary a conforming ISO decoder inverts for mixed blocks; the
+    # compat head stays butterfly-free (reference law). Both laws' fold
+    # shapes are identical, so the flag costs nothing at runtime.
+    A1 = np.eye(576)
+    for i in range(8):
+        pu, pl = 17 - i, 18 + i  # subband 0 top / subband 1 bottom
+        A1[pu, pu] = cs[i]
+        A1[pl, pu] = ca[i]
+        A1[pl, pl] = cs[i]
+        A1[pu, pl] = -ca[i]
     MP = np.concatenate([Lp @ A, Sp, Lp[:, :36]], axis=1)
     MC = np.concatenate([Lc @ A, Sc, Lc[:, :36]], axis=1)
+    MPi = np.concatenate([Lp @ A, Sp, (Lp @ A1)[:, :36]], axis=1)
+    MCi = np.concatenate([Lc @ A, Sc, (Lc @ A1)[:, :36]], axis=1)
     f32 = lambda x: jnp.asarray(x.astype(np.float32))  # noqa: E731
-    return {"p": f32(MP), "c": f32(MC)}
+    return {"p": f32(MP), "c": f32(MC), "p_iso": f32(MPi), "c_iso": f32(MCi)}
 
 
 _MDCT_FOLD = _build_mdct_fold()
@@ -466,7 +481,10 @@ _SIGN_FLAT = jnp.asarray(
 
 
 def mdct_chunk(
-    S: jax.Array, overlap: jax.Array, block_type: jax.Array
+    S: jax.Array,
+    overlap: jax.Array,
+    block_type: jax.Array,
+    iso_mixed_alias: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """MDCT for all 2T granules of a chunk at once (folded-matrix form).
 
@@ -493,8 +511,10 @@ def mdct_chunk(
     prev = jax.lax.slice_in_dim(ext, 0, n_gran, axis=-2)
     cur = jax.lax.slice_in_dim(ext, 1, n_gran + 1, axis=-2)
 
-    all_laws = jnp.matmul(prev, _MDCT_FOLD["p"], precision=_HIGHEST) + jnp.matmul(
-        cur, _MDCT_FOLD["c"], precision=_HIGHEST
+    mp = _MDCT_FOLD["p_iso" if iso_mixed_alias else "p"]
+    mc = _MDCT_FOLD["c_iso" if iso_mixed_alias else "c"]
+    all_laws = jnp.matmul(prev, mp, precision=_HIGHEST) + jnp.matmul(
+        cur, mc, precision=_HIGHEST
     )
     long_aliased = all_laws[..., :576]
     short = all_laws[..., 576:1152]
@@ -936,13 +956,17 @@ def preflag(spectrum: jax.Array) -> jax.Array:
 # --- Stereo decision ---------------------------------------------------------
 
 
-def stereo_decide(left: jax.Array, right: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+def stereo_decide(
+    left: jax.Array, right: jax.Array, iso_matrix: bool = False
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Joint-stereo M/S decision per frame (MP3Encoder.swift:2140-2162).
 
     left/right: [..., 1152]. Returns (use_ms [...] bool, ch0, ch1).
     mid = (L+R)/2, side = (L-R)/2; M/S when side energy < 0.4 * mid energy.
+    iso_matrix: (L+-R)/sqrt(2), the ISO 2.4.3.4.9.2 convention (twin of
+    reference.stereo_decide; the decision is scale-invariant).
     """
-    half = _F32(0.5)
+    half = _F32(1.0 / np.sqrt(2.0)) if iso_matrix else _F32(0.5)
     mid = (left + right) * half
     side = (left - right) * half
     n = _F32(left.shape[-1])
@@ -1242,6 +1266,8 @@ def rate_loop_precompute_strict(
     region_table_select: bool,
     mag_scale: jax.Array = None,
     part2: jax.Array = None,
+    block: jax.Array = None,
+    iso_short: bool = False,
 ) -> dict:
     """Strict-entropy twin of rate_loop_precompute: candidate bit counts use
     the spec-strict layout law instead of table-15-everything. Walk
@@ -1249,12 +1275,29 @@ def rate_loop_precompute_strict(
 
     mag_scale/part2 (real_scalefactors): per-coefficient 2^(0.75*sf)
     magnitude amplification, and the granule's scalefactor bits added to
-    every candidate's bit count (part2 rides inside part2_3_length)."""
+    every candidate's bit count (part2 rides inside part2_3_length).
+
+    iso_short (options.iso_short_blocks, needs block [...] int32):
+    switching granules' quantizer inputs are permuted into the ISO
+    2.4.3.4.8 stream order BEFORE the sweep — quantization is pointwise,
+    so the entire layout/pack machinery downstream then operates on the
+    conforming entropy order with no further changes."""
     absx = jnp.maximum(jnp.abs(spectrum), _F32(1e-10))
     mag = jnp.power(absx, _F32(0.75))
     if mag_scale is not None:
         mag = mag * mag_scale
     sign_neg = spectrum < 0
+    if iso_short:
+        is_long_x = (block == BLOCK_LONG)[..., None]
+        is_mixed_x = (block == BLOCK_MIXED)[..., None]
+
+        def reorder_by_block(x):
+            x_s = reorder_natural_to_stream(x, sample_rate, mixed=False)
+            x_m = reorder_natural_to_stream(x, sample_rate, mixed=True)
+            return jnp.where(is_long_x, x, jnp.where(is_mixed_x, x_m, x_s))
+
+        mag = reorder_by_block(mag)
+        sign_neg = reorder_by_block(sign_neg)
 
     g0 = jnp.clip(init_gain, 0, 255)
     q0 = quantize_at_gains(mag, sign_neg, g0[..., None], iso=iso)[..., 0, :]
@@ -1559,19 +1602,27 @@ def initial_gain_scaled(spectrum: jax.Array, mag_scale: jax.Array) -> jax.Array:
     return jnp.where(raw_peak > 0, gain, 210).astype(jnp.int32)
 
 
+SF_SLOTS = 36  # twin of reference.SF_SLOTS (transmission slot layout)
+
+
+def _write_slots_device(write: jax.Array) -> jax.Array:
+    """Extend a [..., 21] long-band scfsi write mask to the SF_SLOTS
+    layout (twin of reference._write_slots); switching granules never
+    share, their long-band mask is all-ones already."""
+    pad = jnp.ones(write.shape[:-1] + (SF_SLOTS - write.shape[-1],), dtype=bool)
+    return jnp.concatenate([write, pad], axis=-1)
+
+
 def scalefactor_chunks_device(
     sfd: dict, write: jax.Array | None = None
 ) -> tuple[jax.Array, jax.Array]:
-    """(chunks, nbits) for the 21 scalefactor slots per granule (band order,
-    slen1 bits for bands 0-10 then slen2 for 11-20; slen 0 writes nothing).
-    `write` [..., 21] bool masks scfsi-shared bands to zero width."""
-    sf = sfd["sf"]
-    n1 = jnp.broadcast_to(sfd["slen1"][..., None], sf[..., :11].shape)
-    n2 = jnp.broadcast_to(sfd["slen2"][..., None], sf[..., 11:].shape)
-    nbits = jnp.concatenate([n1, n2], axis=-1).astype(jnp.int32)
+    """(chunks, nbits) for the SF_SLOTS scalefactor slots per granule (ISO
+    2.4.2.7 transmission order; zero-width slots write nothing). `write`
+    [..., 21] bool masks scfsi-shared long bands to zero width."""
+    nbits = sfd["slot_nbits"]
     if write is not None:
-        nbits = jnp.where(write, nbits, 0)
-    return sf, nbits
+        nbits = jnp.where(_write_slots_device(write), nbits, 0)
+    return sfd["sf_slots"], nbits.astype(jnp.int32)
 
 
 # scfsi group boundaries (ISO 2.4.2.7); twin of reference.SCFSI_GROUPS
@@ -1600,7 +1651,212 @@ def scfsi_device(sf: jax.Array, is_long: jax.Array) -> tuple[jax.Array, jax.Arra
 
 def scfsi_part2_device(sfd: dict, write: jax.Array) -> jax.Array:
     """part2 bits per granule when only `write`-masked bands are emitted
-    (twin of reference.scfsi_part2_bits)."""
-    n1 = jnp.sum(write[..., :11].astype(jnp.int32), axis=-1)
-    n2 = jnp.sum(write[..., 11:].astype(jnp.int32), axis=-1)
-    return (n1 * sfd["slen1"] + n2 * sfd["slen2"]).astype(jnp.int32)
+    (twin of reference.scfsi_part2_bits): sum of the emitted slot widths."""
+    nbits = jnp.where(_write_slots_device(write), sfd["slot_nbits"], 0)
+    return jnp.sum(nbits, axis=-1).astype(jnp.int32)
+
+
+# --- iso_short_blocks: short/mixed scalefactors + ISO 2.4.3.4.8 reorder ------
+# Device twins of reference.short_scalefactors / granule_scalefactors and of
+# the tables.short_reorder_src / mixed_reorder_src permutations. The reorder
+# is implemented as static per-band slice+transpose over a [..., 192, 3]
+# (line, window) view — natural coefficient sb*18 + 3m + w == 3*line + w —
+# NOT a gather (TPU gathers cost ~10 ns/element; these compile to plain
+# relayout copies).
+
+from ..tables import short_band_bounds as _short_band_bounds  # noqa: E402
+
+
+def reorder_natural_to_stream(
+    x: jax.Array, sample_rate: int, mixed: bool
+) -> jax.Array:
+    """x [..., 576] natural (subband-major) -> ISO stream order
+    (short-sfb-major, the three windows of a band consecutive). mixed keeps
+    the 36-coefficient long head in place and reorders lines >= 12."""
+    bounds = [int(b) for b in _short_band_bounds(sample_rate)]
+    lead = x.shape[:-1]
+    x3 = x.reshape(*lead, 192, 3)
+    parts = []
+    if mixed:
+        parts.append(x[..., :36])
+        spans = [(s, e) for s, e in zip(bounds[:-1], bounds[1:]) if e > 12]
+    else:
+        spans = list(zip(bounds[:-1], bounds[1:]))
+    for s, e in spans:
+        blk = jnp.swapaxes(x3[..., s:e, :], -1, -2)  # [..., 3, width]
+        parts.append(blk.reshape(*lead, 3 * (e - s)))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _short_slot_members(sample_rate: int) -> np.ndarray:
+    """[36, 576] bool: slot k covers which natural coefficients. Slot order
+    = transmission order: sfb-major, windows consecutive (sfb 0-5 at slen1,
+    6-11 at slen2)."""
+    bounds = _short_band_bounds(sample_rate)
+    nat = np.arange(576)
+    line, w = nat // 3, nat % 3
+    rows = []
+    for s in range(12):
+        for wi in range(3):
+            rows.append((line >= bounds[s]) & (line < bounds[s + 1]) & (w == wi))
+    return np.stack(rows)
+
+
+def _mixed_slot_members(sample_rate: int) -> np.ndarray:
+    """[35, 576] bool for mixed granules: 8 long-head bands (natural 0-35,
+    long band order) then short sfbs 3-11 x 3 windows."""
+    lb = np.concatenate([[0], np.cumsum(band_table(sample_rate))]).astype(np.int64)
+    nat = np.arange(576)
+    rows = [(nat >= lb[b]) & (nat < lb[b + 1]) for b in range(8)]
+    bounds = _short_band_bounds(sample_rate)
+    line, w = nat // 3, nat % 3
+    for s in range(3, 12):
+        for wi in range(3):
+            rows.append(
+                (line >= bounds[s]) & (line < bounds[s + 1]) & (w == wi) & (nat >= 36)
+            )
+    return np.stack(rows)
+
+
+_SHORT_MEMBERS = {sr: _short_slot_members(sr) for sr in (44100, 48000, 32000)}
+_MIXED_MEMBERS = {sr: _mixed_slot_members(sr) for sr in (44100, 48000, 32000)}
+
+
+def _finish_slots_device(
+    sf_slots: jax.Array, n1_slots: int, n2_slots: int
+) -> dict:
+    """compress/slen/slot_nbits/part2 from slot values (twin of
+    reference._finish_slots): group 1 = first n1_slots slots (slen1),
+    group 2 = next n2_slots (slen2)."""
+
+    def bitlen(m):
+        return jnp.where(
+            m == 0, 0, jnp.where(m <= 1, 1, jnp.where(m <= 3, 2, jnp.where(m <= 7, 3, 4)))
+        )
+
+    need1 = bitlen(jnp.max(sf_slots[..., :n1_slots], axis=-1))
+    need2 = bitlen(jnp.max(sf_slots[..., n1_slots : n1_slots + n2_slots], axis=-1))
+    compress = jnp.full(need1.shape, 15, dtype=jnp.int32)
+    for c in range(15, -1, -1):  # descending: the smallest valid index wins
+        s1, s2 = _SLEN_TABLE[c]
+        ok = (need1 <= s1) & (need2 <= s2)
+        compress = jnp.where(ok, c, compress)
+    slen1 = _select_tree(compress, _SLEN1_NP, 0, 16).astype(jnp.int32)
+    slen2 = _select_tree(compress, _SLEN2_NP, 0, 16).astype(jnp.int32)
+    slot_w = np.zeros(SF_SLOTS, dtype=np.int32)
+    slot_w[:n1_slots] = 1
+    slot_w2 = np.zeros(SF_SLOTS, dtype=np.int32)
+    slot_w2[n1_slots : n1_slots + n2_slots] = 1
+    slot_nbits = (
+        slen1[..., None] * jnp.asarray(slot_w) + slen2[..., None] * jnp.asarray(slot_w2)
+    ).astype(jnp.int32)
+    return {
+        "compress": compress,
+        "slen1": slen1,
+        "slen2": slen2,
+        "slot_nbits": slot_nbits,
+        "part2": (n1_slots * slen1 + n2_slots * slen2).astype(jnp.int32),
+    }
+
+
+def _switching_sfd_device(spectrum: jax.Array, sample_rate: int, mixed: bool) -> dict:
+    """Short/mixed scalefactor law over every granule (selection by block
+    type happens in granule_scalefactors_device). Twin of
+    reference.short_scalefactors: sf = clip((ge - pe) // 3, 0, cap) per
+    slot, peak exponents via frexp (bit-exact vs numpy)."""
+    members = (_MIXED_MEMBERS if mixed else _SHORT_MEMBERS).get(
+        sample_rate, (_MIXED_MEMBERS if mixed else _SHORT_MEMBERS)[44100]
+    )
+    n_slots = members.shape[0]
+    n1_slots, n2_slots = (17, 18) if mixed else (18, 18)
+    caps = np.full(n_slots, 7, dtype=np.int32)
+    caps[:n1_slots] = 15
+    absx = jnp.abs(spectrum)
+    gp = jnp.max(absx, axis=-1)
+    _, ge = jnp.frexp(gp)
+
+    sfs = []
+    for k in range(n_slots):
+        pb = jnp.max(jnp.where(members[k], absx, 0.0), axis=-1)
+        _, pe = jnp.frexp(pb)
+        sf_k = jnp.clip((ge - pe) // 3, 0, int(caps[k]))
+        sfs.append(jnp.where((pb > 0) & (gp > 0), sf_k, 0).astype(jnp.int32))
+    sf_slots = jnp.stack(sfs, axis=-1)  # [..., n_slots]
+    if n_slots < SF_SLOTS:
+        pad = jnp.zeros(sf_slots.shape[:-1] + (SF_SLOTS - n_slots,), jnp.int32)
+        sf_slots = jnp.concatenate([sf_slots, pad], axis=-1)
+    fin = _finish_slots_device(sf_slots, n1_slots, n2_slots)
+
+    mult = sf_mult34_lookup(sf_slots)  # [..., 36]
+    mag_scale = jnp.ones(spectrum.shape, dtype=jnp.float32)
+    for k in range(n_slots):
+        mag_scale = jnp.where(
+            members[k],
+            jnp.where(sf_slots[..., k : k + 1] > 0, mult[..., k : k + 1], 1.0),
+            mag_scale,
+        )
+    return {"sf_slots": sf_slots, "mag_scale": mag_scale, **fin}
+
+
+def granule_scalefactors_device(
+    spectrum: jax.Array,
+    sample_rate: int,
+    block: jax.Array,
+    psy: bool = False,
+    iso_short: bool = False,
+) -> dict:
+    """Unified per-granule scalefactor dispatch (twin of
+    reference.granule_scalefactors). spectrum [..., 576] natural order;
+    block [...] int32. Returns dict with sf [..., 21] (long bands, zeros
+    for switching granules — scfsi input), sf_slots [..., 36],
+    slot_nbits [..., 36], compress/slen1/slen2/part2 [...],
+    mag_scale [..., 576] (natural order).
+
+    Without iso_short, switching granules emit all-zero scalefactors
+    (reference behavior: scalefac_compress=0); the long laws are the
+    existing strict/psy peak-exponent laws either way."""
+    is_long = block == BLOCK_LONG
+    law = psy_scalefactors_device if psy else strict_scalefactors_device
+    lsfd = law(spectrum, sample_rate, is_long)
+    # long layout as slots: bands 0-20 in slots 0-20
+    sf = lsfd["sf"]
+    pad = jnp.zeros(sf.shape[:-1] + (SF_SLOTS - 21,), jnp.int32)
+    sf_slots = jnp.concatenate([sf, pad], axis=-1)
+    slot_w1 = jnp.asarray(
+        np.concatenate([np.ones(11), np.zeros(SF_SLOTS - 11)]).astype(np.int32)
+    )
+    slot_w2 = jnp.asarray(
+        np.concatenate([np.zeros(11), np.ones(10), np.zeros(SF_SLOTS - 21)]).astype(np.int32)
+    )
+    slot_nbits = lsfd["slen1"][..., None] * slot_w1 + lsfd["slen2"][..., None] * slot_w2
+    out = {
+        "sf": sf,
+        "sf_slots": sf_slots,
+        "slot_nbits": slot_nbits.astype(jnp.int32),
+        "compress": lsfd["compress"],
+        "slen1": lsfd["slen1"],
+        "slen2": lsfd["slen2"],
+        "part2": lsfd["part2"],
+        "mag_scale": lsfd["mag_scale"],
+    }
+    if not iso_short:
+        return out
+    ssfd = _switching_sfd_device(spectrum, sample_rate, mixed=False)
+    msfd = _switching_sfd_device(spectrum, sample_rate, mixed=True)
+    is_mixed = block == BLOCK_MIXED
+
+    def sel(name, long_v):
+        v_s, v_m = ssfd[name], msfd[name]
+        extra = v_s.ndim - is_long.ndim
+        il = is_long.reshape(is_long.shape + (1,) * extra)
+        im = is_mixed.reshape(is_mixed.shape + (1,) * extra)
+        return jnp.where(il, long_v, jnp.where(im, v_m, v_s))
+
+    out["sf_slots"] = sel("sf_slots", out["sf_slots"])
+    out["slot_nbits"] = sel("slot_nbits", out["slot_nbits"])
+    out["compress"] = sel("compress", out["compress"])
+    out["slen1"] = sel("slen1", out["slen1"])
+    out["slen2"] = sel("slen2", out["slen2"])
+    out["part2"] = sel("part2", out["part2"])
+    out["mag_scale"] = sel("mag_scale", out["mag_scale"])
+    return out

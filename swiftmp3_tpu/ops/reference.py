@@ -110,13 +110,16 @@ def _mdct_short(combined36: np.ndarray) -> np.ndarray:
 
 
 def mdct_apply(
-    S: np.ndarray, overlap: np.ndarray, block_type: int
+    S: np.ndarray, overlap: np.ndarray, block_type: int, iso_mixed_alias: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
     """MDCT with overlap for all 32 subbands (MP3Encoder.swift:1512-1565).
 
     S: [32, 18] subband samples. overlap: [32, 18], updated and returned.
     Output: 576 coefficients (subband-major). Aliasing reduction applied for
-    long blocks only.
+    long blocks only — except iso_mixed_alias (options.iso_short_blocks):
+    mixed granules get the butterfly on the long-head boundary (subbands
+    0/1), the single boundary a conforming ISO decoder inverts for mixed
+    blocks; the reference applies none (MP3Encoder.swift:1560-1562).
     """
     out = np.zeros(576, dtype=np.float32)
     new_overlap = np.zeros_like(overlap)
@@ -133,15 +136,17 @@ def mdct_apply(
         out[sb * 18 : sb * 18 + 18] = coeffs
     if block_type == BLOCK_LONG:
         out = apply_aliasing_reduction(out)
+    elif block_type == BLOCK_MIXED and iso_mixed_alias:
+        out = apply_aliasing_reduction(out, n_boundaries=1)
     return out, new_overlap
 
 
-def apply_aliasing_reduction(spectrum: np.ndarray) -> np.ndarray:
-    """ISO Table B.9 butterflies across 31 subband boundaries
+def apply_aliasing_reduction(spectrum: np.ndarray, n_boundaries: int = 31) -> np.ndarray:
+    """ISO Table B.9 butterflies across subband boundaries
     (MP3Encoder.swift:1581-1616). Boundaries touch disjoint coefficients, so
-    order is irrelevant."""
+    order is irrelevant. n_boundaries=1 is the mixed-block long head."""
     s = spectrum.astype(np.float32).copy()
-    for sb in range(31):
+    for sb in range(n_boundaries):
         end = sb * 18 + 17
         nxt = (sb + 1) * 18
         upper = s[[end - j for j in range(8)]]
@@ -341,18 +346,55 @@ def _scalefac_compress_for(max1: int, max2: int) -> int:
     return 15
 
 
+# Scalefactor SLOT layout: every granule's scalefactors are a fixed list of
+# up to 36 transmission slots (ISO 2.4.2.7 order), each with a bit width:
+#   long:  21 slots — bands 0-10 at slen1, 11-20 at slen2 (+15 empty)
+#   short: 36 slots — sfb-major, windows consecutive: (sfb 0-5) x 3 at
+#          slen1, (sfb 6-11) x 3 at slen2
+#   mixed: 35 slots — long bands 0-7 at slen1, short (sfb 3-5) x 3 at
+#          slen1, short (sfb 6-11) x 3 at slen2 (+1 empty)
+# sfd dicts carry "sf_slots" [36] and "slot_nbits" [36]; part2_bits is the
+# nbits sum, and emission packs the slots directly.
+SF_SLOTS = 36
+
+
+def _finish_slots(sf_slots: np.ndarray, n1_slots: int, n2_slots: int) -> dict:
+    """compress/slen/part2/slot widths from slot values: group 1 is the
+    first n1_slots slots (slen1), group 2 the next n2_slots (slen2)."""
+    g1 = sf_slots[:n1_slots]
+    g2 = sf_slots[n1_slots : n1_slots + n2_slots]
+    compress = _scalefac_compress_for(
+        int(g1.max()) if n1_slots else 0, int(g2.max()) if n2_slots else 0
+    )
+    slen1, slen2 = SLEN_TABLE[compress]
+    slot_nbits = np.zeros(SF_SLOTS, dtype=np.int64)
+    slot_nbits[:n1_slots] = slen1
+    slot_nbits[n1_slots : n1_slots + n2_slots] = slen2
+    return {
+        "compress": compress,
+        "slen1": slen1,
+        "slen2": slen2,
+        "slot_nbits": slot_nbits,
+        "part2_bits": n1_slots * slen1 + n2_slots * slen2,
+    }
+
+
 def strict_scalefactors(
     spectrum: np.ndarray, sample_rate: int, block_type: int
 ) -> dict:
     """Per-granule scalefactors + compression for the real_scalefactors flag.
 
-    Returns dict: sf [21] int, compress, slen1, slen2, part2_bits,
-    mag_scale [576] float32 (the 2^(0.75*sf) factor per coefficient, 1.0
-    outside the banded region / for switching granules).
+    Returns dict: sf [21] int, sf_slots [36], slot_nbits [36], compress,
+    slen1, slen2, part2_bits, mag_scale [576] float32 (the 2^(0.75*sf)
+    factor per coefficient, 1.0 outside the banded region / for switching
+    granules — short scalefactors need options.iso_short_blocks, see
+    short_scalefactors).
     """
     if block_type != BLOCK_LONG:
         return {
             "sf": np.zeros(21, dtype=np.int32),
+            "sf_slots": np.zeros(SF_SLOTS, dtype=np.int64),
+            "slot_nbits": np.zeros(SF_SLOTS, dtype=np.int64),
             "compress": 0,
             "slen1": 0,
             "slen2": 0,
@@ -373,20 +415,19 @@ def strict_scalefactors(
             pe = np.frexp(pb)[1]
             cap = 15 if b < 11 else 7
             sf[b] = min(max((int(ge) - int(pe)) // 3, 0), cap)
-    compress = _scalefac_compress_for(int(sf[:11].max()), int(sf[11:].max()))
-    slen1, slen2 = SLEN_TABLE[compress]
+    return _long_sfd(sf, bounds)
+
+
+def _long_sfd(sf: np.ndarray, bounds: np.ndarray) -> dict:
+    """Shared long-layout tail: slots 0-20 carry the 21 band scalefactors."""
+    sf_slots = np.zeros(SF_SLOTS, dtype=np.int64)
+    sf_slots[:21] = sf
+    fin = _finish_slots(sf_slots, 11, 10)
     mag_scale = np.ones(576, dtype=np.float32)
     for b in range(21):
         if sf[b]:
             mag_scale[bounds[b] : bounds[b + 1]] = _SF_MULT34[sf[b]]
-    return {
-        "sf": sf,
-        "compress": compress,
-        "slen1": slen1,
-        "slen2": slen2,
-        "part2_bits": 11 * slen1 + 10 * slen2,
-        "mag_scale": mag_scale,
-    }
+    return {"sf": sf, "sf_slots": sf_slots, "mag_scale": mag_scale, **fin}
 
 
 # Simplified spreading psychoacoustics for the psy_scalefactors flag: band
@@ -441,30 +482,98 @@ def psy_scalefactors(
             v = min(v, max(0, ge - int(pe[b])))  # don't pass the global peak
             cap = 15 if b < 11 else 7
             sf[b] = min(max(v, 0), cap)
-    compress = _scalefac_compress_for(int(sf[:11].max()), int(sf[11:].max()))
-    slen1, slen2 = SLEN_TABLE[compress]
+    return _long_sfd(sf, bounds)
+
+
+def short_scalefactors(
+    spectrum: np.ndarray, sample_rate: int, block_type: int
+) -> dict:
+    """Per-(sfb, window) scalefactors for switching granules
+    (options.iso_short_blocks). Same peak-exponent law as the long bands —
+    sf = clip((granule_peak_exp - band_peak_exp) // 3, 0, cap) — applied
+    per (short sfb, window); mixed granules use the long law on long bands
+    0-7 plus the short law on sfbs 3-11 (ISO 2.4.2.7 slot layout, see
+    SF_SLOTS). spectrum is in the NATURAL (subband-major) order; mag_scale
+    comes back in that order too (reordering happens downstream, on the
+    quantizer inputs)."""
+    from ..tables import short_band_bounds
+
+    if block_type == BLOCK_LONG:
+        return strict_scalefactors(spectrum, sample_rate, block_type)
+    absx = np.abs(np.asarray(spectrum, dtype=np.float32))
+    sbounds = short_band_bounds(sample_rate)
+    lbounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))]).astype(np.int64)
+    gp = np.float32(absx.max())
     mag_scale = np.ones(576, dtype=np.float32)
-    for b in range(21):
-        if sf[b]:
-            mag_scale[bounds[b] : bounds[b + 1]] = _SF_MULT34[sf[b]]
+    sf_slots = np.zeros(SF_SLOTS, dtype=np.int64)
+    mixed = block_type == BLOCK_MIXED
+
+    def exp_sf(pb: np.float32, ge: int, cap: int) -> int:
+        if pb <= 0:
+            return 0
+        pe = np.frexp(pb)[1]
+        return min(max((int(ge) - int(pe)) // 3, 0), cap)
+
+    if gp > 0:
+        ge = np.frexp(gp)[1]
+        slot = 0
+        if mixed:
+            # long bands 0-7 (their boundary at 36 == the long head)
+            for b in range(8):
+                pb = np.float32(absx[lbounds[b] : lbounds[b + 1]].max())
+                v = exp_sf(pb, ge, 15)
+                sf_slots[slot] = v
+                slot += 1
+                if v:
+                    mag_scale[lbounds[b] : lbounds[b + 1]] = _SF_MULT34[v]
+        # short sfbs (3-11 for mixed, 0-11 for pure short), windows
+        # consecutive per band; natural position of (line, w) is 3*line + w
+        first_sfb = 3 if mixed else 0
+        for s in range(first_sfb, 12):
+            lo, hi = int(sbounds[s]), int(sbounds[s + 1])
+            for w in range(3):
+                nat = 3 * np.arange(lo, hi, dtype=np.int64) + w
+                pb = np.float32(absx[nat].max()) if hi > lo else np.float32(0)
+                cap = 15 if s < 6 else 7
+                v = exp_sf(pb, ge, cap)
+                sf_slots[slot] = v
+                slot += 1
+                if v:
+                    mag_scale[nat] = _SF_MULT34[v]
+    n1, n2 = (17, 18) if mixed else (18, 18)
+    fin = _finish_slots(sf_slots, n1, n2)
     return {
-        "sf": sf,
-        "compress": compress,
-        "slen1": slen1,
-        "slen2": slen2,
-        "part2_bits": 11 * slen1 + 10 * slen2,
+        "sf": np.zeros(21, dtype=np.int32),  # long-band array (scfsi only)
+        "sf_slots": sf_slots,
         "mag_scale": mag_scale,
+        **fin,
     }
 
 
+def granule_scalefactors(
+    spectrum: np.ndarray,
+    sample_rate: int,
+    block_type: int,
+    psy: bool = False,
+    iso_short: bool = False,
+) -> dict:
+    """Dispatch the scalefactor law for one granule: long granules use the
+    peak-share law (or the psy spreading law); switching granules use the
+    short/mixed law iff options.iso_short_blocks, else emit zeros
+    (reference behavior, scalefac_compress=0)."""
+    if block_type != BLOCK_LONG:
+        if iso_short:
+            return short_scalefactors(spectrum, sample_rate, block_type)
+        return strict_scalefactors(spectrum, sample_rate, block_type)
+    law = psy_scalefactors if psy else strict_scalefactors
+    return law(spectrum, sample_rate, block_type)
+
+
 def scalefactor_chunks(sfd: dict) -> tuple[np.ndarray, np.ndarray]:
-    """(chunks, nbits) for the 21 scalefactor slots written at the head of a
-    granule's main_data (band order; slen1 bits for bands 0-10, slen2 for
-    11-20; zero slen writes nothing)."""
-    nbits = np.concatenate(
-        [np.full(11, sfd["slen1"], dtype=np.int64), np.full(10, sfd["slen2"], dtype=np.int64)]
-    )
-    return sfd["sf"].astype(np.int64), nbits
+    """(chunks, nbits) for the scalefactor slots written at the head of a
+    granule's main_data (SF_SLOTS transmission order; zero-width slots
+    write nothing)."""
+    return sfd["sf_slots"].astype(np.int64), sfd["slot_nbits"].astype(np.int64)
 
 
 # --- scfsi: scalefactor selection information (options.scfsi) -----------------
@@ -495,11 +604,22 @@ def scfsi_decide(
     return bits, write
 
 
+def _write_slots(write: np.ndarray) -> np.ndarray:
+    """Extend a 21-band scfsi write mask to the SF_SLOTS layout. scfsi
+    groups exist only in the long layout, whose bands occupy slots 0-20;
+    switching granules never share (their mask is all-ones)."""
+    out = np.ones(SF_SLOTS, dtype=bool)
+    out[: len(write)] = write
+    return out
+
+
 def scfsi_part2_bits(sfd: dict, write: np.ndarray) -> int:
-    """part2 bits for a granule that writes only `write`-masked bands."""
-    n1 = int(np.count_nonzero(write[:11]))
-    n2 = int(np.count_nonzero(write[11:]))
-    return n1 * sfd["slen1"] + n2 * sfd["slen2"]
+    """part2 bits for a granule that writes only `write`-masked bands
+    (write: [21] long-band mask, or None for all)."""
+    nbits = sfd["slot_nbits"]
+    if write is not None:
+        nbits = np.where(_write_slots(write), nbits, 0)
+    return int(nbits.sum())
 
 
 def scalefactor_chunks_masked(
@@ -508,7 +628,7 @@ def scalefactor_chunks_masked(
     """scalefactor_chunks with shared (unwritten) bands' nbits zeroed; the
     chunk slot layout stays fixed, zero-width slots emit nothing."""
     chunks, nbits = scalefactor_chunks(sfd)
-    return chunks, np.where(write, nbits, 0)
+    return chunks, np.where(_write_slots(write), nbits, 0)
 
 
 def quantize_to_fit_budget_scaled(
@@ -742,19 +862,28 @@ def pre_emphasis(spectral: np.ndarray, scalefactors: np.ndarray) -> bool:
     return bool(high > low * np.float32(1.5)) and bool(sf_avg > 0.5)
 
 
-def stereo_decide(mode: str, left: np.ndarray, right: np.ndarray):
+# ISO 2.4.3.4.9.2 M/S scale: M = (L+R)/sqrt(2) (options.iso_ms_matrix).
+ISO_MS_SCALE = np.float32(1.0 / np.sqrt(2.0))
+
+
+def stereo_decide(mode: str, left: np.ndarray, right: np.ndarray, iso_matrix: bool = False):
     """Joint-stereo M/S decision (MP3Encoder.swift:2140-2162).
 
     mid = (L+R)/2, side = (L-R)/2 (vDSP_vsub computes B-A); M/S chosen when
     side energy < 0.4 * mid energy. Returns (use_ms, ch0, ch1).
+
+    iso_matrix (options.iso_ms_matrix): scale by 1/sqrt(2) instead of 1/2,
+    the ISO 2.4.3.4.9.2 convention a conforming decoder inverts at unit
+    gain. The decision ratio is invariant to the common scale, so the
+    chosen frames match the reference's.
     """
     left = np.asarray(left, dtype=np.float32)
     right = np.asarray(right, dtype=np.float32)
     if mode != "joint_stereo" or left.shape != right.shape:
         return False, left, right
-    half = np.float32(0.5)
-    mid = ((left + right) * half).astype(np.float32)
-    side = ((left - right) * half).astype(np.float32)
+    scale = ISO_MS_SCALE if iso_matrix else np.float32(0.5)
+    mid = ((left + right) * scale).astype(np.float32)
+    side = ((left - right) * scale).astype(np.float32)
     if frame_energy(side) < frame_energy(mid) * np.float32(0.4):
         return True, mid, side
     return False, left, right

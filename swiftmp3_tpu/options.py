@@ -117,6 +117,35 @@ class MP3EncoderOptions:
     #   Transparent sharing only (values must already agree). Requires
     #   real_scalefactors.
     scfsi: bool = False
+    # iso_short_blocks: full ISO short-block conformance for switching
+    #   granules (block_type=2, with or without mixed_block_flag):
+    #   - the entropy stream is emitted in the ISO 2.4.3.4.8 reordered
+    #     order (short-sfb-major, windows consecutive per band) instead of
+    #     the encoder family's subband-major layout — conforming decoders
+    #     un-reorder it back to exactly our natural layout;
+    #   - real per-(sfb, window) short scalefactors with slen coding
+    #     (mixed blocks: 8 long + 9x3 short scalefactors per ISO 2.4.2.7),
+    #     using the same peak-exponent law as the long bands;
+    #   - mixed granules get the forward aliasing butterfly on the
+    #     long-head subband boundary (the one a conforming decoder
+    #     inverts; the reference applies none for mixed).
+    #   Without this flag, switching granules keep reference behavior
+    #   (subband-major stream, scalefac_compress=0). Requires
+    #   real_scalefactors (the emission machinery and the scalefac_scale=1
+    #   cancellation). The decoder oracle reads reordered streams under
+    #   decode_mp3(..., iso_conventions=True).
+    iso_short_blocks: bool = False
+    # iso_ms_matrix: use the ISO 2.4.3.4.9.2 M/S matrix convention
+    #   mid = (L+R)/sqrt(2), side = (L-R)/sqrt(2) instead of the encoder
+    #   family's /2 halves (MP3Encoder.swift:2146-2154). A conforming
+    #   decoder reconstructs L = (M+S)/sqrt(2), R = (M-S)/sqrt(2), so
+    #   reference-law M/S frames play 1/sqrt(2) (-3 dB) quiet — and under
+    #   iso_mode_ext the per-frame decision flips would pump +-3 dB. The
+    #   ISO matrices are energy-preserving (E[M]+E[S] == E[L]+E[R]), which
+    #   the tests use as a spec cross-check that needs no external decoder.
+    #   The M/S decision rule (side energy < 0.4 * mid energy) is invariant
+    #   to the common scale, so decisions match the reference's.
+    iso_ms_matrix: bool = False
     # iso_mode_ext: emit the joint-stereo header mode_extension PER FRAME
     #   from the actual M/S decision (0b10 when mid/side was encoded, 0b00
     #   when left/right won). The reference hardcodes 0b10 on every joint
@@ -150,6 +179,13 @@ class MP3EncoderOptions:
                 "scfsi requires real_scalefactors (there are no scalefactor "
                 "bits to share otherwise)"
             )
+        if self.iso_short_blocks and not self.real_scalefactors:
+            raise ValueError(
+                "iso_short_blocks requires real_scalefactors (short "
+                "scalefactor emission rides the same machinery, and the "
+                "2^sf amplification needs the scalefac_scale=1 unit-gain "
+                "cancellation)"
+            )
 
     @property
     def channels(self) -> int:
@@ -174,7 +210,9 @@ class MP3EncoderOptions:
             count1_coding=True,
             region_table_select=True,
             real_scalefactors=True,
+            iso_short_blocks=True,
             iso_mode_ext=True,
+            iso_ms_matrix=True,
         )
         base.update(kwargs)
         return cls(**base)

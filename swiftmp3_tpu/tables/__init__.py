@@ -11,9 +11,14 @@ from .iso import (
     BITRATE_TABLE_V1,
     BITRATE_TABLE_V2,
     LONG_BANDS,
+    SHORT_BANDS,
     SHORT_BANDS_44100,
     band_table,
     band_count,
+    mixed_reorder_src,
+    short_band_bounds,
+    short_band_table,
+    short_reorder_src,
     bitrate_index,
     bitrate_value,
     mode_bits,

@@ -24,8 +24,68 @@ LONG_BANDS = {
     ),
 }
 
-# Short block band widths for 44100 Hz (12 bands, applied 3 times).
-SHORT_BANDS_44100 = np.array([4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30], dtype=np.int32)
+# Short block band widths (ISO Table B.8, 12 coded bands per window; the
+# remainder up to the 192 lines/window is an uncoded 13th band, like long
+# band 21). The reference carries 44100 only (MP3Encoder.swift:1823); 48000
+# and 32000 are from ISO Table B.8 directly (needed for short-block
+# conformance at those rates — options.iso_short_blocks).
+SHORT_BANDS = {
+    44100: np.array([4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30], dtype=np.int32),
+    48000: np.array([4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26], dtype=np.int32),
+    32000: np.array([4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42], dtype=np.int32),
+}
+
+# Reference-parity alias (12 bands, applied 3 times). MP3Encoder.swift:1823.
+SHORT_BANDS_44100 = SHORT_BANDS[44100]
+
+
+def short_band_table(sample_rate: int) -> np.ndarray:
+    """Short-block band width table; unknown rates fall back to 44100
+    (mirroring band_table's dispatch quirk)."""
+    return SHORT_BANDS.get(sample_rate, SHORT_BANDS[44100])
+
+
+def short_band_bounds(sample_rate: int) -> np.ndarray:
+    """Per-window line boundaries incl. 0 and the uncoded tail to 192:
+    [0, b1, ..., b12, 192] (14 entries, 13 bands)."""
+    w = short_band_table(sample_rate)
+    return np.concatenate([[0], np.cumsum(w), [192]]).astype(np.int64)
+
+
+def short_reorder_src(sample_rate: int) -> np.ndarray:
+    """ISO 2.4.3.4.8 spectral reordering for pure short blocks, as a source
+    permutation: stream[j] = natural[src[j]].
+
+    Natural (IMDCT-side) layout of this encoder family — and of the ISO
+    decoder AFTER its reordering step — is subband-major: coefficient
+    sb*18 + 3m + w == 3*line + w with line = 6*sb + m (window w's m-th
+    frequency in subband sb; MP3Encoder.swift:1639-1662 writes index
+    w + 3m per subband). The Huffman STREAM a conforming decoder reads is
+    short-sfb-major with the three windows of a band consecutive:
+    position 3*start(sfb) + w*width(sfb) + i for line start(sfb)+i.
+    """
+    bounds = short_band_bounds(sample_rate)
+    src = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        for w in range(3):
+            for line in range(int(s), int(e)):
+                src.append(3 * line + w)
+    return np.asarray(src, dtype=np.int64)
+
+
+def mixed_reorder_src(sample_rate: int) -> np.ndarray:
+    """Reordering source permutation for mixed blocks: the long head
+    (subbands 0-1, natural coefficients 0-35, long-band order) is not
+    reordered; lines >= 12 per window follow the short-sfb law (short band
+    3 starts exactly at line 12 for every rate — ISO B.8 is built so the
+    mixed split lands on a band boundary)."""
+    bounds = [int(b) for b in short_band_bounds(sample_rate) if b >= 12]
+    src = list(range(36))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        for w in range(3):
+            for line in range(s, e):
+                src.append(3 * line + w)
+    return np.asarray(src, dtype=np.int64)
 
 
 def band_table(sample_rate: int) -> np.ndarray:

@@ -88,5 +88,7 @@ def encode_decode_quality(options, pcm: np.ndarray, backend: str = "numpy") -> Q
 
     s = MP3Encoder(options, backend=backend).new_session()
     data = s.encode(pcm) + s.flush()
-    dec = decode_mp3(data)
+    # streams using ISO-convention laws must be read with them (the laws no
+    # header bit signals; see decode_mp3's docstring)
+    dec = decode_mp3(data, iso_conventions=options.iso_ms_matrix)
     return measure_quality(pcm, dec.pcm[:, 0], options.sample_rate)

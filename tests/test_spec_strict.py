@@ -657,3 +657,127 @@ def test_verify_frame_crcs_tolerates_id3_and_truncation():
     r2 = verify_frame_crcs(blob[:-100])  # truncated tail: no crash
     assert len(r2) == len(r) - 1 and all(r2)
     assert verify_frame_crcs(audio[:3]) == []
+
+
+# --- iso_ms_matrix -------------------------------------------------------------
+
+
+def test_iso_ms_matrix_energy_preserving():
+    """Spec cross-check needing no external decoder: the ISO (L+-R)/sqrt(2)
+    matrices preserve energy (E[M]+E[S] == E[L]+E[R]), unlike the encoder
+    family's /2 halves (which halve it when channels are uncorrelated)."""
+    from swiftmp3_tpu.ops import reference as ref
+
+    rng = np.random.default_rng(11)
+    left = rng.standard_normal(1152).astype(np.float32) * 0.4
+    right = (0.9 * left + 0.1 * rng.standard_normal(1152)).astype(np.float32)
+    use_ms, m, s = ref.stereo_decide("joint_stereo", left, right, iso_matrix=True)
+    assert use_ms  # correlated draw: M/S wins
+    e_in = float(np.sum(left**2) + np.sum(right**2))
+    e_out = float(np.sum(m**2) + np.sum(s**2))
+    assert abs(e_out - e_in) / e_in < 1e-5
+    # reference law loses energy on the same input
+    _, m2, s2 = ref.stereo_decide("joint_stereo", left, right, iso_matrix=False)
+    assert float(np.sum(m2**2) + np.sum(s2**2)) < 0.6 * e_in
+    # the decision itself is scale-invariant: both laws agree
+    for seed in range(6):
+        r2 = np.random.default_rng(100 + seed)
+        a = r2.standard_normal(1152).astype(np.float32) * 0.3
+        b = r2.standard_normal(1152).astype(np.float32) * 0.3
+        d_ref = ref.stereo_decide("joint_stereo", a, b, iso_matrix=False)[0]
+        d_iso = ref.stereo_decide("joint_stereo", a, b, iso_matrix=True)[0]
+        assert d_ref == d_iso
+
+
+def test_iso_ms_matrix_backends_agree_and_decode_unit_gain():
+    """Flag on: both backends agree; the oracle's ISO reading reproduces the
+    stereo signal at unit gain (no 1/sqrt(2) attenuation)."""
+    from swiftmp3_tpu.utils.quality import measure_quality
+
+    # strongly correlated channels: M/S wins every frame, so the 1/sqrt(2)
+    # convention is what the unit-gain check actually measures
+    mono = _sine(1.2, freq=523.25, amp=0.45)
+    pcm = np.empty(2 * len(mono), dtype=np.float32)
+    pcm[0::2] = mono
+    pcm[1::2] = np.roll(mono, 5) * np.float32(0.92)
+    opts = MP3EncoderOptions.spec_strict(mode=Mode.JOINT_STEREO)
+    a = _encode(opts, pcm, "numpy")
+    b = _encode(opts, pcm, "tpu")
+    fa, fb = parse_frames(a), parse_frames(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        assert (x.size, x.mode, x.padding) == (y.size, y.mode, y.padding)
+    dec = decode_mp3(b, iso_conventions=True)
+    for chn in range(2):
+        q = measure_quality(pcm[chn::2], dec.pcm[:, chn], 44100)
+        assert abs(q.gain - 1.0) < 0.08, (chn, q)
+        assert q.snr_db > 12.0, (chn, q)
+    # the encoder-family reading of the same stream plays sqrt(2) hot
+    dec_c = decode_mp3(b, iso_conventions=False)
+    q_c = measure_quality(pcm[0::2], dec_c.pcm[:, 0], 44100)
+    assert abs(q_c.gain - 1.0 / np.sqrt(2.0)) < 0.08, q_c
+
+
+def test_iso_ms_matrix_eliminates_mode_ext_pumping():
+    """Under iso_mode_ext, per-frame M/S flips make reference-matrix frames
+    play 1/sqrt(2) quiet on a conforming (ISO-convention) decoder while L/R
+    frames play at unit level — a 3 dB level pump between segments. With
+    iso_ms_matrix every frame decodes at unit level. Measured as per-frame
+    decoded/input RMS ratio spread (a global-SNR check would bury the pump
+    under coding noise)."""
+    from swiftmp3_tpu.utils.quality import measure_quality
+
+    # clean tonal signal, alternating correlated / anti-correlated segments
+    # (flips the per-frame M/S decision), high bitrate to keep coding noise
+    # far below the 3 dB level effect
+    sr = 44100
+    mono = _sine(3.0, freq=440.0, amp=0.4)
+    left, right = mono.copy(), mono.copy()
+    seg_frames = 6
+    seg = 1152 * seg_frames
+    for start in range(0, len(mono), 2 * seg):
+        right[start : start + seg] *= -1.0
+    pcm = np.empty(2 * len(mono), dtype=np.float32)
+    pcm[0::2], pcm[1::2] = left, right
+    base = MP3EncoderOptions(
+        mode=Mode.JOINT_STEREO, reservoir_mode="aligned", bitrate_kbps=256,
+        iso_quantization=True, iso_mode_ext=True,
+    )
+    spreads = {}
+    for flag in (False, True):
+        data = _encode(base.replace(iso_ms_matrix=flag), pcm, "numpy")
+        dec = decode_mp3(data, iso_conventions=True)  # conforming decoder
+        q = measure_quality(left, dec.pcm[:, 0], sr)  # for delay alignment
+        d = q.delay_samples
+        n = min(len(left), dec.pcm.shape[0] - d)
+        ratios = []
+        for f in range(1, n // 1152 - 1):
+            # segment-INTERIOR frames only: frames straddling a decision
+            # flip mix M/S and L/R domains in the encoder's filterbank /
+            # overlap state (inherent to per-frame PCM-domain switching,
+            # reference law) and measure that, not the matrix convention
+            if (f % seg_frames == 0) or ((f + 1) % seg_frames == 0):
+                continue
+            start = f * 1152
+            ref_rms = float(np.sqrt(np.mean(left[start : start + 1152] ** 2)))
+            dec_rms = float(
+                np.sqrt(np.mean(dec.pcm[d + start : d + start + 1152, 0] ** 2))
+            )
+            if ref_rms > 1e-3:
+                ratios.append(dec_rms / ref_rms)
+        spread = max(ratios) / min(ratios)
+        spreads[flag] = spread
+    assert spreads[False] > 1.25, spreads  # the quirk really pumps ~sqrt(2)
+    assert spreads[True] < 1.12, spreads  # ISO matrices: level is stable
+
+
+def test_iso_ms_matrix_compat_bytes_unchanged():
+    """Flag off (default): bytes identical to pre-flag behavior is pinned by
+    the frozen fixtures; here we pin that the flag actually changes joint
+    M/S frames and nothing else (mono unaffected)."""
+    pcm = _sine(0.4)
+    mono_off = _encode(MP3EncoderOptions(mode=Mode.MONO), pcm, "numpy")
+    mono_on = _encode(
+        MP3EncoderOptions(mode=Mode.MONO, iso_ms_matrix=True), pcm, "numpy"
+    )
+    assert mono_off == mono_on
