@@ -37,6 +37,20 @@ def _noise(n: int, seed: int, amp: float) -> np.ndarray:
     return (amp * x / np.abs(x).max()).astype(np.float32)
 
 
+def _burst(n: int, sr: int, seed: int) -> np.ndarray:
+    """Tonal signal with hard amplitude attacks: forces the transient
+    detector's short AND mixed granules (the iso_short_blocks surface)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=np.float32) / np.float32(sr)
+    x = (0.35 * np.sin(2 * np.pi * 523.25 * t)).astype(np.float32)
+    env = np.zeros(n, dtype=np.float32)
+    p = 700
+    while p < n - 1200:
+        env[p : p + 500] = 1.0
+        p += int(rng.integers(1900, 2700))
+    return (x * (0.2 + 0.8 * env)).astype(np.float32)
+
+
 def make_signal(kind: str, seconds: float, sr: int, channels: int, seed: int) -> np.ndarray:
     n = int(seconds * sr)
     if kind == "sine":
@@ -45,6 +59,8 @@ def make_signal(kind: str, seconds: float, sr: int, channels: int, seed: int) ->
         mono = _noise(n, seed, 0.35)
     elif kind == "mix":
         mono = _sine(n, sr, 523.25, 0.3) + _noise(n, seed, 0.2)
+    elif kind == "burst":
+        mono = _burst(n, sr, seed)
     else:
         raise ValueError(kind)
     if channels == 1:
@@ -130,6 +146,41 @@ FIXTURES = [
         "mix",
         0.37,
         10,
+    ),
+    # round-3 conformance surface: short/mixed granules with real short
+    # scalefactors + ISO reordering, and the sqrt(2) M/S matrices
+    (
+        "strict_shortblocks_mono_44k_burst",
+        dict(
+            mode=Mode.MONO,
+            reservoir_mode="aligned",
+            iso_quantization=True,
+            count1_coding=True,
+            region_table_select=True,
+            real_scalefactors=True,
+            iso_short_blocks=True,
+        ),
+        "burst",
+        0.42,
+        11,
+    ),
+    (
+        "strict_msmatrix_joint_48k_burst",
+        dict(
+            mode=Mode.JOINT_STEREO,
+            sample_rate=48000,
+            reservoir_mode="aligned",
+            iso_quantization=True,
+            count1_coding=True,
+            region_table_select=True,
+            real_scalefactors=True,
+            iso_short_blocks=True,
+            iso_mode_ext=True,
+            iso_ms_matrix=True,
+        ),
+        "burst",
+        0.40,
+        12,
     ),
 ]
 

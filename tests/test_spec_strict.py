@@ -781,3 +781,209 @@ def test_iso_ms_matrix_compat_bytes_unchanged():
         MP3EncoderOptions(mode=Mode.MONO, iso_ms_matrix=True), pcm, "numpy"
     )
     assert mono_off == mono_on
+
+
+# --- iso_short_blocks ----------------------------------------------------------
+
+
+def _burst(seconds=0.45, sr=44100, seed=3, ch=1):
+    """Tonal signal with hard amplitude attacks: forces short AND mixed
+    granules (an attack in the first subblock -> mixed, later -> short)."""
+    n = int(seconds * sr) // 1152 * 1152 + 700  # partial final frame too
+    t = np.arange(n) / sr
+    x = (0.35 * np.sin(2 * np.pi * 523.25 * t)).astype(np.float32)
+    env = np.zeros(n, np.float32)
+    rng = np.random.default_rng(seed)
+    p = 700
+    while p < n - 1200:
+        env[p : p + 500] = 1.0
+        p += int(rng.integers(1900, 2700))
+    x = x * (0.2 + 0.8 * env)
+    if ch == 2:
+        st = np.empty(2 * n, np.float32)
+        st[0::2] = x
+        st[1::2] = np.roll(x, 9) * np.float32(0.9)
+        return st
+    return x
+
+
+def _granule_kinds(data):
+    """Set of (window_switching, block_type, mixed_block_flag,
+    scalefac_compress) over all granules/channels of a stream."""
+    from swiftmp3_tpu.decoder.decoder import parse_frame
+
+    kinds = set()
+    i = 0
+    while i + 4 <= len(data):
+        fi = parse_frame(data, i)
+        for gr in range(2):
+            for c in range(fi.channels):
+                g = fi.granules[gr][c]
+                kinds.add(
+                    (g.window_switching, g.block_type, g.mixed_block_flag,
+                     g.scalefac_compress)
+                )
+        i += fi.size
+    return kinds
+
+
+def test_iso_short_blocks_requires_real_scalefactors():
+    with pytest.raises(ValueError):
+        MP3EncoderOptions(iso_quantization=True, iso_short_blocks=True)
+
+
+def test_short_reorder_is_valid_permutation_and_twin():
+    """Encoder src (tables) and decoder dest (decoder.tables, derived from
+    the ISO decode direction) must be the same bijection; short band tables
+    must tile the 192 lines/window with a boundary at line 12 (the mixed
+    split) for every rate, and 44.1 kHz must match the reference literal."""
+    from swiftmp3_tpu.decoder.tables import short_band_table as dec_short
+    from swiftmp3_tpu.decoder.tables import short_reorder_dest
+    from swiftmp3_tpu.tables import (
+        mixed_reorder_src,
+        short_band_bounds,
+        short_band_table,
+        short_reorder_src,
+    )
+
+    assert list(short_band_table(44100)) == [4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30]
+    for sr in (44100, 48000, 32000):
+        assert np.array_equal(short_band_table(sr), dec_short(sr))
+        b = short_band_bounds(sr)
+        assert b[0] == 0 and b[-1] == 192 and 12 in list(b)
+        assert all(b[i] < b[i + 1] for i in range(len(b) - 1))
+        for mixed, f in ((False, short_reorder_src), (True, mixed_reorder_src)):
+            src = f(sr)
+            assert sorted(src) == list(range(576))
+            assert np.array_equal(src, short_reorder_dest(sr, mixed))
+        # mixed keeps the long head in place
+        assert np.array_equal(mixed_reorder_src(sr)[:36], np.arange(36))
+
+
+def test_reorder_device_matches_permutation():
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.ops import dsp
+    from swiftmp3_tpu.tables import mixed_reorder_src, short_reorder_src
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((3, 576)).astype(np.float32)
+    for sr in (44100, 48000, 32000):
+        d_s = np.asarray(dsp.reorder_natural_to_stream(jnp.asarray(x), sr, False))
+        np.testing.assert_array_equal(d_s, x[:, short_reorder_src(sr)])
+        d_m = np.asarray(dsp.reorder_natural_to_stream(jnp.asarray(x), sr, True))
+        np.testing.assert_array_equal(d_m, x[:, mixed_reorder_src(sr)])
+
+
+def test_short_scalefactor_device_matches_golden():
+    """Unified dispatcher vs golden law for all three block kinds, all
+    rates: sf_slots / compress / part2 / mag_scale exactly equal."""
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.ops import dsp
+    from swiftmp3_tpu.ops.reference import granule_scalefactors
+
+    rng = np.random.default_rng(12)
+    for trial in range(48):
+        spec = (rng.standard_normal(576) * 10 ** rng.uniform(-6, 1)).astype(np.float32)
+        if trial % 7 == 0:
+            spec[rng.integers(0, 576, 400)] = 0.0
+        if trial % 13 == 0:
+            spec[:] = 0.0
+        sr = [44100, 48000, 32000][trial % 3]
+        block = trial % 3  # cycles long / mixed / short
+        psy = bool(trial & 1)
+        g = granule_scalefactors(spec, sr, block, psy=psy, iso_short=True)
+        d = dsp.granule_scalefactors_device(
+            jnp.asarray(spec)[None], sr, jnp.asarray([block]),
+            psy=psy, iso_short=True,
+        )
+        msg = f"trial {trial} sr {sr} block {block} psy {psy}"
+        np.testing.assert_array_equal(
+            np.asarray(d["sf_slots"])[0], g["sf_slots"], err_msg=msg
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d["slot_nbits"])[0], g["slot_nbits"], err_msg=msg
+        )
+        assert int(np.asarray(d["compress"])[0]) == g["compress"], msg
+        assert int(np.asarray(d["part2"])[0]) == g["part2_bits"], msg
+        np.testing.assert_array_equal(
+            np.asarray(d["mag_scale"])[0], g["mag_scale"], err_msg=msg
+        )
+
+
+@pytest.mark.parametrize("sr,mode", [(44100, Mode.MONO), (48000, Mode.STEREO), (32000, Mode.MONO)])
+def test_iso_short_blocks_backends_agree_and_decode(sr, mode):
+    """Bursty content, strict preset: golden == device byte-for-byte, the
+    stream contains real short AND mixed granules with nonzero
+    scalefac_compress, and a conforming (iso_conventions) read is
+    unit-gain with a real SNR floor."""
+    from swiftmp3_tpu.utils.quality import measure_quality
+
+    pcm = _burst(sr=sr, ch=mode.channels)
+    opts = MP3EncoderOptions.spec_strict(mode=mode, sample_rate=sr)
+    a = _encode(opts, pcm, "numpy")
+    b = _encode(opts, pcm, "tpu")
+    # cross-backend contract (CLAUDE.md invariants): structure always equal;
+    # bytes can differ at isolated float-stack ULP flips (measured: 1 byte in
+    # 7.5 kB at 32k — an sf exponent on a power-of-2 boundary), so assert
+    # near-identity, not identity (within-backend bytes are fixture-pinned)
+    assert len(a) == len(b)
+    assert _granule_kinds(a) == _granule_kinds(b)
+    ndiff = int(
+        (np.frombuffer(a, np.uint8) != np.frombuffer(b, np.uint8)).sum()
+    )
+    assert ndiff <= max(2, len(a) // 2000), ndiff
+    kinds = _granule_kinds(b)
+    switching = {k for k in kinds if k[0] == 1}
+    assert switching, kinds
+    # ISO signaling: every switching granule is block_type=2; mixed via flag
+    assert all(k[1] == 2 for k in switching), kinds
+    assert any(k[2] == 1 for k in switching), kinds  # mixed occurs
+    assert any(k[2] == 0 for k in switching), kinds  # pure short occurs
+    assert any(k[3] > 0 for k in switching), kinds  # real short scalefactors
+    dec = decode_mp3(b, iso_conventions=True)
+    mono_in = pcm[0 :: mode.channels] if mode.channels == 2 else pcm
+    q = measure_quality(mono_in, dec.pcm[:, 0], sr)
+    assert abs(q.gain - 1.0) < 0.06, q
+    assert q.snr_db > 14.0, q
+
+
+def test_iso_short_blocks_improves_conforming_decode():
+    """The whole point: with the flag, a conforming decoder reproduces
+    transient content much better than without it (whose switching
+    granules decode through the wrong entropy order)."""
+    from swiftmp3_tpu.utils.quality import measure_quality
+
+    pcm = _burst()
+    base = MP3EncoderOptions.spec_strict(mode=Mode.MONO, iso_ms_matrix=False)
+    snrs = {}
+    for flag in (False, True):
+        data = _encode(base.replace(iso_short_blocks=flag), pcm, "numpy")
+        dec = decode_mp3(data, iso_conventions=True)
+        q = measure_quality(pcm, dec.pcm[:, 0], 44100)
+        snrs[flag] = q.snr_db
+    assert snrs[True] > snrs[False] + 4.0, snrs
+
+
+def test_iso_short_blocks_native_renderer_matches():
+    from swiftmp3_tpu.parallel import encode_batch
+
+    pcm = _burst(0.4)
+    opts = MP3EncoderOptions.spec_strict(mode=Mode.MONO)
+    want = _encode(opts, pcm, "tpu")
+    got = encode_batch(opts, [pcm], frames_per_step=4)[0]
+    assert got == want
+
+
+def test_flag_off_keeps_reference_mixed_signaling():
+    """Without the flag, switching granules keep the reference's raw-enum
+    signaling (mixed as block_type=1) and scalefac_compress=0 — pinned so
+    the conformance flag can't silently leak into compat streams."""
+    pcm = _burst(0.4)
+    data = _encode(MP3EncoderOptions(mode=Mode.MONO), pcm, "numpy")
+    kinds = _granule_kinds(data)
+    switching = {k for k in kinds if k[0] == 1}
+    assert switching
+    assert all(k[3] == 0 for k in switching), kinds
+    assert any(k[1] == 1 for k in switching), kinds  # reference mixed quirk
