@@ -52,6 +52,12 @@ class GoldenBackend:
         self.vbr = ref.VBRState()
         self.padding_remainder = 0
         self.stream_len = 0
+        # strict-entropy walk respec (round 3): the budget runs in the
+        # PRICED (t15+delta) world whose stream mirror is est_stream_len /
+        # available_bytes, while stream_len mirrors the REAL byte stream
+        # (mdb). In compat mode priced == actual and est_stream_len just
+        # shadows stream_len.
+        self.est_stream_len = 0
         self.available_bytes = 0
         self.prev_slot = 0
         self.has_buffered = False
@@ -65,6 +71,7 @@ class GoldenBackend:
         """Mirror the assembler's flush_buffered emission."""
         if self.has_buffered:
             self.stream_len = max(self.stream_len - self.prev_slot, 0)
+            self.est_stream_len = max(self.est_stream_len - self.prev_slot, 0)
             self.has_buffered = False
 
     def state_dict(self) -> dict:
@@ -75,6 +82,7 @@ class GoldenBackend:
             "vbr_energy_history": [float(e) for e in self.vbr.energy_history],
             "padding_remainder": self.padding_remainder,
             "stream_len": self.stream_len,
+            "est_stream_len": self.est_stream_len,
             "available_bytes": self.available_bytes,
             "prev_slot": self.prev_slot,
             "has_buffered": self.has_buffered,
@@ -88,6 +96,7 @@ class GoldenBackend:
         self.vbr.energy_history = [np.float32(e) for e in state["vbr_energy_history"]]
         self.padding_remainder = int(state["padding_remainder"])
         self.stream_len = int(state["stream_len"])
+        self.est_stream_len = int(state.get("est_stream_len", state["stream_len"]))
         self.available_bytes = int(state["available_bytes"])
         self.prev_slot = int(state["prev_slot"])
         self.has_buffered = bool(state["has_buffered"])
@@ -121,10 +130,13 @@ class GoldenBackend:
         aligned = opts.reservoir_mode == "aligned"
         res_bits = 0 if is_final else self.available_bytes * 8
         usable = (res_bits * 9) // 10
+        strict = opts.spec_strict_entropy
         if aligned:
             # keep the unslotted stream short enough that the next frame's
-            # main_data_begin stays expressible (leftover <= prev slot)
-            usable = min(usable, max(self.prev_slot - self.stream_len, 0) * 8)
+            # main_data_begin stays expressible (leftover <= prev slot).
+            # Strict mode budgets in the priced world (walk respec).
+            budget_sl = self.est_stream_len if strict else self.stream_len
+            usable = min(usable, max(self.prev_slot - budget_sl, 0) * 8)
             mdb = None  # computed after the frame's byte count is known
         else:
             mdb = 0 if is_final else min(self.stream_len, 511)
@@ -149,8 +161,8 @@ class GoldenBackend:
         granules = [[None] * channels for _ in range(2)]
         quantized = np.zeros((2 * channels, SAMPLES_PER_GRANULE), dtype=np.int32)
         big_values = np.zeros(2 * channels, dtype=np.int32)
-        total_part_bits = 0
-        strict = opts.spec_strict_entropy
+        total_part_bits = 0  # ACTUAL emitted bits (part2_3_length sum)
+        total_priced_bits = 0  # walk-law priced bits (est reservoir world)
         strict_chunks: list = []
         strict_nbits: list = []
         gr0_sfd: dict = {}  # per-channel (sfd, block) of granule 0 for scfsi
@@ -205,16 +217,25 @@ class GoldenBackend:
                 else:
                     gain0 = ref.compute_global_gain(spectrum, iso=opts.iso_quantization)
                 self.vbr.update(gain0, ref.frame_energy(gsamples))
-                counter = None
                 if strict:
+                    # Walk respec (round 3): t15+interpolated-delta priced
+                    # walk (spec: ref.quantize_to_fit_budget_strict; device
+                    # twin: dsp.rate_loop_precompute_strict). `bits` is the
+                    # PRICED value; the actual emitted bits come from the
+                    # final layout below.
                     part2 = ref.scfsi_part2_bits(sfd, sf_write) if sfd else 0
-                    counter = lambda qq, _b=block, _p2=part2, _pm=perm: _p2 + ref.strict_entropy_layout(  # noqa: E731
-                        qq if _pm is None else qq[_pm],
-                        sr, _b, opts.count1_coding, opts.region_table_select,
-                    )["part23_bits"]
-                if sfd is not None:
-                    gain, q, bits = ref.quantize_to_fit_budget_scaled(
-                        spectrum, sfd["mag_scale"], gain0, bits_per_granule, counter
+                    gain, q, bits = ref.quantize_to_fit_budget_strict(
+                        spectrum,
+                        sfd["mag_scale"] if sfd is not None else None,
+                        gain0,
+                        bits_per_granule,
+                        sr,
+                        block,
+                        opts.count1_coding,
+                        opts.region_table_select,
+                        part2,
+                        perm,
+                        opts.iso_quantization,
                     )
                 else:
                     gain, q, bits = ref.quantize_to_fit_budget(
@@ -222,7 +243,6 @@ class GoldenBackend:
                         gain0,
                         bits_per_granule,
                         iso=opts.iso_quantization,
-                        bit_counter=counter,
                     )
                 if opts.iso_quantization:
                     # unit-gain law applies no pre-emphasis; emitting
@@ -236,6 +256,11 @@ class GoldenBackend:
                         q if perm is None else q[perm],
                         sr, block, opts.count1_coding, opts.region_table_select,
                     )
+                    # walk respec: `bits` is the PRICED value (budget law);
+                    # part2_3_length and the real reservoir use the ACTUAL
+                    # layout bits of the selected quantization
+                    part2_bits = ref.scfsi_part2_bits(sfd, sf_write) if sfd else 0
+                    actual_bits = part2_bits + layout["part23_bits"]
                     bv = layout["big_values"]
                     r0, r1 = layout["region0"], layout["region1"]
                     tsel = layout["table_select"]
@@ -254,13 +279,15 @@ class GoldenBackend:
                     r0, r1 = ref.region_counts(bv, sr)
                     tsel = (15, 15, 15)
                     c1t = 0
+                    actual_bits = bits  # compat: the walk law IS the bits
 
                 g = gr * channels + ch
                 quantized[g] = q
                 big_values[g] = bv
-                total_part_bits += bits
+                total_part_bits += actual_bits
+                total_priced_bits += bits
                 granules[gr][ch] = GranuleInfo(
-                    part23_length=bits,
+                    part23_length=actual_bits,
                     big_values=bv,
                     global_gain=gain,
                     scalefac_compress=scfc,
@@ -287,6 +314,7 @@ class GoldenBackend:
                 )
 
         huffman_bytes = (total_part_bits + 7) // 8
+        est_hb = (total_priced_bits + 7) // 8  # == huffman_bytes in compat
         if aligned:
             # distance from the next slot start back to this frame's data:
             # the data rides at the tail of the previous frame's slot
@@ -294,11 +322,15 @@ class GoldenBackend:
             mdb = max(0, min(self.prev_slot - self.stream_len, huffman_bytes))
             mdb = min(mdb, 511)
         # Reservoir mirrors: append, then splice the previous frame's slot.
+        # (est_* is the priced world the budget law runs in; identical to
+        # the real mirrors in compat mode.)
         self.stream_len += huffman_bytes
+        self.est_stream_len += est_hb
         if self.has_buffered:
             self.stream_len = max(self.stream_len - self.prev_slot, 0)
+            self.est_stream_len = max(self.est_stream_len - self.prev_slot, 0)
         self.available_bytes = min(
-            max(self.available_bytes + main_data_size - huffman_bytes, 0), 511
+            max(self.available_bytes + main_data_size - est_hb, 0), 511
         )
         self.prev_slot = main_data_size
         self.has_buffered = True

@@ -66,6 +66,12 @@ def init_carry(batch: int, options: MP3EncoderOptions):
         "fb_hist": jnp.zeros((batch, ch, 480), dtype=jnp.float32),
         "overlap": jnp.zeros((batch, ch, 576), dtype=jnp.float32),
         "stream_len": jnp.zeros(batch, dtype=jnp.int32),
+        # strict-entropy walk respec: the selection scan prices candidates
+        # with the t15+delta law and tracks its own PRICED stream-length
+        # mirror (est_stream_len + avail); the real stream_len/mdb are
+        # recomputed by a second tiny scan from the finalize stage's ACTUAL
+        # bits. Unused (zeros) in compat mode.
+        "est_stream_len": jnp.zeros(batch, dtype=jnp.int32),
         "avail": jnp.zeros(batch, dtype=jnp.int32),
         "pad_rem": jnp.zeros(batch, dtype=jnp.int32),
         "prev_slot": jnp.zeros(batch, dtype=jnp.int32),
@@ -260,6 +266,12 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 "vbr_count",
             )
         }
+        if strict_entropy:
+            # Walk respec (round 3): this scan selects candidates in the
+            # PRICED (t15+delta) world, so its stream mirror is
+            # est_stream_len; the real stream_len + mdb are recomputed by
+            # the post-finalize scan below from the ACTUAL strict bits.
+            int_carry["stream_len"] = carry["est_stream_len"]
 
         def step(c, x):
             bits_k, evaluated, k_budget, fe, ge, fin, val = x
@@ -353,8 +365,52 @@ def make_chunk_fn(options: MP3EncoderOptions):
             return jnp.transpose(y, (1, 3, 0, 2) + tuple(range(4, y.ndim)))
 
         # ---------------- Phase 3: parallel finalize (batch-major) --------
+        part23_t = bits_sel  # [T, B, G]; strict mode replaces with actuals
         if strict_entropy:
             gain_b, quantized, lay = dsp.strict_finalize(pre, bm(k_sel), bm(has_fit))
+            # part2_3_length and the reservoir accounting use the ACTUAL
+            # strict bits of the selected gain (the scan's bits_sel are the
+            # priced estimates — selection policy only; see
+            # dsp.rate_loop_precompute_strict).
+            part23_b = lay["bits"] + (part2 if part2 is not None else 0)
+            part23_t = tm(part23_b)
+            hb_t = (jnp.sum(part23_t, axis=-1) + 7) // 8  # [T, B] bytes
+
+            carry2 = {
+                "stream_len": carry["stream_len"],
+                "prev_slot": carry["prev_slot"],
+                "has_buffered": carry["has_buffered"],
+            }
+
+            def step2(c, x):
+                slot_f, hb_f, fin_f, val_f = x
+                if aligned:
+                    mdb_f = jnp.clip(
+                        jnp.minimum(c["prev_slot"] - c["stream_len"], hb_f), 0, 511
+                    )
+                else:
+                    mdb_f = jnp.where(
+                        fin_f, 0, jnp.minimum(c["stream_len"], 511)
+                    )
+                sl = c["stream_len"] + hb_f
+                sl = jnp.where(
+                    c["has_buffered"], jnp.maximum(sl - c["prev_slot"], 0), sl
+                )
+                new_c = {
+                    "stream_len": sl,
+                    "prev_slot": slot_f,
+                    "has_buffered": jnp.ones_like(c["has_buffered"]),
+                }
+
+                def keep2(new, old):
+                    v = val_f.reshape((B,) + (1,) * (new.ndim - 1))
+                    return jnp.where(v, new, old)
+
+                return jax.tree_util.tree_map(keep2, new_c, c), mdb_f
+
+            carry2, mdb = jax.lax.scan(
+                step2, carry2, (slot, hb_t, final_t, valid_t)
+            )
             big_values_b = lay["bv"]
             region0_b, region1_b = lay["r0"], lay["r1"]
             ts0_b, ts1_b, ts2_b = lay["tid0"], lay["tid1"], lay["tid2"]
@@ -433,7 +489,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     padding[..., None],
                     mdb[..., None],
                     slot[..., None],
-                    bits_sel,
+                    part23_t,
                     tm(big_values_b),
                     tm(gain_b),
                     tm(block_b),
@@ -493,6 +549,11 @@ def make_chunk_fn(options: MP3EncoderOptions):
         )
 
         new_carry = dict(int_carry)
+        if strict_entropy:
+            new_carry["est_stream_len"] = int_carry["stream_len"]
+            new_carry["stream_len"] = carry2["stream_len"]
+        else:
+            new_carry["est_stream_len"] = carry["est_stream_len"]
         new_carry["fb_hist"] = fb_hist
         new_carry["overlap"] = overlap
         return new_carry, outputs
@@ -657,11 +718,12 @@ class TPUBackend:
         return results
 
     def notify_flush(self) -> None:
-        sl = np.asarray(self.carry["stream_len"]).copy()
         hb = np.asarray(self.carry["has_buffered"]).copy()
         ps = np.asarray(self.carry["prev_slot"]).copy()
-        sl = np.where(hb, np.maximum(sl - ps, 0), sl)
-        self.carry["stream_len"] = jnp.asarray(sl)
+        for key in ("stream_len", "est_stream_len"):
+            sl = np.asarray(self.carry[key]).copy()
+            sl = np.where(hb, np.maximum(sl - ps, 0), sl)
+            self.carry[key] = jnp.asarray(sl)
         self.carry["has_buffered"] = jnp.zeros_like(self.carry["has_buffered"])
 
     def state_dict(self) -> dict:

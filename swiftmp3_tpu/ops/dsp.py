@@ -61,6 +61,9 @@ BLOCK_SHORT = 2
 
 N_GAIN_CANDIDATES = 20  # the reference's maxIterations (MP3Encoder.swift:745)
 
+# Strict walk respec anchors: law + rationale in ops.reference (the spec).
+from .reference import STRICT_ANCHORS, _anchor_segment  # noqa: E402
+
 
 def _quantizer_step_tables() -> tuple[np.ndarray, np.ndarray]:
     """Per-gain quantizer steps, computed exactly as the reference does
@@ -620,6 +623,34 @@ def quantize_at_gains(
     return jnp.where(sign_neg[..., None, :], -q, q)
 
 
+def _t15_sweep(
+    mag: jax.Array,
+    sign_neg: jax.Array,
+    gstart: jax.Array,
+    iso: bool,
+    use_pallas: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """20-candidate table-15 bit counts + big_values from precomputed
+    magnitudes (shared by the compat sweep and the strict walk's pricing).
+    Returns (bits [..., 20], bv [..., 20])."""
+    if use_pallas:
+        # Fused Pallas sweep (quantize + count in registers; ~35% faster
+        # than the XLA fusion on v5e, bit-identical). pallas_kernels is
+        # already imported by the pipeline module, so this lazy lookup
+        # cannot trigger a first-import under a tracer.
+        from . import pallas_kernels
+
+        bits, bv = pallas_kernels.rate_sweep_pallas(mag, gstart, iso=iso)
+    else:
+        gains = gstart[..., None] + 4 * jnp.arange(N_GAIN_CANDIDATES, dtype=jnp.int32)
+        qk = quantize_at_gains(mag, sign_neg, gains, iso=iso)  # [..., 20, 576]
+        pair_bits = _count_bits_pairs(qk)  # [..., 20, 288]
+        bv = big_values_from_quantized(qk)  # [..., 20]
+        pair_idx = jnp.arange(288, dtype=jnp.int32)
+        bits = jnp.sum(jnp.where(pair_idx < bv[..., None], pair_bits, 0), axis=-1)
+    return bits, bv
+
+
 def rate_loop_precompute(
     spectrum: jax.Array,
     init_gain: jax.Array,
@@ -649,21 +680,7 @@ def rate_loop_precompute(
 
     k = jnp.arange(N_GAIN_CANDIDATES, dtype=jnp.int32)
     gains = gstart[..., None] + 4 * k  # [..., 20]
-    if use_pallas:
-        # Fused Pallas sweep (quantize + count in registers; ~35% faster
-        # than the XLA fusion on v5e, bit-identical). pallas_kernels is
-        # already imported by the pipeline module, so this lazy lookup
-        # cannot trigger a first-import under a tracer.
-        from . import pallas_kernels
-
-        bits, bv = pallas_kernels.rate_sweep_pallas(mag, gstart, iso=iso)
-    else:
-        qk = quantize_at_gains(mag, sign_neg, gains, iso=iso)  # [..., 20, 576]
-        pair_bits = _count_bits_pairs(qk)  # [..., 20, 288]
-        bv = big_values_from_quantized(qk)  # [..., 20]
-        pair_idx = jnp.arange(288, dtype=jnp.int32)
-        bits = jnp.sum(jnp.where(pair_idx < bv[..., None], pair_bits, 0), axis=-1)
-
+    bits, bv = _t15_sweep(mag, sign_neg, gstart, iso, use_pallas)
     evaluated = (k == 0) | (gains < 255)
     return {
         "mag": mag,
@@ -1268,14 +1285,34 @@ def rate_loop_precompute_strict(
     part2: jax.Array = None,
     block: jax.Array = None,
     iso_short: bool = False,
+    use_pallas: bool = False,
 ) -> dict:
-    """Strict-entropy twin of rate_loop_precompute: candidate bit counts use
-    the spec-strict layout law instead of table-15-everything. Walk
-    semantics (gain grid, -40 retry, evaluated rule) are identical.
+    """Strict-entropy sweep: candidates priced by the cheap table-15 law
+    plus a per-granule strict-layout correction (round-3 walk respec).
+
+    The round-2 law evaluated the FULL strict layout at all 20 gains
+    (lax.map over strict_layout_device) — ~2.3x the compat step. The walk
+    law is this framework's own (no reference parity exists for strict
+    mode), so it is respecified: candidate k is priced
+        priced(k) = t15_bits(k) + delta + part2,
+        delta     = strict_bits(gstart) - t15_bits(gstart),
+    i.e. the exact strict cost at the walk's start gain, carried as a
+    constant offset across the grid (strict savings grow mildly with gain,
+    so pricing is near-exact at k=0 and slightly conservative-to-optimistic
+    above; selection matches the old law's within about one 4-unit step).
+    Only strict_finalize computes the full layout, at the ONE selected
+    gain; part2_3_length and the reservoir byte accounting use those
+    ACTUAL bits (see the pipeline's two-scan split). The sweep then costs
+    what compat costs (the Pallas kernel applies) plus one quantize + one
+    strict layout.
+
+    Walk semantics (gain grid, -40 retry, evaluated rule) are the
+    reference walk's, unchanged.
 
     mag_scale/part2 (real_scalefactors): per-coefficient 2^(0.75*sf)
     magnitude amplification, and the granule's scalefactor bits added to
-    every candidate's bit count (part2 rides inside part2_3_length).
+    every candidate's priced bit count (part2 rides inside
+    part2_3_length).
 
     iso_short (options.iso_short_blocks, needs block [...] int32):
     switching granules' quantizer inputs are permuted into the ISO
@@ -1309,32 +1346,37 @@ def rate_loop_precompute_strict(
     k = jnp.arange(N_GAIN_CANDIDATES, dtype=jnp.int32)
     gains = gstart[..., None] + 4 * k
 
-    # lax.map over the gain axis: the layout body (region bounds, 5 length
-    # LUT trees, both count1 alignments) is large HLO — unrolling it 20x
-    # made XLA compile times pathological on v5e; mapping compiles it once.
-    # A fused Pallas kernel for the full strict law was built and measured
-    # SLOWER (bit-exact, +57 ms/step vs lax.map's +29 over compat at
-    # 128x64): the strict law needs ~14 cross-lane reductions per gain
-    # (last-nonzero scans, 3 region maxima x 2 pair families, 4 count1
-    # sums) and Mosaic's cross-lane reduction cost dominates — removing 8
-    # of its 10 length-LUT trees recovered only 4.5 ms. See git history
-    # (strict_sweep_pallas) before retrying.
-    def _one_gain(kk):
-        q_k = quantize_at_gains(mag, sign_neg, (gstart + 4 * kk)[..., None], iso=iso)[
-            ..., 0, :
-        ]
-        lay_k = strict_layout_device(
-            q_k, sample_rate, is_long, count1_coding, region_table_select
+    # Exact strict bits at STRICT_ANCHORS of the grid, piecewise-linear
+    # integer interpolation between them (floor division — golden twin:
+    # reference.quantize_to_fit_budget_strict uses the identical law).
+    # lax.map compiles the layout body once (unrolling it made XLA compile
+    # times pathological on v5e — see round-2 notes); 6 evaluations instead
+    # of round 2's 20 is where the strict step's 2.3x overhead went.
+    def _one_anchor(a):
+        g_a = jnp.minimum(gstart + 4 * a, 255)
+        q_a = quantize_at_gains(mag, sign_neg, g_a[..., None], iso=iso)[..., 0, :]
+        lay_a = strict_layout_device(
+            q_a, sample_rate, is_long, count1_coding, region_table_select
         )
-        return lay_k["bits"], lay_k["bv"]
+        return lay_a["bits"]
 
-    bits_k, bv_k = jax.lax.map(_one_gain, k)  # [20, ...]
-    perm = tuple(range(1, bits_k.ndim)) + (0,)
-    lay = {
-        "bits": jnp.transpose(bits_k, perm),
-        "bv": jnp.transpose(bv_k, perm),
-    }
-    bits = lay["bits"]
+    s_anchor = jax.lax.map(
+        _one_anchor, jnp.asarray(STRICT_ANCHORS, dtype=jnp.int32)
+    )  # [n_anchor, ...]
+    anchor_bits = jnp.moveaxis(s_anchor, 0, -1)  # [..., n_anchor]
+    cols = []
+    for kk in range(N_GAIN_CANDIDATES):
+        i = _anchor_segment(kk)
+        a, b = STRICT_ANCHORS[i], STRICT_ANCHORS[i + 1]
+        sa = anchor_bits[..., i]
+        sb = anchor_bits[..., i + 1]
+        if kk == a:
+            cols.append(sa)
+        elif kk == b:
+            cols.append(sb)
+        else:
+            cols.append(sa + ((sb - sa) * (kk - a)) // (b - a))
+    bits = jnp.stack(cols, axis=-1)
     if part2 is not None:
         bits = bits + part2[..., None]
     evaluated = (k == 0) | (gains < 255)
@@ -1343,8 +1385,7 @@ def rate_loop_precompute_strict(
         "sign_neg": sign_neg,
         "gstart": gstart,
         "k_budget": k_budget.astype(jnp.int32),
-        "bits": bits,
-        "bv": lay["bv"],
+        "bits": bits.astype(jnp.int32),
         "evaluated": evaluated,
         "iso": iso,
         "strict": (sample_rate, count1_coding, region_table_select),
