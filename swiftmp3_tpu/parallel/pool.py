@@ -30,11 +30,18 @@ the device normalizes by 1/32768, which is exact in float32, so bytes are
 identical to the float path). The reference has no equivalent (its sessions
 are one-stream objects; see SURVEY §5 "long-context streaming").
 
-Known limitation: step() runs upload -> compute -> render synchronously;
-it does not software-pipeline the next chunk's upload under the current
-step the way bench.py/encode_batch do (the next chunk's contents depend on
-this step's lane recycling). On a PCIe host the upload is ~2 ms and this
-doesn't bind.
+step() software-pipelines one chunk deep by default (pipelined=True): the
+current chunk's upload+compute are DISPATCHED first (JAX dispatch is
+async), then the PREVIOUS chunk's outputs — by then finished or nearly so
+— are fetched, rendered, and its finished lanes recycled. Device compute,
+the host<->device transfers, and host rendering overlap across successive
+step() calls, like bench.py/encode_batch's 3-stage pipeline. The cost is
+one step of latency: a chunk's bytes (and done()/finished() flips) appear
+on the NEXT step() call, and a lane freed by a finishing stream is
+re-assigned one step later (the next chunk's contents depend on this
+step's lane recycling — the dependency that forced round 2's synchronous
+step). pipelined=False restores strictly synchronous semantics; bytes are
+identical either way (pinned by tests/test_pool.py).
 """
 
 from __future__ import annotations
@@ -116,10 +123,12 @@ class StreamPool:
         frames_per_step: int = 4,
         mesh=None,
         use_native: bool | None = None,
+        pipelined: bool = True,
     ):
         self.options = options if options is not None else MP3EncoderOptions()
         self.lanes = lanes
         self.T = frames_per_step
+        self.pipelined = pipelined
         self.enc = BatchEncoder(
             self.options, lanes, frames_per_step=frames_per_step, mesh=mesh,
             use_native=use_native,
@@ -129,6 +138,8 @@ class StreamPool:
         self._waiting: List[int] = []  # sids with no lane yet (FIFO)
         self._next_sid = 0
         self._n = SAMPLES_PER_FRAME * self.options.channels
+        # in-flight chunk awaiting drain: (outs, valid, active, finishing)
+        self._pending = None
 
     # ---- stream lifecycle -------------------------------------------------
 
@@ -196,7 +207,10 @@ class StreamPool:
         return build_xing_header(self.options, len(sizes), sum(sizes), sizes)
 
     def shutdown(self) -> None:
-        """Release the render thread pool (finished streams stay readable)."""
+        """Drain any in-flight chunk and release the render thread pool
+        (finished streams stay readable)."""
+        if self._pending is not None:
+            self._drain_pending()
         self.enc.close()
 
     def finished(self) -> List[int]:
@@ -213,8 +227,13 @@ class StreamPool:
 
     @property
     def idle(self) -> bool:
-        """True when no lane has work and nothing is waiting."""
-        return all(o is None for o in self._lane_owner) and not self._waiting
+        """True when no lane has work, nothing is waiting, and no chunk is
+        in flight."""
+        return (
+            all(o is None for o in self._lane_owner)
+            and not self._waiting
+            and self._pending is None
+        )
 
     # ---- scheduling -------------------------------------------------------
 
@@ -255,11 +274,12 @@ class StreamPool:
         return final, valid, consumed, finishing
 
     def step(self) -> int:
-        """Assign waiting streams to free lanes, run one device chunk, and
-        route rendered bytes to their streams; finished streams free their
-        lane (reset + recycle). Returns a progress count (frames encoded +
-        streams finished + lanes assigned); 0 means this step did nothing
-        and an identical next step would too."""
+        """Assign waiting streams to free lanes, dispatch one device chunk,
+        and (pipelined) drain the PREVIOUS chunk — routing its rendered
+        bytes and recycling its finished lanes — while the new chunk
+        computes. Returns a progress count (frames encoded + streams
+        finished + lanes assigned); 0 means this step did nothing and an
+        identical next step would too."""
         progress = self._assign_lanes()
         B, T, n = self.lanes, self.T, self._n
         active = [
@@ -283,19 +303,44 @@ class StreamPool:
             final[lane], valid[lane] = fin, val
             finishing[lane] = fini
 
-        rendered = None
-        if valid.any():
-            outs = self.enc.step(pcm, final, valid)
-            rendered = self.enc.drain(outs, valid)
+        outs = self.enc.step(pcm, final, valid) if valid.any() else None
 
-        reset_mask = np.zeros(B, dtype=bool)
+        # Drain the previous chunk AFTER dispatching this one: its device
+        # outputs are ready (or nearly), and the new chunk computes while
+        # the host fetches/renders. Its bytes precede this chunk's, so the
+        # per-stream byte order is unchanged.
+        if self._pending is not None:
+            progress += self._drain_pending()
+
+        if outs is not None:
+            # dispatched frames count as progress NOW (they drain next
+            # step under pipelining; counting at drain would make the
+            # first pipelined step look like a stall)
+            progress += int(valid.sum())
+            self._pending = (outs, valid, active, finishing)
+            if not self.pipelined:
+                progress += self._drain_pending()
+        elif any(finishing.values()):
+            # no device work this step, but closed streams whose buffers
+            # drained earlier still finish (previous chunk drained above,
+            # so the renderer state is complete)
+            progress += self._finish_lanes(active, finishing)
+        return progress
+
+    def _drain_pending(self) -> int:
+        outs, valid, active, finishing = self._pending
+        self._pending = None
+        rendered = self.enc.drain(outs, valid)
         for lane, s in active:
-            if rendered is not None:
-                s.out += rendered[lane]
-                nf = int(valid[lane].sum())
-                s.frames += nf
-                progress += nf
-            if finishing[lane]:
+            s.out += rendered[lane]
+            s.frames += int(valid[lane].sum())
+        return self._finish_lanes(active, finishing)
+
+    def _finish_lanes(self, active, finishing) -> int:
+        progress = 0
+        reset_mask = np.zeros(self.lanes, dtype=bool)
+        for lane, s in active:
+            if finishing.get(lane) and not s.done:
                 # the one-frame delay: flush the lane's buffered last frame
                 s.out += self._flush_lane(lane)
                 s.frame_sizes = list(self._lane_frame_sizes(lane))

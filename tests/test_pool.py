@@ -181,3 +181,48 @@ def test_pool_release_and_stall_detection():
     with pytest.raises(KeyError):
         pool.result(sid)
     pool.shutdown()
+
+
+def test_pool_pipelined_matches_synchronous():
+    """pipelined=True (default) defers each chunk's drain one step; the
+    emitted bytes, frame counts, and Xing headers must equal the strictly
+    synchronous pool's (and the per-stream sessions') exactly."""
+    opts = MP3EncoderOptions(mode=Mode.MONO, bitrate_kbps=96)
+    rng = np.random.default_rng(7)
+    lengths = [4 * 1152 + 300, 2 * 1152, 6 * 1152 + 900, 1152]
+    sigs = [_sig(rng, L, 1) for L in lengths]
+
+    results = {}
+    for pipelined in (False, True):
+        pool = StreamPool(opts, lanes=2, frames_per_step=2, pipelined=pipelined)
+        sids = [pool.submit() for _ in sigs]
+        for sid, sig in zip(sids, sigs):
+            pool.feed(sid, sig)
+            pool.close(sid)
+        pool.run_until_idle()
+        results[pipelined] = [
+            (pool.result(sid), pool.frame_count(sid), pool.xing_header(sid))
+            for sid in sids
+        ]
+        pool.shutdown()
+    assert results[False] == results[True]
+    for (data, frames, _), sig in zip(results[True], sigs):
+        assert data == _session_encode(opts, sig)
+        assert frames == len(parse_frames(data))
+
+
+def test_pool_pipelined_done_defers_one_step():
+    """A finishing chunk's results surface on the NEXT step (the in-flight
+    chunk drains after the following dispatch); idle stays False while a
+    chunk is pending."""
+    opts = MP3EncoderOptions(mode=Mode.MONO)
+    pool = StreamPool(opts, lanes=1, frames_per_step=4, pipelined=True)
+    sid = pool.submit()
+    pool.feed(sid, np.zeros(2 * 1152, dtype=np.float32))
+    pool.close(sid)
+    pool.step()  # dispatches the final chunk
+    assert not pool.done(sid) and not pool.idle  # in flight
+    pool.step()  # drains it
+    assert pool.done(sid)
+    assert pool.result(sid) == _session_encode(opts, np.zeros(2 * 1152, np.float32))
+    pool.shutdown()
