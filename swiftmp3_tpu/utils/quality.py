@@ -42,7 +42,10 @@ def _align(ref: np.ndarray, dec: np.ndarray, max_delay: int = 4096) -> int:
     # coarse-to-fine: correlation via FFT over the window
     seg = dec[: n + max_delay].astype(np.float64)
     corr = np.correlate(seg, r, mode="valid")
-    d = int(np.argmax(np.abs(corr)))
+    # SIGNED peak: abs() could lock onto a negative-correlation lag (e.g. a
+    # half period of a sine), which a unit-gain SNR then reads as -6 dB of
+    # phantom error; a genuinely sign-inverting decode SHOULD score badly.
+    d = int(np.argmax(corr))
     return d
 
 
@@ -51,8 +54,14 @@ def measure_quality(
     decoded: np.ndarray,
     sample_rate: int = 44100,
     n_bands: int = 6,
+    compensate_gain: bool = True,
 ) -> QualityReport:
-    """Gain-compensated SNR of `decoded` (mono 1-D) against `original`."""
+    """Gain-compensated SNR of `decoded` (mono 1-D) against `original`.
+
+    compensate_gain=False measures RAW unit-gain SNR (gain forced to 1.0):
+    the right metric for spec-strict streams, whose conforming decode is
+    unit-gain by construction — a level error then counts as error instead
+    of being absorbed by the least-squares gain."""
     original = np.asarray(original, dtype=np.float64).reshape(-1)
     decoded = np.asarray(decoded, dtype=np.float64).reshape(-1)
     d = _align(original, decoded)
@@ -62,7 +71,10 @@ def measure_quality(
     denom = float(ref @ ref)
     if denom <= 0:
         return QualityReport(np.inf, 0.0, d, [np.inf] * n_bands)
-    gain = float(dec @ ref) / float(dec @ dec) if dec @ dec > 0 else 1.0
+    if compensate_gain:
+        gain = float(dec @ ref) / float(dec @ dec) if dec @ dec > 0 else 1.0
+    else:
+        gain = 1.0
     err = ref - gain * dec
     snr = 10 * np.log10(denom / max(float(err @ err), 1e-30))
 
