@@ -442,6 +442,15 @@ def _long_sfd(sf: np.ndarray, bounds: np.ndarray) -> dict:
 # alpha = 1/2 of the mask gap per band (full equalization over-spends bits
 # on quiet bands), slope = 4 exponent units/band; +0.5..+1.5 dB SNR over
 # the peak-share law on tonal/speech-like signals, neutral on noise.
+#
+# Round-3 corpus sweep (tools/tune_psy.py; 5 classes x 16 frames at 96 kbps,
+# raw unit-gain SNR under the strict preset, conforming decode) CONFIRMED
+# these constants: mean SNR plateaus for slope >= 3 (20.60/20.68/20.68/20.69
+# at slope 3/4/6/8 with alpha=1/2) and alpha=1/2 beats 1/3 (+0.33 mean) and
+# 2/3 (+0.31); alpha=1 collapses speech by -10 dB (full equalization
+# overspends bits on quiet bands). vs the peak-share law: tonal +1.1,
+# speech +0.45, music -0.05, burst +0.38, noise -0.29 dB. Regression floors:
+# tests/test_spec_strict.py::test_psy_corpus_regression_floors.
 PSY_SLOPE = 4
 PSY_ALPHA_NUM, PSY_ALPHA_DEN = 1, 2
 

@@ -987,3 +987,36 @@ def test_flag_off_keeps_reference_mixed_signaling():
     assert switching
     assert all(k[3] == 0 for k in switching), kinds
     assert any(k[1] == 1 for k in switching), kinds  # reference mixed quirk
+
+
+def test_psy_corpus_regression_floors():
+    """Frozen psy-law constants, corpus-scale regression floors (round-3
+    sweep, tools/tune_psy.py — the sweep CONFIRMED slope=4, alpha=1/2 at
+    the plateau): raw unit-gain SNR floors per signal class at 96 kbps
+    under the strict preset + psy_scalefactors, and the tonal advantage
+    over the peak-share law that motivates the psy law. Floors are 1 dB
+    under the measured values on these deterministic signals."""
+    import sys
+
+    from swiftmp3_tpu.utils.quality import measure_quality
+
+    sys.path.insert(0, "tools")
+    from tune_psy import synth
+
+    n = 16 * 1152  # the sweep's length (SNR is length-sensitive on the
+    # enveloped speech signal)
+    base = MP3EncoderOptions.spec_strict(mode=Mode.MONO, bitrate_kbps=96)
+    psy = base.replace(psy_scalefactors=True)
+    floors = {"speech": 20.5, "tonal": 25.0, "noise": 7.5}
+    snrs = {}
+    for i, kind in enumerate(("speech", "tonal", "noise")):
+        pcm = synth(kind, n, 10 + {"speech": 0, "tonal": 2, "noise": 3}[kind])
+        for label, opts in (("psy", psy), ("peak", base)):
+            data = _encode(opts, pcm, "numpy")
+            dec = decode_mp3(data, iso_conventions=True)
+            q = measure_quality(pcm, dec.pcm[:, 0], 44100, compensate_gain=False)
+            snrs[(kind, label)] = q.snr_db
+        assert snrs[(kind, "psy")] > floors[kind], (kind, snrs)
+    # the psy law's reason to exist: a real tonal gain, bounded noise cost
+    assert snrs[("tonal", "psy")] > snrs[("tonal", "peak")] + 0.5, snrs
+    assert snrs[("noise", "psy")] > snrs[("noise", "peak")] - 0.8, snrs
