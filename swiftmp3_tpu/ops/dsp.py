@@ -1901,3 +1901,120 @@ def granule_scalefactors_device(
     out["part2"] = sel("part2", out["part2"])
     out["mag_scale"] = sel("mag_scale", out["mag_scale"])
     return out
+
+
+# --- Block-sparse MDCT experiment (round 3, VERDICT item 5) ------------------
+# The dense fold ([.., 576] @ [576, 1188]) is AT the fp32 matmul wall while
+# wasting ~16-33x FLOPs vs the per-subband block structure. This variant
+# exploits the structure in pure XLA: transpose the granule to subband-major
+# [.., 32, 36] (prev||cur on the minor axis), then ONE [36, 18] matmul per
+# law with the aliasing butterflies folded as a block-TRIDIAGONAL law
+# (neighbor subbands contribute through shifted copies), output landing
+# directly in the natural (sb*18 + m) layout. Same nonzero terms as the
+# dense fold, so values agree to summation-tree ULPs.
+
+
+def _build_blocksparse_mats() -> dict:
+    """[36, 18] f32 blocks from the same float64 pieces as the dense fold:
+    unaliased long (U), short (S), and the long law's tridiagonal aliasing
+    blocks (U @ A_delta for neighbor offsets -1/0/+1; interior-subband law,
+    edges corrected by strip selection in the caller)."""
+    W36 = np.asarray(LONG_WINDOW, dtype=np.float64)
+    ML = np.asarray(LONG_MDCT_MATRIX, dtype=np.float64)
+    SW = np.asarray(SHORT_WINDOW, dtype=np.float64)
+    MS = np.asarray(SHORT_MDCT_MATRIX, dtype=np.float64)
+    U = np.einsum("t,mt->tm", W36, ML) / 9.0  # [36, 18] combined-t x m
+
+    Sb = np.zeros((36, 18))
+    for w in range(3):
+        for j in range(12):
+            u = 6 * w + 6 + j
+            for m in range(6):
+                Sb[u, 3 * m + w] += SW[j] * MS[m, j] / 3.0
+
+    cs = np.asarray(ALIASING_CS, dtype=np.float64)
+    ca = np.asarray(ALIASING_CA, dtype=np.float64)
+    # interior-subband aliasing blocks over the m-index space:
+    # out[sb, m] = sum_{m'} unal[sb, m']*A0[m', m]
+    #            + unal[sb-1, m']*Am1[m', m] + unal[sb+1, m']*Ap1[m', m]
+    A0 = np.eye(18)
+    Am1 = np.zeros((18, 18))
+    Ap1 = np.zeros((18, 18))
+    for j in range(8):
+        A0[17 - j, 17 - j] = cs[j]  # upper strip (boundary above)
+        A0[j, j] = cs[j]  # lower strip (boundary below)
+        Am1[17 - j, j] = -ca[j]  # neighbor below's upper -> our lower
+        Ap1[j, 17 - j] = ca[j]  # neighbor above's lower -> our upper
+    f32 = lambda x: jnp.asarray(x.astype(np.float32))  # noqa: E731
+    return {
+        "U": f32(U),
+        "S": f32(Sb),
+        "T0": f32(U @ A0),
+        "Tm1": f32(U @ Am1),
+        "Tp1": f32(U @ Ap1),
+    }
+
+
+_BS_MATS = None
+
+
+def mdct_chunk_blocksparse(
+    S: jax.Array,
+    overlap: jax.Array,
+    block_type: jax.Array,
+    iso_mixed_alias: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Drop-in twin of mdct_chunk computing the block-sparse formulation.
+    Values equal the dense fold's to summation-tree ULPs (same nonzero
+    terms, different grouping) — A/B the full step before adopting."""
+    global _BS_MATS
+    if _BS_MATS is None:
+        _BS_MATS = _build_blocksparse_mats()
+    M = _BS_MATS
+    lead = S.shape[:-2]
+    n_gran = S.shape[-2] // 18
+    flat = S.reshape(*lead, n_gran, 576)
+    signed = flat * _SIGN_FLAT
+    ext = jnp.concatenate([overlap[..., None, :], signed], axis=-2)
+    prev = jax.lax.slice_in_dim(ext, 0, n_gran, axis=-2)
+    cur = jax.lax.slice_in_dim(ext, 1, n_gran + 1, axis=-2)
+
+    # the explicit relayout: (t, sb) -> (sb, t); prev||cur on the minor axis
+    def to_sb_major(x):  # [..., G, 576] -> [..., G, 32, 18]
+        return jnp.swapaxes(x.reshape(*lead, n_gran, 18, 32), -1, -2)
+
+    X = jnp.concatenate([to_sb_major(prev), to_sb_major(cur)], axis=-1)
+    # [..., G, 32, 36]
+
+    mm = lambda a, b: jnp.matmul(a, b, precision=_HIGHEST)  # noqa: E731
+    unal = mm(X, M["U"])  # [..., G, 32, 18]
+    short = mm(X, M["S"])
+    tri = mm(X, M["T0"])
+    # neighbor contributions through sb-shifted copies (zero-padded edges)
+    zpad = jnp.zeros((*lead, n_gran, 1, 36), dtype=X.dtype)
+    X_below = jnp.concatenate([zpad, X[..., :-1, :]], axis=-2)
+    X_above = jnp.concatenate([X[..., 1:, :], zpad], axis=-2)
+    tri = tri + mm(X_below, M["Tm1"]) + mm(X_above, M["Tp1"])
+
+    # edge strips: sb=0's lower 8 and sb=31's upper 8 have no boundary, so
+    # the interior law's cs scaling must revert to the unaliased values
+    m_idx = jnp.arange(18)
+    sb_idx = jnp.arange(SUBBANDS)[:, None]
+    edge_low = (sb_idx == 0) & (m_idx < 8)
+    edge_high = (sb_idx == SUBBANDS - 1) & (m_idx >= 10)
+    aliased = jnp.where(edge_low | edge_high, unal, tri)
+
+    bt = block_type[..., None, None]  # [..., G, 1, 1]
+    out = jnp.where(bt == BLOCK_LONG, aliased, short)
+    if iso_mixed_alias:
+        # mixed: long head sb<2 with ONLY boundary 0 aliased = tridiagonal
+        # restricted: sb0 = aliased[0] (its upper strip is boundary 0; its
+        # lower edge-corrected); sb1 = boundary-0 lower strip + unaliased
+        # upper strip
+        sb1_mix = jnp.where((m_idx >= 10), unal[..., 1:2, :], aliased[..., 1:2, :])
+        head = jnp.concatenate([aliased[..., 0:1, :], sb1_mix], axis=-2)
+    else:
+        head = unal[..., 0:2, :]  # reference law: no aliasing for mixed
+    mixed = jnp.concatenate([head, short[..., 2:, :]], axis=-2)
+    out = jnp.where(bt == BLOCK_MIXED, mixed, out)
+    return out.reshape(*lead, n_gran, 576).astype(_F32), signed

@@ -184,3 +184,30 @@ def test_mdct_fold_matches_stepwise():
     assert float(np.abs(np.asarray(out_a) - np.asarray(out_b)).max()) <= 1e-5 * max(
         scale, 1.0
     )
+
+
+def test_mdct_blocksparse_matches_fold():
+    """The block-sparse MDCT experiment (round-3 negative result, kept as a
+    tested twin — see ARCHITECTURE.md): values must match the dense fold to
+    summation-tree ULPs for every block-type mix, both aliasing laws."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swiftmp3_tpu.ops import dsp
+
+    rng = np.random.default_rng(3)
+    G = 8
+    S = (rng.standard_normal((2, 2, 18 * G, 32)) * 0.1).astype(np.float32)
+    ov = (rng.standard_normal((2, 2, 576)) * 0.1).astype(np.float32)
+    bt = rng.integers(0, 3, (2, 2, G)).astype(np.int32)
+    for iso in (False, True):
+        a, sa = dsp.mdct_chunk(
+            jnp.asarray(S), jnp.asarray(ov), jnp.asarray(bt), iso_mixed_alias=iso
+        )
+        b, sb = dsp.mdct_chunk_blocksparse(
+            jnp.asarray(S), jnp.asarray(ov), jnp.asarray(bt), iso_mixed_alias=iso
+        )
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
