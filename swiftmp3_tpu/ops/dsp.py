@@ -1729,40 +1729,6 @@ def reorder_natural_to_stream(
     return jnp.concatenate(parts, axis=-1)
 
 
-def _short_slot_members(sample_rate: int) -> np.ndarray:
-    """[36, 576] bool: slot k covers which natural coefficients. Slot order
-    = transmission order: sfb-major, windows consecutive (sfb 0-5 at slen1,
-    6-11 at slen2)."""
-    bounds = _short_band_bounds(sample_rate)
-    nat = np.arange(576)
-    line, w = nat // 3, nat % 3
-    rows = []
-    for s in range(12):
-        for wi in range(3):
-            rows.append((line >= bounds[s]) & (line < bounds[s + 1]) & (w == wi))
-    return np.stack(rows)
-
-
-def _mixed_slot_members(sample_rate: int) -> np.ndarray:
-    """[35, 576] bool for mixed granules: 8 long-head bands (natural 0-35,
-    long band order) then short sfbs 3-11 x 3 windows."""
-    lb = np.concatenate([[0], np.cumsum(band_table(sample_rate))]).astype(np.int64)
-    nat = np.arange(576)
-    rows = [(nat >= lb[b]) & (nat < lb[b + 1]) for b in range(8)]
-    bounds = _short_band_bounds(sample_rate)
-    line, w = nat // 3, nat % 3
-    for s in range(3, 12):
-        for wi in range(3):
-            rows.append(
-                (line >= bounds[s]) & (line < bounds[s + 1]) & (w == wi) & (nat >= 36)
-            )
-    return np.stack(rows)
-
-
-_SHORT_MEMBERS = {sr: _short_slot_members(sr) for sr in (44100, 48000, 32000)}
-_MIXED_MEMBERS = {sr: _mixed_slot_members(sr) for sr in (44100, 48000, 32000)}
-
-
 def _finish_slots_device(
     sf_slots: jax.Array, n1_slots: int, n2_slots: int
 ) -> dict:
@@ -1804,38 +1770,83 @@ def _switching_sfd_device(spectrum: jax.Array, sample_rate: int, mixed: bool) ->
     """Short/mixed scalefactor law over every granule (selection by block
     type happens in granule_scalefactors_device). Twin of
     reference.short_scalefactors: sf = clip((ge - pe) // 3, 0, cap) per
-    slot, peak exponents via frexp (bit-exact vs numpy)."""
-    members = (_MIXED_MEMBERS if mixed else _SHORT_MEMBERS).get(
-        sample_rate, (_MIXED_MEMBERS if mixed else _SHORT_MEMBERS)[44100]
-    )
-    n_slots = members.shape[0]
-    n1_slots, n2_slots = (17, 18) if mixed else (18, 18)
-    caps = np.full(n_slots, 7, dtype=np.int32)
-    caps[:n1_slots] = 15
+    slot, peak exponents via frexp (bit-exact vs numpy).
+
+    Band peaks are SLICE maxima over the [..., 192, 3] (line, window) view
+    and mag_scale is built by broadcast+concat over the static band spans —
+    not masked maxes / where-chains over the full 576 per slot (71 of those
+    measured +13 ms/step at 128x64; f32 max is exact either way)."""
+    bounds = [int(b) for b in _short_band_bounds(sample_rate)]
+    lead = spectrum.shape[:-1]
     absx = jnp.abs(spectrum)
     gp = jnp.max(absx, axis=-1)
     _, ge = jnp.frexp(gp)
+    X3 = absx.reshape(*lead, 192, 3)
 
-    sfs = []
-    for k in range(n_slots):
-        pb = jnp.max(jnp.where(members[k], absx, 0.0), axis=-1)
-        _, pe = jnp.frexp(pb)
-        sf_k = jnp.clip((ge - pe) // 3, 0, int(caps[k]))
-        sfs.append(jnp.where((pb > 0) & (gp > 0), sf_k, 0).astype(jnp.int32))
-    sf_slots = jnp.stack(sfs, axis=-1)  # [..., n_slots]
+    def slot_sfs(pb_w, cap):
+        """pb_w [..., 3] band peaks per window -> 3 slot sfs (w order)."""
+        _, pe = jnp.frexp(pb_w)
+        sf_b = jnp.clip((ge[..., None] - pe) // 3, 0, cap)
+        return jnp.where((pb_w > 0) & (gp[..., None] > 0), sf_b, 0).astype(jnp.int32)
+
+    # per-(short band, window) peaks; bands 0-2 are covered by the long
+    # head for mixed granules
+    first_sfb = 3 if mixed else 0
+    short_pb = [
+        jnp.max(X3[..., bounds[s] : bounds[s + 1], :], axis=-2)
+        for s in range(12)
+    ]  # each [..., 3]
+
+    sf_parts = []
+    if mixed:
+        lbounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))])
+        for b in range(8):
+            pb = jnp.max(
+                absx[..., int(lbounds[b]) : int(lbounds[b + 1])], axis=-1
+            )
+            _, pe = jnp.frexp(pb)
+            sf_b = jnp.clip((ge - pe) // 3, 0, 15)
+            sf_parts.append(
+                jnp.where((pb > 0) & (gp > 0), sf_b, 0).astype(jnp.int32)[..., None]
+            )
+    for s in range(first_sfb, 12):
+        cap = 15 if s < 6 else 7
+        sf_parts.append(slot_sfs(short_pb[s], cap))
+    n1_slots, n2_slots = (17, 18) if mixed else (18, 18)
+    sf_slots = jnp.concatenate(sf_parts, axis=-1)  # [..., 35 or 36]
+    n_slots = sf_slots.shape[-1]
     if n_slots < SF_SLOTS:
-        pad = jnp.zeros(sf_slots.shape[:-1] + (SF_SLOTS - n_slots,), jnp.int32)
+        pad = jnp.zeros((*lead, SF_SLOTS - n_slots), jnp.int32)
         sf_slots = jnp.concatenate([sf_slots, pad], axis=-1)
     fin = _finish_slots_device(sf_slots, n1_slots, n2_slots)
 
-    mult = sf_mult34_lookup(sf_slots)  # [..., 36]
-    mag_scale = jnp.ones(spectrum.shape, dtype=jnp.float32)
-    for k in range(n_slots):
-        mag_scale = jnp.where(
-            members[k],
-            jnp.where(sf_slots[..., k : k + 1] > 0, mult[..., k : k + 1], 1.0),
-            mag_scale,
-        )
+    mult = sf_mult34_lookup(sf_slots)  # [..., 36], 1.0 at sf=0 exactly
+    # mag_scale by broadcast+concat over the static spans (line, window)
+    line_parts = []
+    if mixed:
+        # the long head (natural 0-35) handled separately below; line rows
+        # 0-11 get placeholders that the head concat overwrites
+        line_parts.append(jnp.ones((*lead, 12, 3), jnp.float32))
+    slot = n1_slots - 9 if mixed else 0  # index of first short band's slots
+    # (mixed: slots 8..16 are short sfbs 3-5; 8 = 17-9)
+    for s in range(first_sfb, 12):
+        width = bounds[s + 1] - bounds[s]
+        m3 = mult[..., slot : slot + 3]  # [..., 3] (w order)
+        line_parts.append(jnp.broadcast_to(m3[..., None, :], (*lead, width, 3)))
+        slot += 3
+    width_tail = 192 - bounds[12]
+    line_parts.append(jnp.ones((*lead, width_tail, 3), jnp.float32))
+    mag_scale = jnp.concatenate(line_parts, axis=-2).reshape(*lead, 576)
+    if mixed:
+        lbounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))])
+        head_parts = []
+        for b in range(8):
+            width = int(lbounds[b + 1]) - int(lbounds[b])
+            head_parts.append(
+                jnp.broadcast_to(mult[..., b : b + 1], (*lead, width))
+            )
+        head = jnp.concatenate(head_parts, axis=-1)  # [..., 36]
+        mag_scale = jnp.concatenate([head, mag_scale[..., 36:]], axis=-1)
     return {"sf_slots": sf_slots, "mag_scale": mag_scale, **fin}
 
 
