@@ -1179,14 +1179,18 @@ def strict_layout_device(
     is_long: jax.Array,
     count1_coding: bool,
     region_table_select: bool,
+    assume_abs: bool = False,
 ) -> dict:
     """Layout integers for quantized spectra [..., 576] (leading dims free).
 
     is_long: [...] bool (block_type == LONG), broadcastable against q's
     leading dims. Returns per-item: bv, n1, c1t, tid0/1/2, r0, r1, bits.
     Twin of reference.strict_entropy_layout (see its docstring for laws).
+    assume_abs: q is already nonnegative and <= 15 (the sweep passes
+    unsigned quantized magnitudes — the bit count is sign-invariant, so
+    the sweep skips applying and re-stripping signs).
     """
-    av = jnp.minimum(jnp.abs(q), 15)
+    av = q if assume_abs else jnp.minimum(jnp.abs(q), 15)
     pos = jnp.arange(1, 577, dtype=jnp.int32)
     l0c = jnp.max(jnp.where(av > 0, pos, 0), axis=-1)
     if count1_coding:
@@ -1353,10 +1357,17 @@ def rate_loop_precompute_strict(
     # times pathological on v5e — see round-2 notes); 6 evaluations instead
     # of round 2's 20 is where the strict step's 2.3x overhead went.
     def _one_anchor(a):
+        # unsigned quantize: bit counts are sign-invariant, so the sweep
+        # skips the sign apply + abs round trip (2 VPU ops x 576 x anchors)
         g_a = jnp.minimum(gstart + 4 * a, 255)
-        q_a = quantize_at_gains(mag, sign_neg, g_a[..., None], iso=iso)[..., 0, :]
+        lut = inv_step34_lookup if iso else inv_step_lookup
+        inv = lut(jnp.clip(g_a, 0, 255))
+        q_abs = jnp.minimum(
+            jnp.floor(mag * inv[..., None] + _F32(0.5)).astype(jnp.int32), 15
+        )
         lay_a = strict_layout_device(
-            q_a, sample_rate, is_long, count1_coding, region_table_select
+            q_abs, sample_rate, is_long, count1_coding, region_table_select,
+            assume_abs=True,
         )
         return lay_a["bits"]
 
