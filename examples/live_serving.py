@@ -34,12 +34,22 @@ def main() -> int:
     ap.add_argument("--streams", type=int, default=200)
     ap.add_argument("--seconds-mean", type=float, default=20.0)
     ap.add_argument("--arrivals-per-step", type=float, default=4.0)
+    ap.add_argument(
+        "--sync",
+        action="store_true",
+        help="disable the one-chunk-deep step pipeline (A/B baseline)",
+    )
     args = ap.parse_args()
 
     enable_compilation_cache()
     opts = MP3EncoderOptions(mode=Mode.STEREO, bitrate_kbps=128)
     sr = opts.sample_rate
-    pool = StreamPool(opts, lanes=args.lanes, frames_per_step=args.frames_per_step)
+    pool = StreamPool(
+        opts,
+        lanes=args.lanes,
+        frames_per_step=args.frames_per_step,
+        pipelined=not args.sync,
+    )
     rng = np.random.default_rng(0)
 
     def synth(n):
