@@ -1337,8 +1337,14 @@ def rate_loop_precompute_strict(
             x_m = reorder_natural_to_stream(x, sample_rate, mixed=True)
             return jnp.where(is_long_x, x, jnp.where(is_mixed_x, x_m, x_s))
 
-        mag = reorder_by_block(mag)
-        sign_neg = reorder_by_block(sign_neg)
+        # Ride the sign on mag's f32 sign bit so the slice/concat reorder
+        # (and its block-type select) runs ONCE instead of per array. Exact:
+        # mag >= 1e-10^0.75 > 0 always, so negate/abs round-trips the sign
+        # and `< 0` recovers sign_neg bit-for-bit.
+        signed_mag = jnp.where(sign_neg, -mag, mag)
+        signed_mag = reorder_by_block(signed_mag)
+        mag = jnp.abs(signed_mag)
+        sign_neg = signed_mag < 0
 
     g0 = jnp.clip(init_gain, 0, 255)
     q0 = quantize_at_gains(mag, sign_neg, g0[..., None], iso=iso)[..., 0, :]
