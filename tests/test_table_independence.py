@@ -154,3 +154,77 @@ def test_window_perfect_reconstruction():
 
 def test_window_copy_matches_encoder():
     np.testing.assert_array_equal(dec_tables.ISO_WINDOW, ENC_WINDOW)
+
+
+# --- Full ISO B.7 set extracted from libavcodec (decoder/_b7_data.py) ---------
+#
+# A THIRD independent copy of the spec data (ffmpeg's), machine-extracted by
+# tools/extract_b7_tables.py. Cross-checking it against the two in-repo
+# transcriptions makes any single-source error loud.
+
+from swiftmp3_tpu.decoder._b7_data import B7_COUNT1, B7_SELECT, B7_TABLES  # noqa: E402
+
+
+@pytest.mark.parametrize("tid", dec_tables.SUPPORTED_TABLE_IDS)
+def test_b7_matches_hand_transcription(tid):
+    """ffmpeg's copy of B.7 == the oracle's hand transcription, entry for
+    entry, on every table id both sources carry."""
+    dl, dc = dec_tables.huffman_arrays(tid)
+    side, entries = B7_TABLES[tid]
+    assert side == dl.shape[0]
+    assert len(entries) == side * side
+    for (x, y), (length, code) in entries.items():
+        assert (length, code) == (int(dl[x, y]), int(dc[x, y])), (tid, x, y)
+
+
+@pytest.mark.parametrize("tid", sorted(B7_TABLES))
+def test_b7_structurally_valid(tid):
+    """Every extracted table (including the linbits families 16/24 and the
+    REAL 10-13) is a complete prefix code."""
+    side, entries = B7_TABLES[tid]
+    lens = np.zeros((side, side), np.int32)
+    codes = np.zeros((side, side), np.int32)
+    for (x, y), (length, code) in entries.items():
+        lens[x, y], codes[x, y] = length, code
+    complete, prefix_free = _structural(lens, codes)
+    assert complete and prefix_free
+
+
+def test_b7_real_tables_10_13_differ_from_corrupt_reference_copies():
+    """The REAL ISO tables 10/13 (via ffmpeg) are valid prefix codes; the
+    reference's copies are corrupt (test above). Pin that they differ."""
+    for tid in (10, 13):
+        side, entries = B7_TABLES[tid]
+        et = HUFFMAN_TABLES[tid]
+        diffs = sum(
+            (length, code) != (int(et.lengths[x, y]), int(et.codes[x, y]))
+            for (x, y), (length, code) in entries.items()
+        )
+        assert diffs > 0, tid
+
+
+def test_b7_count1_matches_transcriptions():
+    """count1 table A == the oracle's transcription and the encoder's;
+    table B is the fixed 4-bit code 15-index law all three paths use."""
+    from swiftmp3_tpu.decoder.decoder import _COUNT1_A_CODES, _COUNT1_A_LENGTHS
+    from swiftmp3_tpu.tables.huffman import COUNT1A_CODE, COUNT1A_LEN
+
+    for i in range(16):
+        assert B7_COUNT1[0][i] == (_COUNT1_A_LENGTHS[i], _COUNT1_A_CODES[i])
+        assert B7_COUNT1[0][i] == (int(COUNT1A_LEN[i]), int(COUNT1A_CODE[i]))
+        assert B7_COUNT1[1][i] == (4, 15 - i)
+
+
+def test_b7_select_linbits_spot_anchors():
+    """table_select -> linbits mapping, spot-pinned against the published
+    ISO B.7 headers (tables 16-23 share pair table 16; 24-31 share 24)."""
+    assert B7_SELECT[0] == (None, 0)
+    assert B7_SELECT[4] == (None, 0) and B7_SELECT[14] == (None, 0)
+    assert [B7_SELECT[t] for t in range(16, 24)] == [
+        (16, 1), (16, 2), (16, 3), (16, 4), (16, 6), (16, 8), (16, 10), (16, 13)
+    ]
+    assert [B7_SELECT[t] for t in range(24, 32)] == [
+        (24, 4), (24, 5), (24, 6), (24, 7), (24, 8), (24, 9), (24, 11), (24, 13)
+    ]
+    for t in (1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15):
+        assert B7_SELECT[t] == (t, 0)
