@@ -1,9 +1,13 @@
 """MPEG-1 Layer III decoder (numpy, test oracle).
 
-Decodes the subset of MPEG-1 Layer III our encoder can emit (Huffman tables
-without linbits: 1,2,3,5,6,7,8,9,10,13,15; count1 table B) plus standard
-requantization/synthesis per ISO 11172-3. Scalefactor parsing supports the
-general slen table although the encoder always writes scalefac_compress=0.
+Decodes general MPEG-1 Layer III per ISO 11172-3: the complete B.7 Huffman
+set (including the linbits/ESC families 16-31 and the REAL tables 10-13 —
+extracted from libavcodec, see `_b7_data.py`; the reference's own copies of
+10/13 are corrupt and never emitted), count1 tables A and B, all four block
+types (long, start, short, stop; mixed blocks), preflag/pretab, scfsi, and
+full scalefactor parsing. This lets the oracle decode third-party streams
+(e.g. libmp3lame's) — validated behaviorally against the system libmpg123
+in tests/test_external.py — in addition to this framework's own output.
 """
 
 from __future__ import annotations
@@ -17,6 +21,7 @@ import numpy as np
 # copy fails the cross-check tests loudly instead of passing round-trips
 # silently (the reference gets this independence for free from AVFoundation,
 # SwiftMP3Tests.swift:653-660).
+from ._b7_data import B7_SELECT, B7_TABLES
 from .tables import (
     ALIASING_CA,
     ALIASING_CS,
@@ -64,36 +69,56 @@ class BitReader:
 
 
 def _decode_lut(table_id: int) -> dict:
-    lengths, codes = huffman_arrays(table_id)
-    lut = {}
-    n = lengths.shape[0]
-    for x in range(n):
-        for y in range(n):
-            lut[(int(lengths[x, y]), int(codes[x, y]))] = (x, y)
-    return lut
+    """(length, code) -> (x, y) from the complete extracted B.7 set."""
+    _, entries = B7_TABLES[table_id]
+    return {lc: xy for xy, lc in entries.items()}
 
 
-_DECODE_LUTS = {tid: _decode_lut(tid) for tid in SUPPORTED_TABLE_IDS}
-_MAX_CODE_LEN = 19
+_DECODE_LUTS = {tid: _decode_lut(tid) for tid in B7_TABLES}
+_MAX_CODE_LEN = 24
+
+# Consistency guard at import: the hand transcription (tables.py, used by
+# encoder-parity tests) and the extracted B.7 set must agree on every table
+# id both carry — a corruption in either source fails loudly here.
+for _tid in SUPPORTED_TABLE_IDS:
+    _hl, _hc = huffman_arrays(_tid)
+    _side, _entries = B7_TABLES[_tid]
+    assert _side == _hl.shape[0] and all(
+        (int(_hl[x, y]), int(_hc[x, y])) == lc for (x, y), lc in _entries.items()
+    ), f"B.7 table {_tid} mismatch between _b7_data and hand transcription"
+del _tid, _hl, _hc, _side, _entries
 
 
-def _huffman_decode_pair(r: BitReader, table_id: int) -> tuple[int, int]:
-    if table_id == 0:
+def _huffman_decode_pair(r: BitReader, table_select: int) -> tuple[int, int]:
+    """Decode one signed big-values pair for a table_select (0-31),
+    including the linbits escape of families 16-31 (ISO 2.4.3.4.6: value
+    15 is followed by `linbits` extra magnitude bits, then the sign)."""
+    pair_tid, linbits = B7_SELECT.get(table_select, (None, 0))
+    if pair_tid is None:
+        # 0 codes an all-zero region; 4/14 do not exist in B.7 (treated as
+        # zero, matching conformance-grade decoders' robust behavior)
         return 0, 0
-    if table_id not in _DECODE_LUTS:
-        # 10/13 are corrupt in the reference (non-prefix-free; see
-        # decoder/tables.py) and never emitted by this framework; 4/14 do
-        # not exist in ISO B.7.
-        raise ValueError(f"unsupported Huffman table_select {table_id}")
-    lut = _DECODE_LUTS[table_id]
+    lut = _DECODE_LUTS[pair_tid]
     code, length = 0, 0
+    xy = None
     while length <= _MAX_CODE_LEN:
         code = (code << 1) | r.read(1)
         length += 1
-        hit = lut.get((length, code))
-        if hit is not None:
-            return hit
-    raise ValueError(f"invalid Huffman code in table {table_id}")
+        xy = lut.get((length, code))
+        if xy is not None:
+            break
+    if xy is None:
+        raise ValueError(f"invalid Huffman code in table {pair_tid}")
+    x, y = xy
+    if x == 15 and linbits:
+        x += r.read(linbits)
+    if x and r.read(1):
+        x = -x
+    if y == 15 and linbits:
+        y += r.read(linbits)
+    if y and r.read(1):
+        y = -y
+    return x, y
 
 
 @dataclass
@@ -244,6 +269,12 @@ def _decode_granule_spectrum(
     bands = np.cumsum(band_table(sample_rate))
 
     if g.window_switching:
+        # ISO 2.4.2.7 implicit regions under window switching: region2 is
+        # empty; the region0/1 boundary is 36 lines (region0_count=8 for
+        # pure short blocks -> 9 (sfb,window) units of width 4 = 36;
+        # region0_count=7 for start/stop/mixed -> long bands 0-7 = 36 at
+        # all three MPEG-1 rates). Validated behaviorally against
+        # libmpg123 on libmp3lame streams carrying start/stop granules.
         region1_start = 36
         region2_start = 576
     else:
@@ -251,7 +282,7 @@ def _decode_granule_spectrum(
         r1 = g.region0_count + 1 + g.region1_count
         region2_start = int(bands[r1]) if r1 < 21 else 576
 
-    # big_values region
+    # big_values region (sign + linbits handled inside the pair decode)
     for i in range(0, g.big_values * 2, 2):
         if i < region1_start:
             tid = g.table_select[0]
@@ -260,12 +291,6 @@ def _decode_granule_spectrum(
         else:
             tid = g.table_select[2]
         x, y = _huffman_decode_pair(r, tid)
-        if x:
-            if r.read(1):
-                x = -x
-        if y:
-            if r.read(1):
-                y = -y
         if i < 576:
             q[i] = x
         if i + 1 < 576:
@@ -414,6 +439,17 @@ def _imdct_matrices():
 
 _LONG_M, _SHORT_M, _LONG_W, _SHORT_W = _imdct_matrices()
 
+# Transition windows (ISO 2.4.3.4.10.3). block_type 1 (start): long attack
+# half, flat top, short decay half, zero tail; block_type 3 (stop) is the
+# time mirror. Emitted by third-party encoders (lame) around transients;
+# this framework's encoder family jumps long<->short directly (reference
+# behavior) and never writes them.
+_START_W = _LONG_W.copy()
+_START_W[18:24] = 1.0
+_START_W[24:30] = _SHORT_W[6:12]
+_START_W[30:36] = 0.0
+_STOP_W = _START_W[::-1].copy()
+
 
 def _imdct_granule(xr: np.ndarray, g: GranuleSide, overlap: np.ndarray) -> np.ndarray:
     """Per-subband IMDCT + windowing + overlap-add; updates overlap in place.
@@ -430,7 +466,15 @@ def _imdct_granule(xr: np.ndarray, g: GranuleSide, overlap: np.ndarray) -> np.nd
             g.mixed_block_flag and sb < 2
         )
         if is_long:
-            x36 = (_LONG_M.T @ X) * _LONG_W
+            if g.window_switching and g.block_type == 1 and not (
+                g.mixed_block_flag and sb < 2
+            ):
+                w = _START_W
+            elif g.window_switching and g.block_type == 3:
+                w = _STOP_W
+            else:
+                w = _LONG_W
+            x36 = (_LONG_M.T @ X) * w
         else:
             x36 = np.zeros(36)
             for w in range(3):
