@@ -92,6 +92,25 @@ def measure_quality(
     return QualityReport(float(snr), gain, d, band_snr)
 
 
+def decode_agreement_snr(a: np.ndarray, b: np.ndarray) -> float:
+    """Raw SNR of decode `b` against decode `a` over their common prefix,
+    with NO alignment search: two decoders reading the SAME byte stream
+    start at the same sample by construction. (measure_quality's
+    correlation alignment can lock onto an arbitrary period multiple on
+    periodic content — a -130 dB agreement then reads as ~2 dB phantom
+    disagreement; this is the correct tool for decoder-vs-decoder.)"""
+    a = np.asarray(a, dtype=np.float64).reshape(-1)
+    b = np.asarray(b, dtype=np.float64).reshape(-1)
+    n = min(len(a), len(b))
+    if n == 0:
+        return np.inf
+    ref, err = a[:n], a[:n] - b[:n]
+    denom = float(ref @ ref)
+    if denom <= 0:
+        return np.inf if float(err @ err) == 0 else -np.inf
+    return 10 * np.log10(denom / max(float(err @ err), 1e-300))
+
+
 def encode_decode_quality(options, pcm: np.ndarray, backend: str = "numpy") -> QualityReport:
     """Convenience: encode `pcm` (mono) with `options`, decode with the
     oracle, and measure quality."""

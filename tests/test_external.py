@@ -29,7 +29,7 @@ from swiftmp3_tpu.utils.external import (
     lame_encode,
     mpg123_decode,
 )
-from swiftmp3_tpu.utils.quality import measure_quality
+from swiftmp3_tpu.utils.quality import decode_agreement_snr, measure_quality
 
 needs_mpg123 = pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
 needs_lame = pytest.mark.skipif(not have_lame(), reason="libmp3lame not available")
@@ -57,8 +57,9 @@ def _burst(n: int, seed: int = 7) -> np.ndarray:
 
 
 def _decode_snr(a: np.ndarray, b: np.ndarray) -> float:
-    """Raw (unit-gain) SNR of decode `b` against decode `a`, aligned."""
-    return measure_quality(a, b, compensate_gain=False).snr_db
+    """SNR of decode `b` against decode `a` of the SAME stream (no
+    alignment search — same-stream decodes start at the same sample)."""
+    return decode_agreement_snr(a, b)
 
 
 # ---------------------------------------------------------------- mpg123
@@ -159,10 +160,7 @@ def _lame_vs_oracle_snr(pcm, sample_rate=44100, kbps=128, mode=None):
     ext, rate = mpg123_decode(data)
     assert rate == sample_rate
     nch = min(dec.pcm.shape[1], ext.shape[1])
-    snrs = [
-        measure_quality(ext[:, c], dec.pcm[:, c], compensate_gain=False).snr_db
-        for c in range(nch)
-    ]
+    snrs = [decode_agreement_snr(ext[:, c], dec.pcm[:, c]) for c in range(nch)]
     return min(snrs), dec.frame_count
 
 

@@ -173,13 +173,23 @@ def test_fuzz_spec_strict_flags(trial):
             b.size, b.bitrate_kbps, b.padding, b.mode, b.crc_protected,
         ), (trial, psy, scfsi)
 
-    from swiftmp3_tpu.utils.quality import measure_quality
+    from swiftmp3_tpu.utils.external import have_mpg123, mpg123_decode
+    from swiftmp3_tpu.utils.quality import decode_agreement_snr, measure_quality
 
     for be, blob in outs.items():
         dec = decode_mp3(blob, iso_conventions=True)
         assert dec.frame_count == len(fb), (trial, be)
         assert dec.pcm.shape[0] == len(fb) * 1152, (trial, be)  # all decode
         assert np.all(np.isfinite(dec.pcm))
+        if have_mpg123():
+            # EXTERNAL cross-check on every strict draw: a conformance-grade
+            # third-party decoder must read the stream exactly like the
+            # oracle (float-precision agreement on the common prefix;
+            # mpg123's feed API may hold the tail frame back).
+            ext, _ = mpg123_decode(blob)
+            if ext.shape[0] > 1152:
+                agree = decode_agreement_snr(ext[:, 0], dec.pcm[:, 0])
+                assert agree > 90.0, (trial, be, agree)
         if float(np.abs(pcm).max()) > 0.05:
             mono_in = pcm[0::ch] if ch == 2 else pcm
             q = measure_quality(
