@@ -135,7 +135,10 @@ def main() -> None:
     t_strict = None
     if os.environ.get("BENCH_STRICT", "1") != "0":
         try:
-            strict_opts = MP3EncoderOptions.spec_strict(
+            # hq = spec_strict + linbits/psy/scfsi: the configuration that
+            # carries the quality story (bitrate-scaling fidelity); costs
+            # what spec_strict costs (same sweep architecture, wider caps)
+            strict_opts = MP3EncoderOptions.hq(
                 mode=Mode.STEREO, bitrate_kbps=128, sample_rate=44100
             )
             enc_s = BatchEncoder(strict_opts, B, frames_per_step=T)
@@ -176,7 +179,7 @@ def main() -> None:
         f"host render+fetch: {t_render*1e3:.1f} ms/step (overlapped); "
         f"B={B} T={T}"
         + (
-            f"; spec_strict compute: {audio_seconds / t_strict:.0f}x "
+            f"; hq (strict+linbits) compute: {audio_seconds / t_strict:.0f}x "
             f"({t_strict*1e3:.1f} ms/step)"
             if t_strict
             else ""
@@ -199,8 +202,8 @@ def main() -> None:
                 "device_compute_ms_per_step": round(t_comp * 1e3, 2),
                 **(
                     {
-                        "spec_strict_x_realtime": round(audio_seconds / t_strict, 1),
-                        "spec_strict_ms_per_step": round(t_strict * 1e3, 2),
+                        "hq_strict_x_realtime": round(audio_seconds / t_strict, 1),
+                        "hq_strict_ms_per_step": round(t_strict * 1e3, 2),
                     }
                     if t_strict
                     else {}

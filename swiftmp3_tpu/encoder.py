@@ -213,7 +213,10 @@ class GoldenBackend:
                                 block0 == ref.BLOCK_LONG,
                                 block == ref.BLOCK_LONG,
                             )
-                    gain0 = ref.compute_global_gain_scaled(spectrum, sfd["mag_scale"])
+                    gain0 = ref.compute_global_gain_scaled(
+                        spectrum, sfd["mag_scale"],
+                        target=ref.LINBITS_Q_TARGET if opts.linbits_tables else 15.0,
+                    )
                 else:
                     gain0 = ref.compute_global_gain(spectrum, iso=opts.iso_quantization)
                 self.vbr.update(gain0, ref.frame_energy(gsamples))
@@ -236,6 +239,7 @@ class GoldenBackend:
                         part2,
                         perm,
                         opts.iso_quantization,
+                        linbits=opts.linbits_tables,
                     )
                 else:
                     gain, q, bits = ref.quantize_to_fit_budget(
@@ -255,6 +259,7 @@ class GoldenBackend:
                     layout = ref.strict_entropy_layout(
                         q if perm is None else q[perm],
                         sr, block, opts.count1_coding, opts.region_table_select,
+                        linbits=opts.linbits_tables,
                     )
                     # walk respec: `bits` is the PRICED value (budget law);
                     # part2_3_length and the real reservoir use the ACTUAL

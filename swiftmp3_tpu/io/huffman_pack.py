@@ -15,7 +15,9 @@ import numpy as np
 
 from ..tables import TABLE15_CODE, TABLE15_LEN
 
-_MAX_CHUNK_BITS = 15  # table-15 max codeword length 13 + 2 sign bits
+# Table-15 pairs need 15 bits (13-bit codeword + 2 signs); linbits pairs
+# (options.linbits_tables, 24-family ESC) need up to 12 + 2*13 + 2 = 40.
+_MAX_CHUNK_BITS = 40
 _BIT_COLS = np.arange(_MAX_CHUNK_BITS, dtype=np.int32)[None, :]
 
 

@@ -44,6 +44,7 @@ import numpy as np
 
 from ..io.framing import FrameResult
 from ..io.sideinfo import GranuleInfo
+from ..ops.reference import LINBITS_Q_TARGET
 from ..options import MP3EncoderOptions, Mode, SAMPLES_PER_FRAME
 from ..tables import bitrate_index, bitrate_value, mode_bits
 from ..ops import dsp
@@ -203,7 +204,10 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     psy=options.psy_scalefactors,
                     iso_short=options.iso_short_blocks,
                 )
-                g0 = dsp.initial_gain_scaled(spectra, sfd["mag_scale"])
+                g0 = dsp.initial_gain_scaled(
+                    spectra, sfd["mag_scale"],
+                    target=LINBITS_Q_TARGET if options.linbits_tables else 15.0,
+                )
                 mag_scale, part2 = sfd["mag_scale"], sfd["part2"]
                 if options.scfsi:
                     # granule 1 skips retransmitting groups equal to granule
@@ -228,6 +232,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 part2=part2,
                 block=block_b,
                 iso_short=options.iso_short_blocks,
+                linbits=options.linbits_tables,
             )
         else:
             sfd = scfsi_nib = sf_write = None
@@ -302,6 +307,12 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     usable, jnp.maximum(c["prev_slot"] - c["stream_len"], 0) * 8
                 )
             bits_per_granule = (slot * 8 + usable) // n_gran
+            if options.linbits_tables:
+                # part2_3_length is a 12-bit field; ESC coding can genuinely
+                # reach it at high bitrates (the t15 cap never does), and
+                # selecting past it would wrap the side info (golden twin
+                # clamps identically in quantize_to_fit_budget_strict)
+                bits_per_granule = jnp.minimum(bits_per_granule, 4095)
 
             k_sel, has_fit, bits_sel = dsp.rate_loop_select(
                 bits_k, evaluated, k_budget, bits_per_granule[:, None]
@@ -415,7 +426,9 @@ def make_chunk_fn(options: MP3EncoderOptions):
             region0_b, region1_b = lay["r0"], lay["r1"]
             ts0_b, ts1_b, ts2_b = lay["tid0"], lay["tid1"], lay["tid2"]
             c1t_b = lay["c1t"]
-            chunks, nb = dsp.strict_chunks_device(quantized, lay)
+            chunks, nb = dsp.strict_chunks_device(
+                quantized, lay, linbits=options.linbits_tables
+            )
             if sfd is not None:
                 # scalefactor bits lead each granule's main_data (part2)
                 sf_chunks, sf_nbits = dsp.scalefactor_chunks_device(sfd, sf_write)

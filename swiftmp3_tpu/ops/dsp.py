@@ -171,15 +171,22 @@ _SIXTEENTH = (2.0 ** (np.arange(16) / 16.0)).astype(np.float32)  # 2^(r/16)
 _INV_STEP34_FLOOR = float(np.float64(0.0001) ** -0.75)  # == 1000.0 in f32
 
 
-def inv_step34_lookup(gains: jax.Array) -> jax.Array:
+def inv_step34_lookup(gains: jax.Array, floor: bool = True) -> jax.Array:
     """float32 step^-0.75 for integer gains in [0, 255], gather-free
-    (exactness vs the float64-built table validated at import/test time)."""
+    (exactness vs the float64-built table validated at import/test time).
+
+    floor=False drops the reference's 1e-4 step floor (gain < 157 regime)
+    — the pure ISO step the linbits law quantizes with (twin:
+    reference.ISO_INV_STEP34_NOFLOOR; the floor would bake a level error
+    into streams decoded with the true 2^((g-210)/4))."""
     e = -3 * (gains - 210)
     q = e >> 4
     r = e - (q << 4)  # 0..15
     c = _select_tree(r, _SIXTEENTH.view(np.uint32), 0, 16)
     invc = jax.lax.bitcast_convert_type(c, jnp.float32)
     val = jnp.ldexp(invc, q).astype(jnp.float32)
+    if not floor:
+        return val
     return jnp.where(gains < 157, jnp.float32(_INV_STEP34_FLOOR), val)
 
 
@@ -191,6 +198,12 @@ def validate_gather_free_lookups() -> None:
     assert np.array_equal(got, _INV_STEP_TABLE_NP), "inv_step_lookup mismatch"
     got34 = np.asarray(inv_step34_lookup(jnp.asarray(g)))
     assert np.array_equal(got34, _INV_STEP34_NP), "inv_step34_lookup mismatch"
+    from .reference import ISO_INV_STEP34_NOFLOOR
+
+    got34nf = np.asarray(inv_step34_lookup(jnp.asarray(g), floor=False))
+    assert np.array_equal(
+        got34nf, ISO_INV_STEP34_NOFLOOR
+    ), "inv_step34_lookup(floor=False) mismatch"
     idx = np.arange(256, dtype=np.int32)
     got_len = np.asarray(t15_length_lookup(jnp.asarray(idx)))
     assert np.array_equal(got_len, TABLE15_LEN), "t15_length_lookup mismatch"
@@ -603,23 +616,32 @@ def big_values_from_quantized(q: jax.Array) -> jax.Array:
 
 
 def quantize_at_gains(
-    mag: jax.Array, sign_neg: jax.Array, gains: jax.Array, iso: bool = False
+    mag: jax.Array,
+    sign_neg: jax.Array,
+    gains: jax.Array,
+    iso: bool = False,
+    qcap: int = 15,
+    floor: bool = True,
 ) -> jax.Array:
     """Quantize |x|^0.75 magnitudes at several gains.
 
     mag: [..., 576] precomputed max(|x|,1e-10)^0.75 (shared across gains —
     the reference recomputes the pow every iteration, but it is
     gain-independent); sign_neg: [..., 576] bool; gains: [..., K] int32.
-    Returns q [..., K, 576] int32 (signed, clamped to +-15).
+    Returns q [..., K, 576] int32 (signed, clamped to +-qcap).
 
     iso=True multiplies by step^-0.75 instead of step^-1 — the unit-gain law
     (q = (|x|/step)^(3/4), options.iso_quantization); mag is unchanged since
-    (|x|/step)^(3/4) = |x|^(3/4) * step^(-3/4).
+    (|x|/step)^(3/4) = |x|^(3/4) * step^(-3/4). qcap/floor: the linbits law
+    passes QCAP_LINBITS and floor=False (pure ISO step; see
+    inv_step34_lookup).
     """
-    lut = inv_step34_lookup if iso else inv_step_lookup
-    inv = lut(jnp.clip(gains, 0, 255))  # [..., K], gather-free
+    if iso:
+        inv = inv_step34_lookup(jnp.clip(gains, 0, 255), floor=floor)
+    else:
+        inv = inv_step_lookup(jnp.clip(gains, 0, 255))
     scaled = mag[..., None, :] * inv[..., :, None]
-    q = jnp.minimum(jnp.floor(scaled + _F32(0.5)).astype(jnp.int32), 15)
+    q = jnp.minimum(jnp.floor(scaled + _F32(0.5)).astype(jnp.int32), qcap)
     return jnp.where(sign_neg[..., None, :], -q, q)
 
 
@@ -1054,6 +1076,7 @@ from ..tables import (  # noqa: E402  (late import keeps the hot-path header tid
     COUNT1A_CODE,
     COUNT1A_LEN,
     HUFFMAN_TABLES,
+    QCAP_LINBITS,
 )
 
 _STRICT_TIDS = (1, 2, 5, 7)  # + 15 (existing LUTs); table_for_max order
@@ -1084,6 +1107,10 @@ def _pack_halfwords(values: np.ndarray) -> np.ndarray:
 _PAIR_CODE_WORDS = {
     tid: _pack_halfwords(_padded_table_flat(tid, "codes")) for tid in _STRICT_TIDS
 }
+# linbits family shared pair table (ids 24-31; options.linbits_tables).
+# Max code length 12 -> nibble-packable like the others.
+_T24_LEN_WORDS = _pack_nibbles(_padded_table_flat(24, "lengths"))
+_T24_CODE_WORDS = _pack_halfwords(_padded_table_flat(24, "codes"))
 _COUNT1A_LEN_WORDS = _pack_nibbles(COUNT1A_LEN.astype(np.uint32))
 _COUNT1A_CODE_WORDS = _pack_nibbles(COUNT1A_CODE.astype(np.uint32))
 
@@ -1094,26 +1121,57 @@ def _code_lookup(words: np.ndarray, idx: jax.Array) -> jax.Array:
     return ((word >> shift) & 0xFFFF).astype(jnp.int32)
 
 
-def _table_for_max_device(m: jax.Array) -> jax.Array:
-    """tables.table_for_max, vectorized: 0,1,2,5,7,15 by region max."""
-    return jnp.where(
+def _table_for_max_device(m: jax.Array, linbits: bool = False) -> jax.Array:
+    """tables.table_for_max, vectorized: 0,1,2,5,7,15 by region max; with
+    linbits, maxima above 15 select the smallest covering 24-family id
+    (twin of tables.linbits_table_for_max)."""
+    base = jnp.where(
         m == 0,
         0,
         jnp.where(
             m <= 1, 1, jnp.where(m <= 2, 2, jnp.where(m <= 3, 5, jnp.where(m <= 5, 7, 15)))
         ),
     ).astype(jnp.int32)
+    if not linbits:
+        return base
+    e = m - 15  # needs bit_length(e) linbits; family widths 4,5,6,7,8,9,11,13
+    esc = jnp.where(
+        e <= 15,
+        24,
+        jnp.where(
+            e <= 31,
+            25,
+            jnp.where(
+                e <= 63,
+                26,
+                jnp.where(
+                    e <= 127, 27, jnp.where(e <= 255, 28, jnp.where(e <= 511, 29, jnp.where(e <= 2047, 30, 31)))
+                ),
+            ),
+        ),
+    ).astype(jnp.int32)
+    return jnp.where(m <= 15, base, esc)
 
 
-def _pair_len_by_tid(tid: jax.Array, idx: jax.Array) -> jax.Array:
-    """Code length of pair `idx` (= ax*16+ay) under per-pair table id `tid`
-    (0 -> 0 bits)."""
+def _linbits_of_tid(tid: jax.Array) -> jax.Array:
+    """linbits width per table id (0 for the classic tables; ids 24-29 map
+    to tid-20, 30 -> 11, 31 -> 13 per the ISO B.7 headers)."""
+    return jnp.where(
+        tid < 24,
+        0,
+        jnp.where(tid <= 29, tid - 20, jnp.where(tid == 30, 11, 13)),
+    ).astype(jnp.int32)
+
+
+def _pair_len_by_tid(tid: jax.Array, idx: jax.Array, linbits: bool = False) -> jax.Array:
+    """Code length of pair `idx` (= min(ax,15)*16+min(ay,15)) under per-pair
+    table id `tid` (0 -> 0 bits; ids >= 24 share table 24's lengths)."""
     l15 = t15_length_lookup(idx)
     l1 = _nibble_lookup(_PAIR_LEN_WORDS[1], idx)
     l2 = _nibble_lookup(_PAIR_LEN_WORDS[2], idx)
     l5 = _nibble_lookup(_PAIR_LEN_WORDS[5], idx)
     l7 = _nibble_lookup(_PAIR_LEN_WORDS[7], idx)
-    return jnp.where(
+    out = jnp.where(
         tid == 0,
         0,
         jnp.where(
@@ -1122,15 +1180,19 @@ def _pair_len_by_tid(tid: jax.Array, idx: jax.Array) -> jax.Array:
             jnp.where(tid == 2, l2, jnp.where(tid == 5, l5, jnp.where(tid == 7, l7, l15))),
         ),
     )
+    if linbits:
+        l24 = _nibble_lookup(_T24_LEN_WORDS, idx)
+        out = jnp.where(tid >= 24, l24, out)
+    return out
 
 
-def _pair_code_by_tid(tid: jax.Array, idx: jax.Array) -> jax.Array:
+def _pair_code_by_tid(tid: jax.Array, idx: jax.Array, linbits: bool = False) -> jax.Array:
     c15 = t15_code_lookup(idx)
     c1 = _code_lookup(_PAIR_CODE_WORDS[1], idx)
     c2 = _code_lookup(_PAIR_CODE_WORDS[2], idx)
     c5 = _code_lookup(_PAIR_CODE_WORDS[5], idx)
     c7 = _code_lookup(_PAIR_CODE_WORDS[7], idx)
-    return jnp.where(
+    out = jnp.where(
         tid == 0,
         0,
         jnp.where(
@@ -1139,6 +1201,10 @@ def _pair_code_by_tid(tid: jax.Array, idx: jax.Array) -> jax.Array:
             jnp.where(tid == 2, c2, jnp.where(tid == 5, c5, jnp.where(tid == 7, c7, c15))),
         ),
     )
+    if linbits:
+        c24 = _code_lookup(_T24_CODE_WORDS, idx)
+        out = jnp.where(tid >= 24, c24, out)
+    return out
 
 
 _BOUNDS_BY_SR = {
@@ -1180,17 +1246,21 @@ def strict_layout_device(
     count1_coding: bool,
     region_table_select: bool,
     assume_abs: bool = False,
+    linbits: bool = False,
 ) -> dict:
     """Layout integers for quantized spectra [..., 576] (leading dims free).
 
     is_long: [...] bool (block_type == LONG), broadcastable against q's
     leading dims. Returns per-item: bv, n1, c1t, tid0/1/2, r0, r1, bits.
     Twin of reference.strict_entropy_layout (see its docstring for laws).
-    assume_abs: q is already nonnegative and <= 15 (the sweep passes
+    assume_abs: q is already nonnegative and capped (the sweep passes
     unsigned quantized magnitudes — the bit count is sign-invariant, so
-    the sweep skips applying and re-stripping signs).
+    the sweep skips applying and re-stripping signs). linbits: |values|
+    above 15 select 24-family ESC tables; per-pair bits gain the region's
+    linbits width per escaped member (requires region_table_select).
     """
-    av = q if assume_abs else jnp.minimum(jnp.abs(q), 15)
+    cap = QCAP_LINBITS if linbits else 15
+    av = q if assume_abs else jnp.minimum(jnp.abs(q), cap)
     pos = jnp.arange(1, 577, dtype=jnp.int32)
     l0c = jnp.max(jnp.where(av > 0, pos, 0), axis=-1)
     if count1_coding:
@@ -1223,7 +1293,7 @@ def strict_layout_device(
         tids = []
         for r in range(3):
             sel = jnp.where((region == r) & valid, m_pair, 0)
-            tids.append(_table_for_max_device(jnp.max(sel, axis=-1)))
+            tids.append(_table_for_max_device(jnp.max(sel, axis=-1), linbits=linbits))
         tids[2] = jnp.where(is_long, tids[2], 0)
     else:
         shape = bv.shape
@@ -1234,9 +1304,17 @@ def strict_layout_device(
         tids[0][..., None],
         jnp.where(region == 1, tids[1][..., None], tids[2][..., None]),
     )
-    idx = x * 16 + y
-    plen = _pair_len_by_tid(tid_pair, idx)
+    if linbits:
+        idx = jnp.minimum(x, 15) * 16 + jnp.minimum(y, 15)
+    else:
+        idx = x * 16 + y
+    plen = _pair_len_by_tid(tid_pair, idx, linbits=linbits)
     psign = (x != 0).astype(jnp.int32) + (y != 0).astype(jnp.int32)
+    if linbits:
+        lb_pair = _linbits_of_tid(tid_pair)
+        plen = plen + lb_pair * (
+            (x >= 15).astype(jnp.int32) + (y >= 15).astype(jnp.int32)
+        )
     pair_bits = jnp.sum(
         jnp.where(valid & (tid_pair != 0), plen + psign, 0), axis=-1
     )
@@ -1290,6 +1368,7 @@ def rate_loop_precompute_strict(
     block: jax.Array = None,
     iso_short: bool = False,
     use_pallas: bool = False,
+    linbits: bool = False,
 ) -> dict:
     """Strict-entropy sweep: candidates priced by the cheap table-15 law
     plus a per-granule strict-layout correction (round-3 walk respec).
@@ -1362,18 +1441,22 @@ def rate_loop_precompute_strict(
     # lax.map compiles the layout body once (unrolling it made XLA compile
     # times pathological on v5e — see round-2 notes); 6 evaluations instead
     # of round 2's 20 is where the strict step's 2.3x overhead went.
+    qcap = QCAP_LINBITS if linbits else 15
+
     def _one_anchor(a):
         # unsigned quantize: bit counts are sign-invariant, so the sweep
         # skips the sign apply + abs round trip (2 VPU ops x 576 x anchors)
         g_a = jnp.minimum(gstart + 4 * a, 255)
-        lut = inv_step34_lookup if iso else inv_step_lookup
-        inv = lut(jnp.clip(g_a, 0, 255))
+        if iso:
+            inv = inv_step34_lookup(jnp.clip(g_a, 0, 255), floor=not linbits)
+        else:
+            inv = inv_step_lookup(jnp.clip(g_a, 0, 255))
         q_abs = jnp.minimum(
-            jnp.floor(mag * inv[..., None] + _F32(0.5)).astype(jnp.int32), 15
+            jnp.floor(mag * inv[..., None] + _F32(0.5)).astype(jnp.int32), qcap
         )
         lay_a = strict_layout_device(
             q_abs, sample_rate, is_long, count1_coding, region_table_select,
-            assume_abs=True,
+            assume_abs=True, linbits=linbits,
         )
         return lay_a["bits"]
 
@@ -1407,6 +1490,7 @@ def rate_loop_precompute_strict(
         "iso": iso,
         "strict": (sample_rate, count1_coding, region_table_select),
         "is_long": is_long,
+        "linbits": linbits,
     }
 
 
@@ -1416,26 +1500,38 @@ def strict_finalize(
     """Re-quantize at the selected gains and compute the final layout
     integers. Returns (gain_reported, quantized, layout)."""
     sample_rate, count1_coding, region_table_select = pre["strict"]
+    linbits = pre.get("linbits", False)
     gains_sel = pre["gstart"] + 4 * k_sel
     q_sel = quantize_at_gains(
-        pre["mag"], pre["sign_neg"], gains_sel[..., None], iso=pre["iso"]
+        pre["mag"], pre["sign_neg"], gains_sel[..., None], iso=pre["iso"],
+        qcap=QCAP_LINBITS if linbits else 15, floor=not linbits,
     )[..., 0, :]
     lay = strict_layout_device(
-        q_sel, sample_rate, pre["is_long"], count1_coding, region_table_select
+        q_sel, sample_rate, pre["is_long"], count1_coding, region_table_select,
+        linbits=linbits,
     )
     gain_out = jnp.where(has_fit, gains_sel, jnp.minimum(gains_sel + 4, 255))
     return gain_out.astype(jnp.int32), q_sel, lay
 
 
-def strict_chunks_device(q: jax.Array, lay: dict) -> tuple[jax.Array, jax.Array]:
+def strict_chunks_device(
+    q: jax.Array, lay: dict, linbits: bool = False
+) -> tuple[jax.Array, jax.Array]:
     """Per-slot (chunk, nbits) for the strict layout.
 
     q: [..., 576] int32; lay: strict_layout_device's output for q. Returns
     chunk/nbits [..., 432]: 288 pair slots then 144 quad slots per granule
     (write order = ascending position), nbits 0 outside [0, bv) pairs / the
     count1 quad range. Feed straight into pack_main_data.
+
+    linbits: each pair becomes THREE interleaved slots (code | xlin+xsign |
+    ylin+ysign), [..., 864] + 144 quad slots — a full ESC pair needs up to
+    12+13+1 + 13+1 = 40 bits, but pack_main_data's halfword scatter caps a
+    slot at 15 bits (chunk << (32-s-nbits) must fit two halfwords), so the
+    pair splits at the ISO field boundaries instead (max slot 14 bits).
     """
-    av = jnp.minimum(jnp.abs(q), 15)
+    cap = QCAP_LINBITS if linbits else 15
+    av = jnp.minimum(jnp.abs(q), cap)
     x = av[..., 0::2]
     y = av[..., 1::2]
     sx = (q[..., 0::2] < 0).astype(jnp.int32)
@@ -1454,17 +1550,43 @@ def strict_chunks_device(q: jax.Array, lay: dict) -> tuple[jax.Array, jax.Array]
     )
     valid = (pairpos < bv2[..., None]) & (tid_pair != 0)
 
-    idx = x * 16 + y
-    code = _pair_code_by_tid(tid_pair, idx)
-    nbits = _pair_len_by_tid(tid_pair, idx)
-    has_x = x != 0
-    chunk = jnp.where(has_x, (code << 1) | sx, code)
-    nbits = nbits + has_x.astype(jnp.int32)
-    has_y = y != 0
-    chunk = jnp.where(has_y, (chunk << 1) | sy, chunk)
-    nbits = nbits + has_y.astype(jnp.int32)
-    pair_chunks = jnp.where(valid, chunk, 0)
-    pair_nbits = jnp.where(valid, nbits, 0)
+    if linbits:
+        idx = jnp.minimum(x, 15) * 16 + jnp.minimum(y, 15)
+        code = _pair_code_by_tid(tid_pair, idx, linbits=True)
+        clen = _pair_len_by_tid(tid_pair, idx, linbits=True)
+        lb = _linbits_of_tid(tid_pair)
+        has_x = (x != 0).astype(jnp.int32)
+        has_y = (y != 0).astype(jnp.int32)
+        esc_x = ((x >= 15) & (lb > 0)).astype(jnp.int32)
+        esc_y = ((y >= 15) & (lb > 0)).astype(jnp.int32)
+        slot_a = jnp.where(valid, code, 0)
+        nbits_a = jnp.where(valid, clen, 0)
+        chunk_b = jnp.where(esc_x == 1, ((x - 15) << has_x) | (sx * has_x), sx * has_x)
+        nbits_b = esc_x * lb + has_x
+        chunk_c = jnp.where(esc_y == 1, ((y - 15) << has_y) | (sy * has_y), sy * has_y)
+        nbits_c = esc_y * lb + has_y
+        slot_b = jnp.where(valid, chunk_b, 0)
+        nbits_b = jnp.where(valid, nbits_b, 0)
+        slot_c = jnp.where(valid, chunk_c, 0)
+        nbits_c = jnp.where(valid, nbits_c, 0)
+        pair_chunks = jnp.stack([slot_a, slot_b, slot_c], axis=-1).reshape(
+            *slot_a.shape[:-1], 864
+        )
+        pair_nbits = jnp.stack([nbits_a, nbits_b, nbits_c], axis=-1).reshape(
+            *slot_a.shape[:-1], 864
+        )
+    else:
+        idx = x * 16 + y
+        code = _pair_code_by_tid(tid_pair, idx)
+        nbits = _pair_len_by_tid(tid_pair, idx)
+        has_x = x != 0
+        chunk = jnp.where(has_x, (code << 1) | sx, code)
+        nbits = nbits + has_x.astype(jnp.int32)
+        has_y = y != 0
+        chunk = jnp.where(has_y, (chunk << 1) | sy, chunk)
+        nbits = nbits + has_y.astype(jnp.int32)
+        pair_chunks = jnp.where(valid, chunk, 0)
+        pair_nbits = jnp.where(valid, nbits, 0)
 
     # count1 quads: positions align + 4j, align = bv2 & 2; both alignments
     # computed statically, selected per item.
@@ -1646,13 +1768,16 @@ def psy_scalefactors_device(
     return _sf_finish_device(sf, members, spectrum)
 
 
-def initial_gain_scaled(spectrum: jax.Array, mag_scale: jax.Array) -> jax.Array:
+def initial_gain_scaled(
+    spectrum: jax.Array, mag_scale: jax.Array, target: float = 15.0
+) -> jax.Array:
     """ISO-law initial gain from scalefactor-scaled magnitudes (twin of
-    reference.compute_global_gain_scaled)."""
+    reference.compute_global_gain_scaled; target = LINBITS_Q_TARGET under
+    options.linbits_tables)."""
     absv = jnp.maximum(jnp.abs(spectrum), _F32(1e-10))
     mag = jnp.power(absv, _F32(0.75)) * mag_scale
     peak_pow = jnp.max(mag, axis=-1)
-    ratio = peak_pow / _F32(15.0)
+    ratio = peak_pow / _F32(target)
     safe_ratio = jnp.maximum(ratio, _F32(1e-30))
     gain = 210 + jnp.trunc(_F32(16.0 / 3.0) * jnp.log2(safe_ratio)).astype(jnp.int32)
     gain = jnp.clip(gain, 0, 255)

@@ -212,6 +212,23 @@ def _iso_inv_step34_table() -> np.ndarray:
 ISO_INV_STEP34 = _iso_inv_step34_table()
 
 
+def _iso_inv_step34_nofloor_table() -> np.ndarray:
+    """step^-0.75 WITHOUT the reference's 1e-4 step floor. The floor is a
+    reference quirk (MP3Encoder.swift:808's max) that only engages below
+    gain 157 — unreachable under the table-15 peak->15 initial gain, but
+    squarely in the linbits law's working range (peak->2048 sits ~38 units
+    finer). Quantizing with a floored step while decoders divide by the
+    true 2^((g-210)/4) would bake a level error into the stream (measured:
+    2^2.46 too quiet end-to-end), so the linbits law uses the pure ISO
+    step everywhere."""
+    g = np.arange(256, dtype=np.float64)
+    step = 2.0 ** ((g - 210.0) / 4.0)
+    return (step ** -0.75).astype(np.float32)
+
+
+ISO_INV_STEP34_NOFLOOR = _iso_inv_step34_nofloor_table()
+
+
 def quantize_with_gain(
     spectral: np.ndarray, global_gain: int, iso: bool = False
 ) -> np.ndarray:
@@ -716,6 +733,7 @@ def quantize_to_fit_budget_strict(
     part2: int,
     perm,
     iso: bool,
+    linbits: bool = False,
 ) -> tuple[int, np.ndarray, int]:
     """Strict-entropy gain walk, round-3 respec (golden spec; device twin:
     dsp.rate_loop_precompute_strict + rate_loop_select).
@@ -736,7 +754,20 @@ def quantize_to_fit_budget_strict(
     mag_scale: per-coefficient magnitude amplification (real_scalefactors;
     implies the iso law) or None. perm: ISO 2.4.3.4.8 stream permutation
     for switching granules under iso_short_blocks, or None.
+
+    linbits (options.linbits_tables): quantized magnitudes are capped at
+    QCAP_LINBITS instead of 15 (the caller's initial gain targets
+    LINBITS_Q_TARGET via compute_global_gain_scaled), the layout codes ESC
+    values with the 24-family tables, and the budget is clamped to 4095
+    (the part2_3_length field is 12 bits; selecting beyond it would wrap
+    the side info and desync every decoder — unreachable under the
+    table-15 cap, reachable with ESC coding at high bitrates).
     """
+    from ..tables import QCAP_LINBITS
+
+    qcap = QCAP_LINBITS if linbits else 15
+    if linbits:
+        max_bits = min(max_bits, 4095)
     spectral = np.asarray(spectral, dtype=np.float32)
     absv = np.maximum(np.abs(spectral), np.float32(1e-10))
     mag = absv ** np.float32(0.75)
@@ -746,18 +777,21 @@ def quantize_to_fit_budget_strict(
 
     def quantize(gain: int) -> np.ndarray:
         gain = min(max(int(gain), 0), 255)
-        if iso or mag_scale is not None:
+        if linbits:
+            inv = ISO_INV_STEP34_NOFLOOR[gain]  # no 1e-4 floor (see table)
+        elif iso or mag_scale is not None:
             inv = ISO_INV_STEP34[gain]
         else:
             step = np.float32(max(2.0 ** ((gain - 210) / 4.0), 0.0001))
             inv = np.float32(1.0) / step
-        q = np.minimum(np.floor(mag * inv + np.float32(0.5)).astype(np.int64), 15)
+        q = np.minimum(np.floor(mag * inv + np.float32(0.5)).astype(np.int64), qcap)
         return np.where(sign_neg, -q, q).astype(np.int32)
 
     def strict_bits(q: np.ndarray) -> int:
         qs = q if perm is None else q[perm]
         return strict_entropy_layout(
-            qs, sample_rate, block_type, count1_coding, region_table_select
+            qs, sample_rate, block_type, count1_coding, region_table_select,
+            linbits=linbits,
         )["part23_bits"]
 
     g0 = min(max(int(initial_gain), 0), 255)
@@ -800,17 +834,29 @@ def quantize_to_fit_budget_strict(
     return gain_k, quantize(gain_k), priced
 
 
-def compute_global_gain_scaled(spectrum: np.ndarray, mag_scale: np.ndarray) -> int:
+# Initial-gain quantized-peak target under linbits_tables: the walk starts
+# ~38 gain units finer than the table-15 law's peak->15 target (each unit
+# scales q by 2^(3/16)) and coarsens only as far as the budget requires.
+# 2048 leaves 4x headroom to QCAP_LINBITS (8206) for scalefactor
+# amplification + rounding, and keeps budget fits within the 20-candidate
+# walk grid at every CBR rate (the grid spans 76 units).
+LINBITS_Q_TARGET = 2048.0
+
+
+def compute_global_gain_scaled(
+    spectrum: np.ndarray, mag_scale: np.ndarray, target: float = 15.0
+) -> int:
     """Initial gain from the scaled magnitude peak (iso law, multiplier
-    16/3): the smallest gain whose quantized peak is <= 15 after the
-    per-band scalefactor amplification."""
+    16/3): the smallest gain whose quantized peak is <= `target` after the
+    per-band scalefactor amplification (15 = the table-15 law;
+    LINBITS_Q_TARGET under options.linbits_tables)."""
     spectral = np.asarray(spectrum, dtype=np.float32)
     absv = np.maximum(np.abs(spectral), np.float32(1e-10))
     mag = (absv ** np.float32(0.75)) * mag_scale.astype(np.float32)
     peak_pow = np.float32(mag.max()) if len(mag) else np.float32(0)
     if np.float32(np.abs(spectral).max() if len(spectral) else 0) <= 0:
         return 210
-    ratio = peak_pow / np.float32(15.0)
+    ratio = peak_pow / np.float32(target)
     if ratio <= 0:
         return 210
     gain = 210 + int(np.trunc((16.0 / 3.0) * np.log2(np.float64(ratio))))
@@ -826,6 +872,7 @@ def strict_entropy_layout(
     block_type: int,
     count1_coding: bool,
     region_table_select: bool,
+    linbits: bool = False,
 ) -> dict:
     """ISO-conforming entropy layout of one granule's quantized spectrum.
 
@@ -847,14 +894,23 @@ def strict_entropy_layout(
     switching granules use the fixed 36/576 split with only two selects.
     With the flag off, every region uses table 15 (reference behavior).
 
+    linbits (options.linbits_tables): |values| above 15 are legal (up to
+    QCAP_LINBITS); a region whose max exceeds 15 selects the smallest
+    24-family ESC table (tables/huffman.linbits_table_for_max) and codes
+    each value >= 15 as symbol 15 + linbits raw bits of (|v|-15) + sign
+    (ISO 2.4.3.4.6 bit order: xcode, xlin, xsign, ylin, ysign within the
+    pair chunk). With the flag off, callers quantize with |q| <= 15 and
+    nothing changes.
+
     Returns dict: big_values, n_count1, count1table_select, table_select
     (3-tuple), region0, region1, part23_bits, chunks, nbits (the packer
     inputs, pair slots then quad slots, already masked).
     """
-    from ..tables import COUNT1A_CODE, COUNT1A_LEN, HUFFMAN_TABLES, table_for_max
+    from ..tables import COUNT1A_CODE, COUNT1A_LEN, HUFFMAN_TABLES
+    from ..tables import linbits_table_for_max, table_for_max
 
     q = np.asarray(q, dtype=np.int64)
-    av = np.minimum(np.abs(q), 15)
+    av = np.abs(q) if linbits else np.minimum(np.abs(q), 15)
     nz = np.nonzero(av)[0]
     l0c = int(nz[-1]) + 1 if nz.size else 0
     if count1_coding:
@@ -887,16 +943,26 @@ def strict_entropy_layout(
 
     if region_table_select:
         tids = []
+        lbs = []
         m_pair = np.maximum(x, y)
         for r in range(3):
             sel = m_pair[region == r]
-            tids.append(table_for_max(int(sel.max()) if sel.size else 0))
+            m = int(sel.max()) if sel.size else 0
+            if linbits:
+                tid, lb = linbits_table_for_max(m)
+            else:
+                tid, lb = table_for_max(m), 0
+            tids.append(tid)
+            lbs.append(lb)
         if block_type != BLOCK_LONG:
             tids[2] = 0  # not read by decoders; not emitted
+            lbs[2] = 0
     else:
         tids = [15, 15, 15]
+        lbs = [0, 0, 0]
 
-    # pair chunks under each region's table
+    # pair chunks under each region's table (ESC regions append linbits
+    # extensions per ISO 2.4.3.4.6: code, xlin, xsign, ylin, ysign)
     sx = (q[0:bv2:2] < 0).astype(np.int64)
     sy = (q[1:bv2:2] < 0).astype(np.int64)
     pair_chunks = np.zeros(bv, dtype=np.int64)
@@ -905,12 +971,25 @@ def strict_entropy_layout(
         mask = region == r
         if not np.any(mask) or tids[r] == 0:
             continue
-        t = HUFFMAN_TABLES[tids[r]]
-        code = t.codes[x[mask], y[mask]].astype(np.int64)
-        nbits = t.lengths[x[mask], y[mask]].astype(np.int64)
+        # ids 24-31 share pair table 24 (only the linbits width differs)
+        t = HUFFMAN_TABLES[24 if tids[r] >= 24 else tids[r]]
+        lb = lbs[r]
+        xs = np.minimum(x[mask], 15)
+        ys = np.minimum(y[mask], 15)
+        code = t.codes[xs, ys].astype(np.int64)
+        nbits = t.lengths[xs, ys].astype(np.int64)
+        chunk = code
+        if lb:
+            esc_x = x[mask] >= 15
+            chunk = np.where(esc_x, (chunk << lb) | (x[mask] - 15), chunk)
+            nbits = nbits + esc_x * lb
         has_x = x[mask] != 0
-        chunk = np.where(has_x, (code << 1) | sx[mask], code)
+        chunk = np.where(has_x, (chunk << 1) | sx[mask], chunk)
         nbits = nbits + has_x
+        if lb:
+            esc_y = y[mask] >= 15
+            chunk = np.where(esc_y, (chunk << lb) | (y[mask] - 15), chunk)
+            nbits = nbits + esc_y * lb
         has_y = y[mask] != 0
         chunk = np.where(has_y, (chunk << 1) | sy[mask], chunk)
         nbits = nbits + has_y

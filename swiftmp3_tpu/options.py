@@ -153,6 +153,17 @@ class MP3EncoderOptions:
     #   mid/side reconstruction to frames that actually carry L/R —
     #   garbling the stereo image whenever the per-frame decision flips.
     iso_mode_ext: bool = False
+    # linbits_tables: code big-values regions whose max |q| exceeds 15 with
+    #   the ISO B.7 24-family ESC tables (symbol 15 + linbits raw magnitude
+    #   bits + sign) instead of capping |q| at 15. The reference's table-15
+    #   cap makes decoded SNR saturate at a bitrate-INDEPENDENT ceiling
+    #   (~21-27 dB: 320 kbps decodes identically to 128 kbps once the
+    #   budget is loose); with linbits the initial gain targets a much
+    #   finer quantization (peak |q| ~ 2048) and the gain walk coarsens
+    #   only as far as the budget requires, so quality scales with bitrate
+    #   like any modern encoder's. Requires the strict entropy layout
+    #   (count1_coding + region_table_select) and real_scalefactors.
+    linbits_tables: bool = False
 
     def __post_init__(self):
         # Quality is clamped, not rejected (MP3Encoder.swift:110).
@@ -186,6 +197,14 @@ class MP3EncoderOptions:
                 "2^sf amplification needs the scalefac_scale=1 unit-gain "
                 "cancellation)"
             )
+        if self.linbits_tables and not (
+            self.count1_coding and self.region_table_select and self.real_scalefactors
+        ):
+            raise ValueError(
+                "linbits_tables requires count1_coding + region_table_select "
+                "+ real_scalefactors (ESC regions ride the strict per-region "
+                "table selection and the scaled-magnitude gain law)"
+            )
 
     @property
     def channels(self) -> int:
@@ -216,6 +235,24 @@ class MP3EncoderOptions:
         )
         base.update(kwargs)
         return cls(**base)
+
+    @classmethod
+    def hq(cls, **kwargs) -> "MP3EncoderOptions":
+        """High-quality preset: spec_strict plus the quality extensions the
+        reference never had — linbits ESC coding (quality scales with
+        bitrate) and scfsi sharing. psy_scalefactors stays OFF here: its
+        constants were tuned for the table-15 regime, where amplifying
+        masked-away bands was nearly free (coarse steps round the amplified
+        leakage to 0-1); under the linbits law's fine quantization the same
+        amplification buys real bits of spectral leakage and measures -0.1
+        to -2.9 dB on the corpus (-20 dB on adversarial two-tone content).
+        Retune before re-enabling. kwargs override any field."""
+        base = dict(
+            linbits_tables=True,
+            scfsi=True,
+        )
+        base.update(kwargs)
+        return cls.spec_strict(**base)
 
     def replace(self, **kwargs) -> "MP3EncoderOptions":
         return replace(self, **kwargs)

@@ -37,10 +37,15 @@ from .huffman import (
     COUNT1A_CODE,
     COUNT1A_LEN,
     HUFFMAN_TABLES,
+    LINBITS_24,
+    QCAP_LINBITS,
     SELECT_TABLE_IDS,
     TABLE15_CODE,
     TABLE15_LEN,
+    TABLE24_CODE,
+    TABLE24_LEN,
     HuffmanTable,
+    linbits_table_for_max,
     table_for_max,
 )
 
@@ -67,6 +72,11 @@ __all__ = [
     "TABLE15_CODE",
     "TABLE15_LEN",
     "table_for_max",
+    "linbits_table_for_max",
+    "LINBITS_24",
+    "QCAP_LINBITS",
+    "TABLE24_CODE",
+    "TABLE24_LEN",
     "band_count",
     "band_table",
     "bitrate_index",

@@ -89,3 +89,44 @@ def table_for_max(max_value: int) -> int:
         if max_value <= mv:
             return tid
     return 15
+
+
+# --- linbits (ESC) family, ISO Table B.7 tables 16-31 -------------------------
+# Pair tables 16 and 24 with per-id linbits extensions: a symbol of 15 is
+# followed by `linbits` raw magnitude bits coding (|value| - 15), then the
+# sign. The reference carries none of these (its law caps |q| at 15 —
+# MP3Encoder.swift:808 clamps to the table-15 domain — which caps decoded
+# SNR at a bitrate-INDEPENDENT ceiling). options.linbits_tables breaks that
+# ceiling; data machine-extracted from libavcodec (tools/extract_b7_tables.py),
+# validated against the decoder's independent copy + libmpg123 behaviorally.
+from ._linbits_data import (  # noqa: E402
+    TABLE16_CODES,
+    TABLE16_LENGTHS,
+    TABLE24_CODES,
+    TABLE24_LENGTHS,
+)
+
+HUFFMAN_TABLES[16] = _big(16, TABLE16_LENGTHS, TABLE16_CODES)
+HUFFMAN_TABLES[24] = _big(24, TABLE24_LENGTHS, TABLE24_CODES)
+
+TABLE24_LEN = HUFFMAN_TABLES[24].lengths.reshape(-1).copy()
+TABLE24_CODE = HUFFMAN_TABLES[24].codes.reshape(-1).copy()
+
+# table_select -> linbits for the 24-family (ISO B.7 headers); the encoder
+# uses only this family for ESC regions (flat code lengths suit large
+# values; max codeword 12 bits keeps device pack slots narrow).
+LINBITS_24 = (4, 5, 6, 7, 8, 9, 11, 13)
+QCAP_LINBITS = 15 + (1 << 13) - 1  # 8206: table 31's max codable |value|
+
+
+def linbits_table_for_max(max_value: int) -> tuple[int, int]:
+    """(table_id, linbits) for a big-values region under the linbits law:
+    classic smallest-table choice for max <= 15, else the smallest
+    24-family id whose linbits extension covers (max - 15)."""
+    if max_value <= 15:
+        return table_for_max(max_value), 0
+    need = int(max_value - 15).bit_length()
+    for i, lb in enumerate(LINBITS_24):
+        if lb >= need:
+            return 24 + i, lb
+    return 31, 13

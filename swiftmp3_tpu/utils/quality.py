@@ -32,21 +32,33 @@ class QualityReport:
         )
 
 
-def _align(ref: np.ndarray, dec: np.ndarray, max_delay: int = 4096) -> int:
-    """Find the decoder delay by cross-correlation on a window."""
+def _align(
+    ref: np.ndarray, dec: np.ndarray, max_delay: int = 4096, unit_gain: bool = False
+) -> int:
+    """Find the decoder delay minimizing the resulting error energy.
+
+    The objective matches the SNR that will be measured: with unit_gain,
+    argmin_d ||ref - dec_d||^2 = argmax_d (2*corr(d) - ||dec_d||^2); with
+    the least-squares gain, argmax_d corr(d)^2 / ||dec_d||^2. A bare
+    correlation peak (the old law) can land one period off on periodic
+    content — the peaks are nearly equal there while the SNR at the true
+    delay is tens of dB higher — and stays SIGNED either way: a
+    sign-inverting decode SHOULD score badly."""
     n = min(len(ref), len(dec) - max_delay, 44100)
     if n <= 0:
         return 0
     r = ref[:n].astype(np.float64)
-    best, best_d = -np.inf, 0
-    # coarse-to-fine: correlation via FFT over the window
     seg = dec[: n + max_delay].astype(np.float64)
     corr = np.correlate(seg, r, mode="valid")
-    # SIGNED peak: abs() could lock onto a negative-correlation lag (e.g. a
-    # half period of a sine), which a unit-gain SNR then reads as -6 dB of
-    # phantom error; a genuinely sign-inverting decode SHOULD score badly.
-    d = int(np.argmax(corr))
-    return d
+    e = np.concatenate([[0.0], np.cumsum(seg * seg)])
+    energy = e[n:] - e[:-n]  # ||dec[d:d+n]||^2 for each candidate d
+    if unit_gain:
+        score = 2.0 * corr - energy
+    else:
+        score = np.where(corr > 0, corr * corr / np.maximum(energy, 1e-30), -np.inf)
+        if not np.isfinite(score).any():
+            score = corr
+    return int(np.argmax(score))
 
 
 def measure_quality(
@@ -64,7 +76,7 @@ def measure_quality(
     of being absorbed by the least-squares gain."""
     original = np.asarray(original, dtype=np.float64).reshape(-1)
     decoded = np.asarray(decoded, dtype=np.float64).reshape(-1)
-    d = _align(original, decoded)
+    d = _align(original, decoded, unit_gain=not compensate_gain)
     n = min(len(original), len(decoded) - d)
     ref = original[:n]
     dec = decoded[d : d + n]

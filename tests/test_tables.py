@@ -114,7 +114,9 @@ def test_huffman_tables():
     kraft = np.sum(2.0 ** (-t15.lengths.astype(np.float64)))
     assert kraft <= 1.0 + 1e-12
     # All tables present
-    assert sorted(HUFFMAN_TABLES) == [1, 2, 3, 5, 6, 7, 8, 9, 10, 13, 15]
+    # reference tables 1-15 plus the round-3 linbits family pair
+    # tables (16/24, extracted from libavcodec; options.linbits_tables)
+    assert sorted(HUFFMAN_TABLES) == [1, 2, 3, 5, 6, 7, 8, 9, 10, 13, 15, 16, 24]
     assert HUFFMAN_TABLES[1].lengths[0, 0] == 1
     assert HUFFMAN_TABLES[13].lengths.shape == (16, 16)
 

@@ -164,8 +164,57 @@ def emit(data: dict) -> str:
     return "\n".join(lines)
 
 
+ENC_OUT = (
+    Path(__file__).resolve().parent.parent
+    / "swiftmp3_tpu"
+    / "tables"
+    / "_linbits_data.py"
+)
+
+
+def emit_encoder_linbits(data: dict) -> str:
+    """Encoder-side copy of the two linbits pair tables (16 and 24) as flat
+    16x16 (lengths, codes) row-major tuples — the format tables/huffman.py
+    uses. The encoder's classic tables (1-15) come from the reference
+    transcription; 16/24 do not exist in the reference at all, so this
+    extraction is their only in-repo source. Circularity with the decoder's
+    copy (decoder/_b7_data.py, same extraction) is broken EXTERNALLY: both
+    are validated behaviorally against libmpg123 (tests/test_external.py),
+    and entry-for-entry against each other + Kraft/prefix-freeness in
+    tests/test_table_independence.py."""
+    lines = [
+        '"""ISO 11172-3 B.7 linbits pair tables 16/24 (GENERATED FILE).',
+        "",
+        "Generated by tools/extract_b7_tables.py from the system libavcodec",
+        "mpegaudio tables. See that tool for provenance + cross-checks.",
+        "Do not edit by hand.",
+        '"""',
+        "",
+    ]
+    for tid in (16, 24):
+        side, entries = data["tables"][tid]
+        assert side == 16
+        lens = [0] * 256
+        codes = [0] * 256
+        for (x, y), (length, code) in entries.items():
+            lens[x * 16 + y] = length
+            codes[x * 16 + y] = code
+        lines.append(f"TABLE{tid}_LENGTHS = (")
+        for r in range(16):
+            lines.append("    " + ", ".join(str(v) for v in lens[r * 16 : r * 16 + 16]) + ",")
+        lines.append(")")
+        lines.append(f"TABLE{tid}_CODES = (")
+        for r in range(16):
+            lines.append("    " + ", ".join(str(v) for v in codes[r * 16 : r * 16 + 16]) + ",")
+        lines.append(")")
+        lines.append("")
+    return "\n".join(lines)
+
+
 if __name__ == "__main__":
     data = extract()
     OUT.write_text(emit(data))
+    ENC_OUT.write_text(emit_encoder_linbits(data))
     n = sum(len(e) for _, e in data["tables"].values())
     print(f"wrote {OUT} ({len(data['tables'])} tables, {n} entries)")
+    print(f"wrote {ENC_OUT} (tables 16/24)")

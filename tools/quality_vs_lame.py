@@ -64,8 +64,8 @@ def main() -> int:
     signals = {k: synth(k, n, 10 + i) for i, k in enumerate(kinds)}
 
     print(f"{'class':>8} {'kbps':>5} | {'compat raw/comp':>16} | "
-          f"{'strict raw':>10} | {'lame raw':>9} | {'strict-lame':>11}")
-    deltas = []
+          f"{'strict raw':>10} | {'hq raw':>7} | {'lame raw':>9} | {'hq-lame':>8}")
+    deltas_s, deltas_h = [], []
     for kbps in args.bitrates:
         for kind, pcm in signals.items():
             compat = MP3EncoderOptions(mode=Mode.MONO, bitrate_kbps=kbps)
@@ -73,16 +73,20 @@ def main() -> int:
                 mode=Mode.MONO, bitrate_kbps=kbps,
                 psy_scalefactors=True, scfsi=True,
             )
+            hq = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=kbps)
             c_raw, c_comp = _score(pcm, _ours(compat, pcm))
             s_raw, _ = _score(pcm, _ours(strict, pcm))
+            h_raw, _ = _score(pcm, _ours(hq, pcm))
             l_raw, _ = _score(pcm, lame_encode(pcm, SR, kbps, mode="mono"))
-            d = s_raw - l_raw
-            deltas.append(d)
+            deltas_s.append(s_raw - l_raw)
+            deltas_h.append(h_raw - l_raw)
             print(f"{kind:>8} {kbps:>5} | {c_raw:>7.1f}/{c_comp:>7.1f} | "
-                  f"{s_raw:>10.1f} | {l_raw:>9.1f} | {d:>+11.1f}")
-    print(f"\nmean strict-minus-lame delta: {np.mean(deltas):+.1f} dB "
-          f"(lame is the canonical psychoacoustic encoder; parity is not "
-          f"expected — this pins the honest competitive position)")
+                  f"{s_raw:>10.1f} | {h_raw:>7.1f} | {l_raw:>9.1f} | "
+                  f"{h_raw - l_raw:>+8.1f}")
+    print(f"\nmean strict-minus-lame delta: {np.mean(deltas_s):+.1f} dB; "
+          f"mean hq-minus-lame delta: {np.mean(deltas_h):+.1f} dB "
+          f"(SNR metric; lame optimizes masking, not SNR — read deltas "
+          f"as league placement, not superiority)")
     return 0
 
 
