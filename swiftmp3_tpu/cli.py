@@ -48,6 +48,12 @@ def main(argv=None) -> int:
         help="share equal scalefactor groups between granules "
         "(implies --spec-strict)",
     )
+    p.add_argument(
+        "--hq",
+        action="store_true",
+        help="high-quality preset: --spec-strict + linbits ESC coding + "
+        "scfsi (quality scales with bitrate; see MP3EncoderOptions.hq)",
+    )
     p.add_argument("--title")
     p.add_argument("--artist")
     p.add_argument("--album")
@@ -83,7 +89,9 @@ def main(argv=None) -> int:
         crc_protected=args.crc,
         id3_tag=tag,
     )
-    if args.spec_strict or args.psy or args.scfsi:
+    if args.hq:
+        options = MP3EncoderOptions.hq(psy_scalefactors=args.psy, **common)
+    elif args.spec_strict or args.psy or args.scfsi:
         options = MP3EncoderOptions.spec_strict(
             psy_scalefactors=args.psy, scfsi=args.scfsi, **common
         )

@@ -168,6 +168,11 @@ class GoldenBackend:
         gr0_sfd: dict = {}  # per-channel (sfd, block) of granule 0 for scfsi
         scfsi_bits = [[0, 0, 0, 0] for _ in range(channels)]
 
+        # Stage 1: per-granule DSP + scalefactors + initial gain (advances
+        # the sequential filterbank/overlap/scfsi state); walk INPUTS are
+        # staged so the budget law can see every granule's demand before
+        # the first walk runs (options.demand_budget).
+        staged = []
         for gr in range(2):
             for ch in range(channels):
                 gsamples = chans[ch][gr * SAMPLES_PER_GRANULE : (gr + 1) * SAMPLES_PER_GRANULE]
@@ -196,6 +201,7 @@ class GoldenBackend:
                         else short_reorder_src(sr)
                     )
                 sfd = None
+                sf_write = None
                 if opts.real_scalefactors:
                     sfd = ref.granule_scalefactors(
                         spectrum, sr, block,
@@ -220,23 +226,83 @@ class GoldenBackend:
                 else:
                     gain0 = ref.compute_global_gain(spectrum, iso=opts.iso_quantization)
                 self.vbr.update(gain0, ref.frame_energy(gsamples))
+                part2 = ref.scfsi_part2_bits(sfd, sf_write) if sfd else 0
+                staged.append(dict(
+                    gr=gr, ch=ch, spectrum=spectrum, block=block,
+                    sb_gain=sb_gain, perm=perm, sfd=sfd, sf_write=sf_write,
+                    gain0=gain0, part2=part2,
+                ))
+
+        # Budget per granule-channel: equal split (reference law), or
+        # demand-proportional (options.demand_budget — exact priced bits at
+        # the K_DEMAND grid probe; device twin in models/pipeline.py).
+        budgets = [bits_per_granule] * len(staged)
+        if strict and opts.demand_budget:
+            demands = [
+                ref.strict_demand(
+                    c["spectrum"],
+                    c["sfd"]["mag_scale"] if c["sfd"] is not None else None,
+                    c["gain0"], sr, c["block"],
+                    opts.count1_coding, opts.region_table_select,
+                    c["part2"], c["perm"], opts.iso_quantization,
+                    linbits=opts.linbits_tables,
+                )
+                for c in staged
+            ]
+            sum_d = sum(demands)
+            # Deadband: depart from the equal split only when the frame's
+            # demand imbalance is REAL (max/min >= 3). Stationary frames
+            # show ratios ~1.0-1.2 and an equal split is already optimal
+            # there — skewing it on a noisy signal measured -4..-5 dB on
+            # tonal content at 64/256 kbps; attack frames show ratios
+            # ~3-10x and keep the full win (threshold swept: ratio 2 left
+            # -0.4 dB of bursty-128k on the table, ratios 3 and 5 tie).
+            gate = max(demands) >= 3 * min(demands)
+            if sum_d > 0 and gate:
+                # Blend: half the frame budget splits equally (the gated-on
+                # frame still has a steady granule whose marginal SNR-per-
+                # bit is high; an all-demand split robs it — measured
+                # -1..-3 dB), half follows demand (attack granules stop
+                # starving — measured +3.6..+4.7 dB on transient content).
+                G = len(staged)
+                base = total_bits // (2 * G)
+                rest = total_bits - base * G
+                shares = [base + (rest * d) // sum_d for d in demands]
+                clamped = [min(s, 4095) for s in shares]
+                # the 4095-bit part2_3_length clamp would silently DISCARD a
+                # hot granule's surplus; return it to the unclamped granules
+                # (one round — measured: without this, 320 kbps bursts
+                # collapse because the tonal granule gets squeezed while the
+                # attack granule's overflow evaporates)
+                surplus = sum(shares) - sum(clamped)
+                n_unc = sum(1 for s in clamped if s < 4095)
+                add = surplus // max(n_unc, 1)
+                budgets = [
+                    min(s + (add if s < 4095 else 0), 4095) for s in clamped
+                ]
+
+        # Stage 2: gain walks + entropy layout + side info, per granule.
+        for c, granule_budget in zip(staged, budgets):
+            gr, ch = c["gr"], c["ch"]
+            spectrum, block = c["spectrum"], c["block"]
+            sb_gain, perm = c["sb_gain"], c["perm"]
+            sfd, sf_write, gain0 = c["sfd"], c["sf_write"], c["gain0"]
+            if True:  # (keeps the historical loop-body indentation)
                 if strict:
-                    # Walk respec (round 3): t15+interpolated-delta priced
-                    # walk (spec: ref.quantize_to_fit_budget_strict; device
-                    # twin: dsp.rate_loop_precompute_strict). `bits` is the
-                    # PRICED value; the actual emitted bits come from the
-                    # final layout below.
-                    part2 = ref.scfsi_part2_bits(sfd, sf_write) if sfd else 0
+                    # Exact-priced walk (spec: ref.quantize_to_fit_budget_
+                    # strict; device twin: dsp.rate_loop_precompute_strict).
+                    # `bits` is the PRICED value; the actual emitted bits
+                    # come from the final layout below.
                     gain, q, bits = ref.quantize_to_fit_budget_strict(
                         spectrum,
                         sfd["mag_scale"] if sfd is not None else None,
                         gain0,
-                        bits_per_granule,
+                        granule_budget,
                         sr,
                         block,
                         opts.count1_coding,
                         opts.region_table_select,
-                        part2,
+                        c["part2"],
                         perm,
                         opts.iso_quantization,
                         linbits=opts.linbits_tables,
@@ -245,7 +311,7 @@ class GoldenBackend:
                     gain, q, bits = ref.quantize_to_fit_budget(
                         spectrum,
                         gain0,
-                        bits_per_granule,
+                        granule_budget,
                         iso=opts.iso_quantization,
                     )
                 if opts.iso_quantization:

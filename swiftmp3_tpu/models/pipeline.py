@@ -44,6 +44,7 @@ import numpy as np
 
 from ..io.framing import FrameResult
 from ..io.sideinfo import GranuleInfo
+from ..ops.reference import K_DEMAND as LINBITS_K_DEMAND
 from ..ops.reference import LINBITS_Q_TARGET
 from ..options import MP3EncoderOptions, Mode, SAMPLES_PER_FRAME
 from ..tables import bitrate_index, bitrate_value, mode_bits
@@ -314,8 +315,39 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 # clamps identically in quantize_to_fit_budget_strict)
                 bits_per_granule = jnp.minimum(bits_per_granule, 4095)
 
+            if strict_entropy and options.demand_budget:
+                # Demand-proportional split (options.demand_budget): each
+                # granule-channel's share of the frame budget follows its
+                # priced bits at the K_DEMAND grid probe — attack granules
+                # stop being starved by the reference's equal split. Twin:
+                # encoder.py stage-2 budgets via ref.strict_demand.
+                d = bits_k[..., LINBITS_K_DEMAND]  # [B, G]
+                sum_d = jnp.sum(d, axis=-1, keepdims=True)
+                # deadband: equal split unless the imbalance is real
+                # (max/min >= 3; see encoder.py twin for the sweep)
+                gate = jnp.max(d, axis=-1, keepdims=True) >= 3 * jnp.min(
+                    d, axis=-1, keepdims=True
+                )
+                total_b = (slot * 8 + usable)[:, None]
+                # half equal / half demand blend (see encoder.py twin)
+                base = total_b // (2 * n_gran)
+                rest = total_b - base * n_gran
+                share = base + (rest * d) // jnp.maximum(sum_d, 1)
+                clamped = jnp.minimum(share, 4095)
+                # redistribute the 4095-clamp surplus to unclamped granules
+                # (one round; see encoder.py twin for the measured rationale)
+                surplus = jnp.sum(share - clamped, axis=-1, keepdims=True)
+                unc = clamped < 4095
+                n_unc = jnp.sum(unc.astype(jnp.int32), axis=-1, keepdims=True)
+                add = surplus // jnp.maximum(n_unc, 1)
+                prop = jnp.minimum(clamped + jnp.where(unc, add, 0), 4095)
+                max_b = jnp.where(
+                    (sum_d > 0) & gate, prop, bits_per_granule[:, None]
+                )
+            else:
+                max_b = bits_per_granule[:, None]
             k_sel, has_fit, bits_sel = dsp.rate_loop_select(
-                bits_k, evaluated, k_budget, bits_per_granule[:, None]
+                bits_k, evaluated, k_budget, max_b
             )
 
             total_used = jnp.sum(bits_sel, axis=-1)

@@ -1370,24 +1370,17 @@ def rate_loop_precompute_strict(
     use_pallas: bool = False,
     linbits: bool = False,
 ) -> dict:
-    """Strict-entropy sweep: candidates priced by the cheap table-15 law
-    plus a per-granule strict-layout correction (round-3 walk respec).
+    """Strict-entropy sweep: candidates priced EXACTLY at every grid gain
+    (lax.map over strict_layout_device; STRICT_ANCHORS = all 20).
 
-    The round-2 law evaluated the FULL strict layout at all 20 gains
-    (lax.map over strict_layout_device) — ~2.3x the compat step. The walk
-    law is this framework's own (no reference parity exists for strict
-    mode), so it is respecified: candidate k is priced
-        priced(k) = t15_bits(k) + delta + part2,
-        delta     = strict_bits(gstart) - t15_bits(gstart),
-    i.e. the exact strict cost at the walk's start gain, carried as a
-    constant offset across the grid (strict savings grow mildly with gain,
-    so pricing is near-exact at k=0 and slightly conservative-to-optimistic
-    above; selection matches the old law's within about one 4-unit step).
-    Only strict_finalize computes the full layout, at the ONE selected
-    gain; part2_3_length and the reservoir byte accounting use those
-    ACTUAL bits (see the pipeline's two-scan split). The sweep then costs
-    what compat costs (the Pallas kernel applies) plus one quantize + one
-    strict layout.
+    Round-3 history, pinned as a NEGATIVE RESULT so nobody re-tries it:
+    approximate pricings (endpoint t15+delta, and 6/8/10-anchor integer
+    interpolation — the code still routes through the anchor/interpolation
+    scaffolding with a dense grid) lose 1.4-5.4 dB at 64 kbps because
+    first-fit selection flips on tens-of-bits pricing errors. Exact
+    pricing costs ~2.3x the compat sweep and is kept; part2_3_length and
+    the reservoir byte accounting use the finalize-stage ACTUAL bits
+    (equal to the priced bits here, since pricing is exact).
 
     Walk semantics (gain grid, -40 retry, evaluated rule) are the
     reference walk's, unchanged.

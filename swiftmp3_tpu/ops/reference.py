@@ -712,6 +712,62 @@ def quantize_to_fit_budget_scaled(
 # any future pricing law whose priced bits differ from the emitted bits.
 STRICT_ANCHORS = tuple(range(20))
 
+# Demand probe for options.demand_budget: candidate k whose priced bits
+# serve as a granule's budget-independent complexity signal. k=10 sits
+# ~40 gain units above the walk start — under the linbits law that is
+# roughly the table-15 initial gain, a stable mid-coarseness probe.
+K_DEMAND = 10
+
+
+def strict_demand(
+    spectral: np.ndarray,
+    mag_scale,
+    initial_gain: int,
+    sample_rate: int,
+    block_type: int,
+    count1_coding: bool,
+    region_table_select: bool,
+    part2: int,
+    perm,
+    iso: bool,
+    linbits: bool = False,
+) -> int:
+    """Priced bits (part2 + strict layout) at the walk grid's K_DEMAND
+    candidate — the complexity signal the demand-proportional budget split
+    uses (options.demand_budget). Mirrors quantize_to_fit_budget_strict's
+    gstart law exactly (-40 retry on an all-zero initial quantization);
+    the device twin reads pre["bits"][..., K_DEMAND] directly."""
+    from ..tables import QCAP_LINBITS
+
+    qcap = QCAP_LINBITS if linbits else 15
+    spectral = np.asarray(spectral, dtype=np.float32)
+    absv = np.maximum(np.abs(spectral), np.float32(1e-10))
+    mag = absv ** np.float32(0.75)
+    if mag_scale is not None:
+        mag = mag * mag_scale.astype(np.float32)
+
+    def quantize_abs(gain: int) -> np.ndarray:
+        gain = min(max(int(gain), 0), 255)
+        if linbits:
+            inv = ISO_INV_STEP34_NOFLOOR[gain]
+        elif iso or mag_scale is not None:
+            inv = ISO_INV_STEP34[gain]
+        else:
+            step = np.float32(max(2.0 ** ((gain - 210) / 4.0), 0.0001))
+            inv = np.float32(1.0) / step
+        return np.minimum(np.floor(mag * inv + np.float32(0.5)).astype(np.int64), qcap)
+
+    g0 = min(max(int(initial_gain), 0), 255)
+    allzero0 = _last_nonzero_count(quantize_abs(g0)) == 0
+    gstart = max(g0 - 40, 0) if allzero0 else g0
+    q = quantize_abs(min(gstart + 4 * K_DEMAND, 255)).astype(np.int32)
+    qs = q if perm is None else q[perm]
+    lay = strict_entropy_layout(
+        qs, sample_rate, block_type, count1_coding, region_table_select,
+        linbits=linbits,
+    )
+    return part2 + lay["part23_bits"]
+
 
 def _anchor_segment(kk: int) -> int:
     """Index i with STRICT_ANCHORS[i] <= kk <= STRICT_ANCHORS[i+1]."""

@@ -164,6 +164,16 @@ class MP3EncoderOptions:
     #   like any modern encoder's. Requires the strict entropy layout
     #   (count1_coding + region_table_select) and real_scalefactors.
     linbits_tables: bool = False
+    # demand_budget: split each frame's bit budget across its granule-
+    #   channels in proportion to DEMAND (each granule's exact priced bits
+    #   at the walk grid's K_DEMAND probe) instead of equally. The equal
+    #   split (reference behavior) starves attack granules: a transient's
+    #   granule wants several times the bits of the tonal granule sharing
+    #   its frame, and the equal split leaves its error bitrate-flat while
+    #   the other granule's budget goes unused. Budgets are clamped to the
+    #   4095-bit part2_3_length field. Requires the strict entropy layout
+    #   (the demand signal is the strict sweep's priced grid).
+    demand_budget: bool = False
 
     def __post_init__(self):
         # Quality is clamped, not rejected (MP3Encoder.swift:110).
@@ -204,6 +214,11 @@ class MP3EncoderOptions:
                 "linbits_tables requires count1_coding + region_table_select "
                 "+ real_scalefactors (ESC regions ride the strict per-region "
                 "table selection and the scaled-magnitude gain law)"
+            )
+        if self.demand_budget and not self.spec_strict_entropy:
+            raise ValueError(
+                "demand_budget requires the strict entropy layout (the "
+                "demand signal is the strict sweep's priced candidate grid)"
             )
 
     @property
@@ -250,6 +265,7 @@ class MP3EncoderOptions:
         base = dict(
             linbits_tables=True,
             scfsi=True,
+            demand_budget=True,
         )
         base.update(kwargs)
         return cls.spec_strict(**base)

@@ -273,3 +273,95 @@ def test_hq_backends_agree():
         snrs[be] = measure_quality(pcm, dec.pcm[:, 0], compensate_gain=False).snr_db
     assert abs(snrs["numpy"] - snrs["tpu"]) < 1.0, snrs
     assert min(snrs.values()) > 40.0, snrs
+
+
+# ------------------------------------------- demand-proportional budgets
+
+
+def test_demand_budget_transient_quality_floors():
+    """options.demand_budget (in the hq preset): frames whose granule
+    demand imbalance crosses the deadband (max/min >= 3) split the frame
+    budget half-equal/half-demand instead of equally — attack granules
+    stop being starved. Pins the measured win on transient content
+    (+1.05/+3.35 dB at 64/128 kbps) with margin; high bitrates saturate
+    the transient's codable SNR either way (delta ~0)."""
+    pcm = _bursty(6 * 1152)
+    floors = {64: 0.7, 128: 2.5}
+    for kbps, floor in floors.items():
+        snr = {}
+        for db in (True, False):
+            o = MP3EncoderOptions.hq(
+                mode=Mode.MONO, bitrate_kbps=kbps, demand_budget=db
+            )
+            dec = decode_mp3(_encode(o, pcm), iso_conventions=True)
+            snr[db] = measure_quality(
+                pcm, dec.pcm[:, 0], compensate_gain=False
+            ).snr_db
+        assert snr[True] - snr[False] > floor, (kbps, snr)
+
+
+def test_demand_budget_deadband_keeps_balanced_frames_equal():
+    """Stationary content's demand ratios sit ~1.0-1.2, inside the
+    deadband — the gate never fires and the stream is BYTE-identical to
+    demand_budget=False (skewing an equal-optimum split measured -4..-5 dB
+    on tonal content before the deadband existed)."""
+    pcm = _tonal(5 * 1152)
+    for kbps in (64, 256):
+        outs = [
+            _encode(
+                MP3EncoderOptions.hq(
+                    mode=Mode.MONO, bitrate_kbps=kbps, demand_budget=db
+                ),
+                pcm,
+            )
+            for db in (True, False)
+        ]
+        assert outs[0] == outs[1], kbps
+
+
+def test_demand_budget_backends_agree():
+    """Device twin of the demand split (models/pipeline.py scan step):
+    same deadband gate, same half/half blend, same 4095-clamp surplus
+    redistribution. Structure must match exactly on bursty content;
+    decoded SNR within the ULP-flip contract."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from util import parse_frames
+
+    pcm = _bursty(6 * 1152)
+    o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=128)
+    outs = {be: _encode(o, pcm, backend=be) for be in ("numpy", "tpu")}
+    fa, fb = parse_frames(outs["numpy"]), parse_frames(outs["tpu"])
+    assert len(fa) == len(fb)
+    for a, b in zip(fa, fb):
+        assert (a.size, a.bitrate_kbps, a.padding, a.mode) == (
+            b.size, b.bitrate_kbps, b.padding, b.mode,
+        )
+    snrs = {}
+    for be, blob in outs.items():
+        dec = decode_mp3(blob, iso_conventions=True)
+        snrs[be] = measure_quality(pcm, dec.pcm[:, 0], compensate_gain=False).snr_db
+    assert abs(snrs["numpy"] - snrs["tpu"]) < 1.0, snrs
+    assert min(snrs.values()) > 16.5, snrs
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+def test_demand_budget_streams_conform_externally():
+    """A demand_budget stream is plain conforming MP3 (the split only
+    moves part2_3_length budgets); libmpg123 must decode it in close
+    agreement with the oracle and confirm the transient win externally."""
+    pcm = _bursty(6 * 1152)
+    o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=128)
+    blob = _encode(o, pcm)
+    ext, _ = mpg123_decode(blob)
+    ours = decode_mp3(blob, iso_conventions=True).pcm
+    agree = decode_agreement_snr(ext[:, 0], ours[: len(ext), 0])
+    assert agree > 100.0, agree
+    snr_on = measure_quality(pcm, ext[:, 0], compensate_gain=False).snr_db
+    o_off = MP3EncoderOptions.hq(
+        mode=Mode.MONO, bitrate_kbps=128, demand_budget=False
+    )
+    ext_off, _ = mpg123_decode(_encode(o_off, pcm))
+    snr_off = measure_quality(pcm, ext_off[:, 0], compensate_gain=False).snr_db
+    assert snr_on - snr_off > 2.5, (snr_on, snr_off)
