@@ -61,10 +61,23 @@ class GoldenBackend:
         self.available_bytes = 0
         self.prev_slot = 0
         self.has_buffered = False
+        # window_sequencing: was the previously emitted granule SHORT?
+        # (the first granule of a frame needs it to place a STOP window)
+        self.seq_prev_short = False
 
-    def encode_frames(self, frames: np.ndarray, is_final: np.ndarray) -> List[FrameResult]:
+    def encode_frames(
+        self,
+        frames: np.ndarray,
+        is_final: np.ndarray,
+        lookahead: Optional[np.ndarray] = None,
+    ) -> List[FrameResult]:
         return [
-            self._encode_frame(frames[i], bool(is_final[i])) for i in range(len(frames))
+            self._encode_frame(
+                frames[i],
+                bool(is_final[i]),
+                None if lookahead is None else lookahead[i],
+            )
+            for i in range(len(frames))
         ]
 
     def notify_flush(self) -> None:
@@ -86,6 +99,7 @@ class GoldenBackend:
             "available_bytes": self.available_bytes,
             "prev_slot": self.prev_slot,
             "has_buffered": self.has_buffered,
+            "seq_prev_short": self.seq_prev_short,
         }
 
     def load_state_dict(self, state: dict) -> None:
@@ -100,8 +114,14 @@ class GoldenBackend:
         self.available_bytes = int(state["available_bytes"])
         self.prev_slot = int(state["prev_slot"])
         self.has_buffered = bool(state["has_buffered"])
+        self.seq_prev_short = bool(state.get("seq_prev_short", False))
 
-    def _encode_frame(self, samples: np.ndarray, is_final: bool) -> FrameResult:
+    def _encode_frame(
+        self,
+        samples: np.ndarray,
+        is_final: bool,
+        lookahead: Optional[np.ndarray] = None,
+    ) -> FrameResult:
         opts = self.options
         channels = opts.channels
         sr = opts.sample_rate
@@ -158,6 +178,35 @@ class GoldenBackend:
                 # per-frame header mode_extension from the actual decision
                 frame_mode_ext = 0b10 if use_ms else 0b00
 
+        seq_blocks = None
+        if opts.window_sequencing:
+            # ISO window sequencing (one-granule lookahead provided by the
+            # session's encoder delay): shared-across-channels detection on
+            # the raw pre-matrix PCM; the granule before an attack becomes
+            # a START window, the one after a STOP, restoring TDAC at both
+            # junctions (direct long<->short jumps cost ~74 dB of
+            # quantization-independent reconstruction ceiling — measured).
+            raw = np.asarray(samples, dtype=np.float32)
+            gsz = SAMPLES_PER_GRANULE * channels
+
+            def _granule_channels(buf, j):
+                seg = buf[j * gsz : (j + 1) * gsz]
+                if channels == 1:
+                    return [seg]
+                return [seg[0::2], seg[1::2]]
+
+            want0 = ref.wants_short(_granule_channels(raw, 0))
+            want1 = ref.wants_short(_granule_channels(raw, 1))
+            if lookahead is None:
+                want2 = False  # flush: trailing zeros never attack
+            else:
+                la = np.asarray(lookahead, dtype=np.float32)
+                want2 = ref.wants_short(_granule_channels(la, 0))
+            bt0 = ref.sequence_block_type(want0, self.seq_prev_short, want1)
+            bt1 = ref.sequence_block_type(want1, bt0 == ref.BLOCK_SHORT, want2)
+            self.seq_prev_short = bt1 == ref.BLOCK_SHORT
+            seq_blocks = (bt0, bt1)
+
         granules = [[None] * channels for _ in range(2)]
         quantized = np.zeros((2 * channels, SAMPLES_PER_GRANULE), dtype=np.int32)
         big_values = np.zeros(2 * channels, dtype=np.int32)
@@ -177,7 +226,13 @@ class GoldenBackend:
             for ch in range(channels):
                 gsamples = chans[ch][gr * SAMPLES_PER_GRANULE : (gr + 1) * SAMPLES_PER_GRANULE]
                 S, self.fb_buffers[ch] = ref.analyze_subbands(gsamples, self.fb_buffers[ch])
-                block, sb_gain = ref.transient_detect(gsamples)
+                if seq_blocks is not None:
+                    # sequenced block types are shared across channels and
+                    # window gains are not used (long-layout transitions
+                    # carry none; short granules ride scalefactors)
+                    block, sb_gain = seq_blocks[gr], [0, 0, 0]
+                else:
+                    block, sb_gain = ref.transient_detect(gsamples)
                 if opts.iso_quantization:
                     # unit-gain law: the quantizer applies no per-window
                     # gains, so emit zeros (see pipeline twin)
@@ -194,17 +249,24 @@ class GoldenBackend:
                 # quantization is pointwise, the layout/pack operate on the
                 # permuted quantized values (stream[j] = natural[perm[j]]).
                 perm = None
-                if opts.iso_short_blocks and block != ref.BLOCK_LONG:
+                if opts.iso_short_blocks and block in (
+                    ref.BLOCK_MIXED, ref.BLOCK_SHORT,
+                ):
                     perm = (
                         mixed_reorder_src(sr)
                         if block == ref.BLOCK_MIXED
                         else short_reorder_src(sr)
                     )
+                # START/STOP granules carry the LONG scalefactor/window
+                # layout (only the MDCT window differs); the raw block
+                # value still reaches the entropy layout, which needs the
+                # window-switching 36/576 region split for them.
+                sf_block = block if not ref.is_long_layout(block) else ref.BLOCK_LONG
                 sfd = None
                 sf_write = None
                 if opts.real_scalefactors:
                     sfd = ref.granule_scalefactors(
-                        spectrum, sr, block,
+                        spectrum, sr, sf_block,
                         psy=opts.psy_scalefactors,
                         iso_short=opts.iso_short_blocks,
                     )
@@ -216,8 +278,8 @@ class GoldenBackend:
                             sfd0, block0 = gr0_sfd[ch]
                             scfsi_bits[ch], sf_write = ref.scfsi_decide(
                                 sfd0["sf"], sfd["sf"],
-                                block0 == ref.BLOCK_LONG,
-                                block == ref.BLOCK_LONG,
+                                ref.is_long_layout(block0),
+                                ref.is_long_layout(block),
                             )
                     gain0 = ref.compute_global_gain_scaled(
                         spectrum, sfd["mag_scale"],
@@ -367,9 +429,15 @@ class GoldenBackend:
                     # granules signal block_type=1 — ISO "start", making
                     # conforming decoders run the long IMDCT over short
                     # subbands. iso_short_blocks emits the ISO encoding:
-                    # block_type=2 + mixed_block_flag.
+                    # block_type=2 + mixed_block_flag. window_sequencing's
+                    # transition granules map to the ISO header values
+                    # (START->1, STOP->3).
                     block_type=(
-                        2
+                        1
+                        if block == ref.BLOCK_START
+                        else 3
+                        if block == ref.BLOCK_STOP
+                        else 2
                         if (opts.iso_short_blocks and block == ref.BLOCK_MIXED)
                         else block
                     ),
@@ -398,8 +466,16 @@ class GoldenBackend:
         self.stream_len += huffman_bytes
         self.est_stream_len += est_hb
         if self.has_buffered:
-            self.stream_len = max(self.stream_len - self.prev_slot, 0)
-            self.est_stream_len = max(self.est_stream_len - self.prev_slot, 0)
+            # aligned mode: at most 511 of this frame's bytes ride ahead of
+            # its header (fill_slot keeps the remainder in the stream), so
+            # the unslotted mirror floors at hb-511 even when the previous
+            # slot had room — twin of BitReservoir.fill_slot's keep-back
+            floor_real = max(huffman_bytes - 511, 0) if aligned else 0
+            floor_est = max(est_hb - 511, 0) if aligned else 0
+            self.stream_len = max(self.stream_len - self.prev_slot, floor_real)
+            self.est_stream_len = max(
+                self.est_stream_len - self.prev_slot, floor_est
+            )
         self.available_bytes = min(
             max(self.available_bytes + main_data_size - est_hb, 0), 511
         )
@@ -438,7 +514,16 @@ class EncoderSession:
         self.options = options
         self.assembler = FrameAssembler(options)
         self.backend = _make_backend(backend, options)
-        self._pcm = np.zeros(0, dtype=np.float32)
+        # window_sequencing: one granule of encoder delay (the START
+        # decision needs one granule of lookahead) — the stream starts
+        # with 576 samples of silence, like every lookahead encoder.
+        self._la_n = (
+            SAMPLES_PER_GRANULE * options.channels
+            if options.window_sequencing
+            else 0
+        )
+        self._pcm = np.zeros(self._la_n, dtype=np.float32)
+        self._fed = False  # any real PCM received (empty flush stays empty)
 
     @property
     def encoded_frame_count(self) -> int:
@@ -461,14 +546,28 @@ class EncoderSession:
             samples = arr.astype(np.float32).reshape(-1)
         if not np.isfinite(samples).all():
             samples = np.nan_to_num(samples, nan=0.0, posinf=0.0, neginf=0.0)
+        if samples.size:
+            self._fed = True
         self._pcm = np.concatenate([self._pcm, samples]) if self._pcm.size else samples
         n = SAMPLES_PER_FRAME * self.options.channels
-        n_frames = len(self._pcm) // n
+        # with window_sequencing, a frame is emitted only once its
+        # lookahead granule has arrived (encode_frames needs it)
+        n_frames = max(len(self._pcm) - self._la_n, 0) // n
         if n_frames == 0:
             return b""
         frames = self._pcm[: n_frames * n].reshape(n_frames, n)
+        lookahead = None
+        if self._la_n:
+            lookahead = np.stack(
+                [
+                    self._pcm[(i + 1) * n : (i + 1) * n + self._la_n]
+                    for i in range(n_frames)
+                ]
+            )
         self._pcm = self._pcm[n_frames * n :]
-        results = self.backend.encode_frames(frames, np.zeros(n_frames, dtype=bool))
+        results = self.backend.encode_frames(
+            frames, np.zeros(n_frames, dtype=bool), lookahead=lookahead
+        )
         out = bytearray()
         for fr in results:
             out += self.assembler.push(fr)
@@ -479,14 +578,29 @@ class EncoderSession:
         emit the delayed buffered frame."""
         out = bytearray()
         n = SAMPLES_PER_FRAME * self.options.channels
-        if self._pcm.size:
-            frame = np.zeros(n, dtype=np.float32)
-            frame[: len(self._pcm)] = self._pcm
+        if self._la_n and not self._fed:
+            # nothing was ever encoded; don't emit the delay preroll alone
             self._pcm = np.zeros(0, dtype=np.float32)
+        if self._pcm.size:
+            # with window_sequencing the held-back delay tail can span two
+            # frames; the final frame's lookahead is silence
+            k = (len(self._pcm) + n - 1) // n
+            buf = np.zeros(k * n, dtype=np.float32)
+            buf[: len(self._pcm)] = self._pcm
+            self._pcm = np.zeros(0, dtype=np.float32)
+            frames = buf.reshape(k, n)
+            lookahead = None
+            if self._la_n:
+                lookahead = np.zeros((k, self._la_n), dtype=np.float32)
+                for i in range(k - 1):
+                    lookahead[i] = frames[i + 1][: self._la_n]
+            is_final = np.zeros(k, dtype=bool)
+            is_final[-1] = True
             results = self.backend.encode_frames(
-                frame[None, :], np.ones(1, dtype=bool)
+                frames, is_final, lookahead=lookahead
             )
-            out += self.assembler.push(results[0])
+            for fr in results:
+                out += self.assembler.push(fr)
         out += self.assembler.flush_buffered()
         self.backend.notify_flush()
         return bytes(out)
@@ -501,6 +615,7 @@ class EncoderSession:
         a = self.assembler
         state = {
             "pcm": self._pcm.copy(),
+            "fed": self._fed,
             "reservoir_stream": bytes(a.reservoir.stream),
             "reservoir_avail": a.reservoir.available_bytes,
             "buffered_head": a._buffered[0] if a._buffered else b"",
@@ -515,6 +630,7 @@ class EncoderSession:
     def load_state_dict(self, state: dict) -> None:
         a = self.assembler
         self._pcm = np.asarray(state["pcm"], dtype=np.float32).copy()
+        self._fed = bool(state.get("fed", True))
         a.reservoir.stream = bytearray(state["reservoir_stream"])
         a.reservoir.available_bytes = int(state["reservoir_avail"])
         if int(state["buffered_slot"]) >= 0:

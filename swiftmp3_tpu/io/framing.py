@@ -71,17 +71,29 @@ class BitReservoir:
         the most recently appended frame's data, which is kept at the slot
         TAIL so the next frame's main_data_begin can point at it — stuffing
         lands between frames' data, where ISO permits ancillary bytes.
-        tail_bytes=0 reproduces the reference's end-padding (compat mode)."""
-        if len(self.stream) >= slot_size:
+        tail_bytes=0 reproduces the reference's end-padding (compat mode).
+
+        At most 511 of the newest frame's bytes may precede its header
+        (main_data_begin is a 9-bit field); when tail_bytes > 511 the
+        remainder is KEPT in the stream and spills into the frame's own
+        slot — stuffing still lands before the frame's data start, never
+        inside it. (Without this, high-bitrate linbits frames with > 511
+        data bytes tail-aligned deeper than mdb can express — silent
+        corruption at >= 192 kbps; mirrored in encoder.py/pipeline.py
+        stream_len floors and the C++ renderer.)"""
+        keep = max(tail_bytes - 511, 0)
+        avail = len(self.stream) - keep
+        if avail >= slot_size:
             slot = bytes(self.stream[:slot_size])
             del self.stream[:slot_size]
             return slot
-        pad = slot_size - len(self.stream)
-        cut = len(self.stream) - min(tail_bytes, len(self.stream))
+        pad = slot_size - avail
+        tail_in = min(tail_bytes, 511, avail)
+        cut = avail - tail_in
         slot = (
-            bytes(self.stream[:cut]) + bytes(pad) + bytes(self.stream[cut:])
+            bytes(self.stream[:cut]) + bytes(pad) + bytes(self.stream[cut:avail])
         )
-        self.stream.clear()
+        del self.stream[:avail]
         return slot
 
     def update(self, huffman_bytes: int, slot_size: int) -> None:

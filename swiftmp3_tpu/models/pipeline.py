@@ -121,6 +121,11 @@ def make_chunk_fn(options: MP3EncoderOptions):
     small per-frame integer tensors are transposed for the time scan.
     `valid` must be a prefix along T per stream (see module docstring).
     """
+    if options.window_sequencing:
+        raise NotImplementedError(
+            "window_sequencing device twin is in progress; use "
+            "backend='numpy' for sequenced streams"
+        )
     sr = options.sample_rate
     ch = options.channels
     n_gran = 2 * ch
@@ -361,9 +366,17 @@ def make_chunk_fn(options: MP3EncoderOptions):
             else:
                 mdb = jnp.where(fin, 0, jnp.minimum(c["stream_len"], 511))
             stream_len = c["stream_len"] + huffman_bytes
+            # aligned mode floors the unslotted mirror at hb-511: at most
+            # 511 of a frame's bytes precede its header (fill_slot keep-
+            # back — twin of io/framing.py and encoder.py)
+            sl_floor = (
+                jnp.maximum(huffman_bytes - 511, 0)
+                if aligned
+                else jnp.zeros_like(huffman_bytes)
+            )
             stream_len = jnp.where(
                 c["has_buffered"],
-                jnp.maximum(stream_len - c["prev_slot"], 0),
+                jnp.maximum(stream_len - c["prev_slot"], sl_floor),
                 stream_len,
             )
             avail = jnp.clip(c["avail"] + slot - huffman_bytes, 0, 511)
@@ -436,8 +449,15 @@ def make_chunk_fn(options: MP3EncoderOptions):
                         fin_f, 0, jnp.minimum(c["stream_len"], 511)
                     )
                 sl = c["stream_len"] + hb_f
+                sl_floor2 = (
+                    jnp.maximum(hb_f - 511, 0)
+                    if aligned
+                    else jnp.zeros_like(hb_f)
+                )
                 sl = jnp.where(
-                    c["has_buffered"], jnp.maximum(sl - c["prev_slot"], 0), sl
+                    c["has_buffered"],
+                    jnp.maximum(sl - c["prev_slot"], sl_floor2),
+                    sl,
                 )
                 new_c = {
                     "stream_len": sl,
@@ -740,11 +760,21 @@ class TPUBackend:
     CHUNK = 8
 
     def __init__(self, options: MP3EncoderOptions):
+        if options.window_sequencing:
+            raise NotImplementedError(
+                "window_sequencing device twin is in progress; use "
+                "backend='numpy' for sequenced streams"
+            )
         self.options = options
         self._run = make_chunk_encoder(options, self.CHUNK)
         self.carry = init_carry(1, options)
 
-    def encode_frames(self, frames: np.ndarray, is_final: np.ndarray) -> List[FrameResult]:
+    def encode_frames(
+        self,
+        frames: np.ndarray,
+        is_final: np.ndarray,
+        lookahead: np.ndarray = None,
+    ) -> List[FrameResult]:
         n = SAMPLES_PER_FRAME * self.options.channels
         F = len(frames)
         results: List[FrameResult] = []

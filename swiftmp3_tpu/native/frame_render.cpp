@@ -237,21 +237,29 @@ void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
 
 // Copy min(stream, slot) bytes into `dst`, zero-padding a deficit. In
 // aligned mode the last `tail` stream bytes (the newest frame's data) stay
-// at the slot TAIL with stuffing zeros before them.
+// at the slot TAIL with stuffing zeros before them. At most 511 of the
+// newest frame's bytes may precede its header (main_data_begin is 9 bits):
+// when tail > 511 the remainder is KEPT in the reservoir and spills into
+// the frame's own slot (twin of io/framing.py BitReservoir.fill_slot).
 static void fill_slot(StreamState* s, uint8_t* dst, size_t slot_n, size_t tail) {
-    size_t take = s->reservoir.size() < slot_n ? s->reservoir.size() : slot_n;
-    size_t pad = slot_n - take;
-    if (s->aligned_mode && pad > 0 && tail > 0) {
-        size_t t = tail < take ? tail : take;
-        size_t cut = take - t;
-        std::memcpy(dst, s->reservoir.data(), cut);
-        std::memset(dst + cut, 0, pad);
-        std::memcpy(dst + cut + pad, s->reservoir.data() + cut, t);
-    } else {
-        std::memcpy(dst, s->reservoir.data(), take);
-        std::memset(dst + take, 0, pad);
+    size_t keep = (s->aligned_mode && tail > 511) ? tail - 511 : 0;
+    size_t avail = s->reservoir.size() - keep;
+    if (avail >= slot_n) {
+        std::memcpy(dst, s->reservoir.data(), slot_n);
+        s->reservoir.erase(s->reservoir.begin(), s->reservoir.begin() + slot_n);
+        return;
     }
-    s->reservoir.erase(s->reservoir.begin(), s->reservoir.begin() + take);
+    size_t pad = slot_n - avail;
+    size_t t = 0;
+    if (s->aligned_mode && tail > 0) {
+        t = tail < 511 ? tail : 511;
+        if (t > avail) t = avail;
+    }
+    size_t cut = avail - t;
+    std::memcpy(dst, s->reservoir.data(), cut);
+    std::memset(dst + cut, 0, pad);
+    std::memcpy(dst + cut + pad, s->reservoir.data() + cut, t);
+    s->reservoir.erase(s->reservoir.begin(), s->reservoir.begin() + avail);
 }
 
 void mp3_stream_free(void* p) { delete static_cast<StreamState*>(p); }

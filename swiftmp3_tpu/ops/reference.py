@@ -22,6 +22,8 @@ from ..tables import (
     LONG_WINDOW,
     SHORT_MDCT_MATRIX,
     SHORT_WINDOW,
+    START_WINDOW,
+    STOP_WINDOW,
     TABLE15_LEN,
     band_table,
 )
@@ -29,6 +31,48 @@ from ..tables import (
 BLOCK_LONG = 0
 BLOCK_MIXED = 1
 BLOCK_SHORT = 2
+# Transition windows (options.window_sequencing): long-layout granules
+# whose MDCT window is the ISO 2.4.3.4.10.3 start/stop shape. Internal
+# values; the side-info header encodes START as block_type=1 and STOP as
+# block_type=3 (the family reserves internal 1 for its "mixed" quirk).
+BLOCK_START = 3
+BLOCK_STOP = 4
+
+
+def is_long_layout(block_type: int) -> bool:
+    """True for granules with LONG scalefactor/window-count layout (long,
+    start, stop); False for the 3-window short/mixed layouts."""
+    return block_type not in (BLOCK_MIXED, BLOCK_SHORT)
+
+
+def sequence_block_type(want_short: bool, prev_short: bool, next_short: bool) -> int:
+    """ISO window sequencing law (options.window_sequencing): a granule
+    that wants short blocks gets them; a long granule adjacent to short
+    neighbors becomes the matching transition window. A long granule
+    sandwiched between two short granules joins the short run (MPEG-1 has
+    no stop-start window). START->STOP never abuts SHORT on its short-
+    facing side by construction: STOP is only emitted when the next
+    granule is not short-wanted, and START only when it is."""
+    if want_short or (prev_short and next_short):
+        return BLOCK_SHORT
+    if next_short:
+        return BLOCK_START
+    if prev_short:
+        return BLOCK_STOP
+    return BLOCK_LONG
+
+
+def wants_short(samples_by_channel) -> bool:
+    """Shared-across-channels transient decision for window sequencing:
+    short if ANY channel's family detector fires (mixed demotes to short —
+    uniform transition windows cannot face a mixed granule's split
+    long-head/short-tail junction). Computed on raw pre-matrix PCM so the
+    one-granule lookahead needs no stereo decision."""
+    for ch_samples in samples_by_channel:
+        block, _ = transient_detect(ch_samples)
+        if block != BLOCK_LONG:
+            return True
+    return False
 
 
 def frame_energy(samples: np.ndarray) -> np.float32:
@@ -93,8 +137,8 @@ def transient_detect(samples576: np.ndarray) -> tuple[int, list[int]]:
     return block, gains
 
 
-def _mdct_long(combined36: np.ndarray) -> np.ndarray:
-    windowed = (combined36 * LONG_WINDOW).astype(np.float32)
+def _mdct_long(combined36: np.ndarray, window: np.ndarray = LONG_WINDOW) -> np.ndarray:
+    windowed = (combined36 * window).astype(np.float32)
     return ((LONG_MDCT_MATRIX @ windowed) / np.float32(9.0)).astype(np.float32)
 
 
@@ -129,12 +173,20 @@ def mdct_apply(
             current[1::2] *= -1  # odd-subband frequency inversion
         combined = np.concatenate([overlap[sb], current]).astype(np.float32)
         new_overlap[sb] = current  # stored post-inversion, as in the reference
-        if block_type == BLOCK_LONG or (block_type == BLOCK_MIXED and sb < 2):
+        if block_type == BLOCK_START:
+            # ISO 2.4.3.4.10.3 transition: long left half, short-
+            # compatible decay right half (options.window_sequencing)
+            coeffs = _mdct_long(combined, START_WINDOW)
+        elif block_type == BLOCK_STOP:
+            coeffs = _mdct_long(combined, STOP_WINDOW)
+        elif block_type == BLOCK_LONG or (block_type == BLOCK_MIXED and sb < 2):
             coeffs = _mdct_long(combined)
         else:
             coeffs = _mdct_short(combined)
         out[sb * 18 : sb * 18 + 18] = coeffs
-    if block_type == BLOCK_LONG:
+    if block_type in (BLOCK_LONG, BLOCK_START, BLOCK_STOP):
+        # aliasing butterflies apply to every non-short granule (ISO
+        # 2.4.3.4.10.1; decoders invert them for bt 0/1/3)
         out = apply_aliasing_reduction(out)
     elif block_type == BLOCK_MIXED and iso_mixed_alias:
         out = apply_aliasing_reduction(out, n_boundaries=1)

@@ -164,6 +164,21 @@ class MP3EncoderOptions:
     #   like any modern encoder's. Requires the strict entropy layout
     #   (count1_coding + region_table_select) and real_scalefactors.
     linbits_tables: bool = False
+    # window_sequencing: emit ISO transition windows around transients
+    #   (long -> START(bt1) -> short -> STOP(bt3) -> long) instead of the
+    #   reference family's direct long<->short jumps. Direct jumps break
+    #   TDAC aliasing cancellation at both junctions: quantization-
+    #   INDEPENDENT reconstruction error (~14 dB ceiling on transient
+    #   content, measured; sequencing restores the lossless round trip to
+    #   ~87 dB). Costs one granule (576 samples) of encoder delay — the
+    #   START decision needs one granule of lookahead, exactly like every
+    #   production encoder (lame's encoder delay). Under this flag the
+    #   block-type decision is shared across channels and computed on the
+    #   raw (pre-matrix) PCM, and MIXED demotes to SHORT (uniform
+    #   transition windows can't face a mixed granule's split junction).
+    #   Requires iso_short_blocks (conforming bt=2 short signaling; the
+    #   family's bt=1 "mixed" header quirk collides with ISO bt=1 START).
+    window_sequencing: bool = False
     # demand_budget: split each frame's bit budget across its granule-
     #   channels in proportion to DEMAND (each granule's exact priced bits
     #   at the walk grid's K_DEMAND probe) instead of equally. The equal
@@ -214,6 +229,12 @@ class MP3EncoderOptions:
                 "linbits_tables requires count1_coding + region_table_select "
                 "+ real_scalefactors (ESC regions ride the strict per-region "
                 "table selection and the scaled-magnitude gain law)"
+            )
+        if self.window_sequencing and not self.iso_short_blocks:
+            raise ValueError(
+                "window_sequencing requires iso_short_blocks (ISO bt=2 "
+                "short signaling; the family's bt=1 mixed quirk collides "
+                "with the ISO START block type)"
             )
         if self.demand_budget and not self.spec_strict_entropy:
             raise ValueError(

@@ -1,0 +1,281 @@
+"""ISO window sequencing (options.window_sequencing) + the aligned-mode
+>511-byte reservoir placement fix.
+
+The reference family jumps long<->short directly (its MDCT law never uses
+the start/stop windows it defines, MP3Encoder.swift:1470-1503 vs
+:1512-1565), which breaks TDAC aliasing cancellation at both junctions:
+a quantization-INDEPENDENT reconstruction ceiling (~14 dB on transient
+content, measured). Sequencing long->START(bt1)->short->STOP(bt3)->long
+restores the lossless round trip (~87 dB) at the cost of one granule of
+encoder delay (lookahead).
+
+The reservoir fix: in aligned mode a frame with > 511 data bytes used to
+be tail-aligned deeper than main_data_begin's 9-bit field can express —
+silent corruption on high-bitrate linbits streams (>= 192 kbps). At most
+511 bytes may precede the header now; the rest spills into the frame's
+own slot.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from swiftmp3_tpu import MP3Encoder, MP3EncoderOptions, Mode
+from swiftmp3_tpu.decoder import decode_mp3
+from swiftmp3_tpu.decoder.decoder import _iter_frames
+from swiftmp3_tpu.io.framing import BitReservoir
+from swiftmp3_tpu.ops import reference as ref
+from swiftmp3_tpu.utils.external import have_mpg123, mpg123_decode
+from swiftmp3_tpu.utils.quality import decode_agreement_snr, measure_quality
+
+
+def _encode(options: MP3EncoderOptions, pcm, backend="numpy") -> bytes:
+    s = MP3Encoder(options, backend=backend).new_session()
+    return s.encode(np.asarray(pcm, np.float32).reshape(-1)) + s.flush()
+
+
+def _bursty(n: int, seed: int = 9) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    x = 0.3 * np.sin(2 * np.pi * 523.0 * np.arange(n) / 44100.0)
+    for s in range(1500, n - 600, 5000):
+        x[s : s + 300] += 0.55 * rng.standard_normal(300)
+    return np.clip(x, -0.99, 0.99).astype(np.float32)
+
+
+def _hq(seq=True, **kw):
+    return MP3EncoderOptions.hq(window_sequencing=seq, **kw)
+
+
+# ---------------------------------------------------------------- unit laws
+
+
+def test_sequencer_law():
+    """Every (want, prev, next) combination; the emitted sequence can
+    never place a full long window against a short granule."""
+    L, S, A, O = ref.BLOCK_LONG, ref.BLOCK_SHORT, ref.BLOCK_START, ref.BLOCK_STOP
+    assert ref.sequence_block_type(False, False, False) == L
+    assert ref.sequence_block_type(True, False, False) == S
+    assert ref.sequence_block_type(False, False, True) == A
+    assert ref.sequence_block_type(False, True, False) == O
+    assert ref.sequence_block_type(False, True, True) == S  # joins the run
+    assert ref.sequence_block_type(True, True, True) == S
+    # exhaustive junction check: run the law over every 10-granule want
+    # pattern and assert no illegal junction appears
+    short_right = {S, A}  # window types whose RIGHT half is short-facing
+    short_left = {S, O}  # whose LEFT half is short-facing
+    for bits in range(1 << 10):
+        wants = [(bits >> i) & 1 == 1 for i in range(10)]
+        prev_s = False
+        seq = []
+        for j in range(10):
+            nxt = wants[j + 1] if j + 1 < 10 else False
+            bt = ref.sequence_block_type(wants[j], prev_s, nxt)
+            seq.append(bt)
+            prev_s = bt == S
+        for a, b in zip(seq, seq[1:]):
+            right_short = a in short_right
+            left_short = b in short_left
+            assert right_short == left_short, (wants, seq)
+
+
+def test_tdac_restored_through_transitions():
+    """Unquantized analysis->synthesis round trip: the family's direct
+    long|short|long jump caps reconstruction ~14 dB; sequenced start/stop
+    restores the all-long floor (~87 dB). Pure-DSP regression of the
+    measured result that motivated the feature."""
+    from swiftmp3_tpu.decoder import decoder as dec
+
+    class G:
+        def __init__(self, bt):
+            self.window_switching = bt != 0
+            self.block_type = bt
+            self.mixed_block_flag = False
+
+    hdr_bt = {
+        ref.BLOCK_LONG: 0,
+        ref.BLOCK_START: 1,
+        ref.BLOCK_SHORT: 2,
+        ref.BLOCK_STOP: 3,
+    }
+
+    def roundtrip(pcm, blocks):
+        fb = np.zeros(512, dtype=np.float32)
+        ov = np.zeros((32, 18), dtype=np.float32)
+        dov = np.zeros((32, 18))
+        synth = dec.SynthesisFilterbank()
+        outs = []
+        for g, bt in enumerate(blocks):
+            S, fb = ref.analyze_subbands(pcm[g * 576 : (g + 1) * 576], fb)
+            spec, ov = ref.mdct_apply(S, ov, bt)
+            und = dec._alias_reduce_decode(spec.astype(np.float64)) \
+                if bt != ref.BLOCK_SHORT else spec.astype(np.float64)
+            sub = dec._imdct_granule(und, G(hdr_bt[bt]), dov)
+            for t in range(18):
+                outs.append(synth.run(sub[:, t]))
+        return np.concatenate(outs)
+
+    rng = np.random.default_rng(9)
+    n = 8 * 576
+    pcm = 0.3 * np.sin(2 * np.pi * 523.0 * np.arange(n) / 44100.0)
+    pcm[3 * 576 + 100 : 3 * 576 + 400] += 0.55 * rng.standard_normal(300)
+    pcm = np.clip(pcm, -0.99, 0.99).astype(np.float32)
+
+    def snr(blocks):
+        out = roundtrip(pcm, blocks)
+        best = None
+        for lag in range(0, 1200):
+            m = n - lag
+            e = pcm[:m] - out[lag : lag + m]
+            en = float(e @ e)
+            if best is None or en < best[0]:
+                best = (en, m)
+        en, m = best
+        return 10 * np.log10(float(pcm[:m] @ pcm[:m]) / max(en, 1e-30))
+
+    L, S, A, O = ref.BLOCK_LONG, ref.BLOCK_SHORT, ref.BLOCK_START, ref.BLOCK_STOP
+    direct = snr([L, L, L, S, L, L, L, L])
+    sequenced = snr([L, L, A, S, O, L, L, L])
+    assert direct < 20.0, direct
+    assert sequenced > 60.0, sequenced
+
+
+def test_fill_slot_keeps_remainder_past_511():
+    """BitReservoir.fill_slot: with tail_bytes > 511, only 511 bytes of the
+    newest frame ride ahead of its header; the remainder stays in the
+    stream (and stuffing never lands inside a frame's data)."""
+    r = BitReservoir()
+    old = bytes(range(100)) * 1  # 100 bytes of older data
+    data = bytes([0xAB]) * 700  # newest frame, 700 B
+    r.append(old)
+    r.append(data)
+    slot = r.fill_slot(650, tail_bytes=700)
+    assert len(slot) == 650
+    # layout: [old 100][stuffing 39][data prefix 511]
+    assert slot[:100] == old
+    assert slot[100:139] == bytes(39)
+    assert slot[139:] == data[:511]
+    assert bytes(r.stream) == data[511:]  # 189 B spill into the next slot
+
+    # tail <= 511 keeps the historical tail-alignment
+    r2 = BitReservoir()
+    r2.append(bytes([1]) * 10)
+    r2.append(bytes([2]) * 20)
+    slot2 = r2.fill_slot(50, tail_bytes=20)
+    assert slot2 == bytes([1]) * 10 + bytes(20) + bytes([2]) * 20
+    assert len(r2.stream) == 0
+
+
+# ---------------------------------------------------------------- end-to-end
+
+
+def test_highrate_reservoir_streams_decode():
+    """Regression: hq at >= 192 kbps with >= 7 frames used to corrupt the
+    stream (frames with > 511 data bytes tail-aligned past mdb's reach).
+    The oracle must now decode long high-rate streams at full quality."""
+    pcm = _bursty(10 * 1152)
+    for kbps in (192, 256, 320):
+        o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=kbps)
+        blob = _encode(o, pcm)
+        for fi in _iter_frames(blob, strict=False):
+            assert fi.main_data_begin <= 511
+        dec = decode_mp3(blob, iso_conventions=True)
+        q = measure_quality(pcm, dec.pcm[:, 0], compensate_gain=False).snr_db
+        assert q > 18.0, (kbps, q)
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+def test_highrate_reservoir_conforms_externally():
+    pcm = _bursty(10 * 1152)
+    o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=256)
+    blob = _encode(o, pcm)
+    ext, _ = mpg123_decode(blob)
+    ours = decode_mp3(blob, iso_conventions=True).pcm
+    assert decode_agreement_snr(ext[:, 0], ours[: len(ext), 0]) > 100.0
+
+
+def test_sequenced_stream_structure():
+    """Sequenced streams emit bt 1/2/3 around transients, add exactly one
+    granule of delay to the frame count, and never abut long<->short."""
+    pcm = _bursty(6 * 1152)
+    o = _hq(mode=Mode.MONO, bitrate_kbps=128)
+    blob = _encode(o, pcm)
+    bts = []
+    for fi in _iter_frames(blob, strict=False):
+        for gr in fi.granules:
+            for g in gr:
+                bts.append(g.block_type if g.window_switching else 0)
+    assert len(bts) == 2 * math.ceil((len(pcm) + 576) / 1152)
+    assert 1 in bts and 2 in bts and 3 in bts  # start, short, stop all live
+    short_right = {1, 2}  # header bt whose right half faces short
+    short_left = {2, 3}
+    for a, b in zip(bts, bts[1:]):
+        assert (a in short_right) == (b in short_left), bts
+
+
+def test_sequenced_quality_floors():
+    """The TDAC win on transient content, oracle-decoded: at 256 kbps the
+    ceiling was bit-starved nowhere — sequencing is worth > 15 dB; at
+    128 kbps quantization noise dominates but sequencing must not lose."""
+    pcm = _bursty(10 * 1152)
+    snr = {}
+    for kbps in (128, 256):
+        for seq in (False, True):
+            o = _hq(seq=seq, mode=Mode.MONO, bitrate_kbps=kbps)
+            dec = decode_mp3(_encode(o, pcm), iso_conventions=True)
+            snr[kbps, seq] = measure_quality(
+                pcm, dec.pcm[:, 0], compensate_gain=False
+            ).snr_db
+    assert snr[256, True] - snr[256, False] > 15.0, snr
+    assert snr[128, True] - snr[128, False] > 0.5, snr
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+def test_sequenced_streams_conform_externally():
+    """bt=1/3 emission is our own (the reference never writes them):
+    a third-party decoder must agree with the oracle at float precision,
+    and confirm the transient win externally."""
+    pcm = _bursty(8 * 1152)
+    o = _hq(mode=Mode.MONO, bitrate_kbps=256)
+    blob = _encode(o, pcm)
+    ext, _ = mpg123_decode(blob)
+    ours = decode_mp3(blob, iso_conventions=True).pcm
+    assert decode_agreement_snr(ext[:, 0], ours[: len(ext), 0]) > 100.0
+    q_seq = measure_quality(pcm, ext[:, 0], compensate_gain=False).snr_db
+    ext0, _ = mpg123_decode(_encode(_hq(seq=False, mode=Mode.MONO, bitrate_kbps=256), pcm))
+    q_no = measure_quality(pcm, ext0[:, 0], compensate_gain=False).snr_db
+    assert q_seq - q_no > 15.0, (q_seq, q_no)
+
+
+def test_sequenced_stereo_decodes():
+    x = _bursty(4 * 1152)
+    st = np.stack([x, np.roll(x, 5)], axis=1)
+    o = _hq(mode=Mode.JOINT_STEREO, bitrate_kbps=256)
+    blob = _encode(o, st)
+    dec = decode_mp3(blob, iso_conventions=True)
+    q = measure_quality(x, dec.pcm[:, 0], compensate_gain=False).snr_db
+    assert q > 15.0, q
+
+
+def test_sequenced_drip_feed_and_resume():
+    """The session's lookahead holdback must keep streams byte-identical
+    under arbitrary chunking, and survive checkpoint/resume."""
+    pcm = _bursty(5 * 1152 + 700)
+    o = _hq(mode=Mode.MONO, bitrate_kbps=128)
+    whole = _encode(o, pcm)
+    for step in (577, 5000):
+        s = MP3Encoder(o, backend="numpy").new_session()
+        drip = b"".join(s.encode(pcm[i : i + step]) for i in range(0, len(pcm), step))
+        assert drip + s.flush() == whole, step
+    s1 = MP3Encoder(o, backend="numpy").new_session()
+    a1 = s1.encode(pcm[:4000])
+    st = s1.state_dict()
+    tail1 = s1.encode(pcm[4000:]) + s1.flush()
+    s2 = MP3Encoder(o, backend="numpy").new_session()
+    s2.load_state_dict(st)
+    assert s2.encode(pcm[4000:]) + s2.flush() == tail1
+    # empty session flush emits nothing (the delay preroll alone is dropped)
+    s3 = MP3Encoder(o, backend="numpy").new_session()
+    assert s3.flush() == b""
