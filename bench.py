@@ -142,16 +142,29 @@ def main() -> None:
                 mode=Mode.STEREO, bitrate_kbps=128, sample_rate=44100
             )
             enc_s = BatchEncoder(strict_opts, B, frames_per_step=T)
-            outs = enc_s.step(pcms[-1], final, valid)
+            # window_sequencing (hq): per-frame lookahead = the next raw
+            # granule; chained chunks borrow the next chunk's first granule
+            la_n = 576 * strict_opts.channels
+            las = []
+            for k in range(CHAIN):
+                la = np.zeros((B, T, la_n), dtype=pcms[k].dtype)
+                la[:, :-1] = pcms[k][:, 1:, :la_n]
+                la[:, -1] = pcms[(k + 1) % CHAIN][:, 0, :la_n]
+                las.append(la)
+            la_last = np.zeros((B, T, la_n), dtype=pcms[-1].dtype)
+            la_last[:, :-1] = pcms[-1][:, 1:, :la_n]
+            outs = enc_s.step(pcms[-1], final, valid, lookahead=la_last)
             jax.block_until_ready(outs)
             enc_s.drain(outs, valid)
+            la_d = [jax.device_put(x) for x in las]
+            jax.block_until_ready(la_d)
             strict_times = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 c = enc_s.carry
                 last = None
                 for k in range(CHAIN):
-                    c, last = enc_s._run(c, pcm_d[k], fin_d, val_d)
+                    c, last = enc_s._run(c, pcm_d[k], fin_d, val_d, la_d[k])
                 jax.block_until_ready(last)
                 strict_times.append((time.perf_counter() - t0) / CHAIN)
             t_strict = float(np.median(strict_times))

@@ -295,9 +295,10 @@ class GoldenBackend:
                     gain0=gain0, part2=part2,
                 ))
 
-        # Budget per granule-channel: equal split (reference law), or
-        # demand-proportional (options.demand_budget — exact priced bits at
-        # the K_DEMAND grid probe; device twin in models/pipeline.py).
+        # Budget per granule-channel: equal split (reference law), or the
+        # demand-donation law (options.demand_budget — demand is the exact
+        # priced bits at the K_DEMAND grid probe; device twin in
+        # models/pipeline.py).
         budgets = [bits_per_granule] * len(staged)
         if strict and opts.demand_budget:
             demands = [
@@ -312,35 +313,33 @@ class GoldenBackend:
                 for c in staged
             ]
             sum_d = sum(demands)
-            # Deadband: depart from the equal split only when the frame's
-            # demand imbalance is REAL (max/min >= 3). Stationary frames
-            # show ratios ~1.0-1.2 and an equal split is already optimal
-            # there — skewing it on a noisy signal measured -4..-5 dB on
-            # tonal content at 64/256 kbps; attack frames show ratios
-            # ~3-10x and keep the full win (threshold swept: ratio 2 left
-            # -0.4 dB of bursty-128k on the table, ratios 3 and 5 tie).
-            gate = max(demands) >= 3 * min(demands)
-            if sum_d > 0 and gate:
-                # Blend: half the frame budget splits equally (the gated-on
-                # frame still has a steady granule whose marginal SNR-per-
-                # bit is high; an all-demand split robs it — measured
-                # -1..-3 dB), half follows demand (attack granules stop
-                # starving — measured +3.6..+4.7 dB on transient content).
+            if sum_d > 0:
+                # Donation law (round 3, replacing the demand-PROPORTIONAL
+                # blend tuned in the pre-sequencing era): granules whose
+                # probe demand sits UNDER the equal share donate surplus;
+                # granules over it split the donations by deficit. Exact
+                # no-op when no (surplus, deficit) pair coexists -- steady
+                # frames keep the equal split bit-for-bit, so no deadband
+                # threshold is needed. Proportional skew measured -3.1 dB
+                # at 128k once window_sequencing fixed transient coding
+                # (it had been compensating for the TDAC break); donation
+                # keeps the +1.2 dB at starving bitrates with zero cost
+                # above. Clamped at the 4095-bit part2_3_length field
+                # (clamp loss returns to the reservoir, not the frame).
                 G = len(staged)
-                base = total_bits // (2 * G)
-                rest = total_bits - base * G
-                shares = [base + (rest * d) // sum_d for d in demands]
-                clamped = [min(s, 4095) for s in shares]
-                # the 4095-bit part2_3_length clamp would silently DISCARD a
-                # hot granule's surplus; return it to the unclamped granules
-                # (one round — measured: without this, 320 kbps bursts
-                # collapse because the tonal granule gets squeezed while the
-                # attack granule's overflow evaporates)
-                surplus = sum(shares) - sum(clamped)
-                n_unc = sum(1 for s in clamped if s < 4095)
-                add = surplus // max(n_unc, 1)
+                share = total_bits // G
+                sur = [max(share - d, 0) for d in demands]
+                defi = [max(d - share, 0) for d in demands]
+                pool, sdef = sum(sur), sum(defi)
+                take = min(pool, sdef)
                 budgets = [
-                    min(s + (add if s < 4095 else 0), 4095) for s in clamped
+                    min(
+                        share
+                        - (s * take) // max(pool, 1)
+                        + (take * dd) // max(sdef, 1),
+                        4095,
+                    )
+                    for s, dd in zip(sur, defi)
                 ]
 
         # Stage 2: gain walks + entropy layout + side info, per granule.

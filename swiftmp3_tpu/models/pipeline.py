@@ -46,7 +46,12 @@ from ..io.framing import FrameResult
 from ..io.sideinfo import GranuleInfo
 from ..ops.reference import K_DEMAND as LINBITS_K_DEMAND
 from ..ops.reference import LINBITS_Q_TARGET
-from ..options import MP3EncoderOptions, Mode, SAMPLES_PER_FRAME
+from ..options import (
+    MP3EncoderOptions,
+    Mode,
+    SAMPLES_PER_FRAME,
+    SAMPLES_PER_GRANULE,
+)
 from ..tables import bitrate_index, bitrate_value, mode_bits
 from ..ops import dsp
 # Import eagerly: importing inside a traced function would create the
@@ -80,6 +85,11 @@ def init_carry(batch: int, options: MP3EncoderOptions):
         "has_buffered": jnp.zeros(batch, dtype=bool),
         "vbr_ehist": jnp.zeros((batch, 10), dtype=jnp.float32),
         "vbr_count": jnp.zeros(batch, dtype=jnp.int32),
+        **(
+            {"seq_prev_short": jnp.zeros(batch, dtype=bool)}
+            if options.window_sequencing
+            else {}
+        ),
     }
 
 
@@ -121,11 +131,6 @@ def make_chunk_fn(options: MP3EncoderOptions):
     small per-frame integer tensors are transposed for the time scan.
     `valid` must be a prefix along T per stream (see module docstring).
     """
-    if options.window_sequencing:
-        raise NotImplementedError(
-            "window_sequencing device twin is in progress; use "
-            "backend='numpy' for sequenced streams"
-        )
     sr = options.sample_rate
     ch = options.channels
     n_gran = 2 * ch
@@ -141,8 +146,9 @@ def make_chunk_fn(options: MP3EncoderOptions):
     aligned = options.reservoir_mode == "aligned"
     iso_quant = options.iso_quantization
     strict_entropy = options.spec_strict_entropy
+    win_seq = options.window_sequencing
 
-    def run(carry, pcm, final, valid):
+    def run(carry, pcm, final, valid, la=None):
         if pcm.dtype == jnp.int16:
             # int16 ingestion: devices normalize by 1/32768 (exact in f32);
             # halves host->device transfer for the common PCM16 case.
@@ -153,6 +159,15 @@ def make_chunk_fn(options: MP3EncoderOptions):
             pcm = jnp.nan_to_num(
                 pcm.astype(jnp.float32), nan=0.0, posinf=0.0, neginf=0.0
             )
+        if la is not None:
+            # lookahead granules get the identical ingestion treatment so
+            # the transient decisions match the golden backend's
+            if la.dtype == jnp.int16:
+                la = la.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+            else:
+                la = jnp.nan_to_num(
+                    la.astype(jnp.float32), nan=0.0, posinf=0.0, neginf=0.0
+                )
         B, T = pcm.shape[0], pcm.shape[1]
 
         # ---------------- Phase 1: parallel DSP (batch-major) ----------------
@@ -188,25 +203,78 @@ def make_chunk_fn(options: MP3EncoderOptions):
         # the folded form's 128-sample row packing is always exact.)
         S, full_x = dsp.polyphase_chunk_matmul(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
 
-        block_b, sb_gain_b = dsp.transient_frame(granule_pcm)  # [B,ch,T,2],[B,ch,T,2,3]
-        if iso_quant:
-            # The quantizer never applies per-window gains, so the
-            # reference's heuristic subblock_gain values make conforming
-            # decoders attenuate short windows by 2^(-2*sbg) spuriously;
-            # the unit-gain law emits zeros (mirrors preflag suppression).
-            sb_gain_b = jnp.zeros_like(sb_gain_b)
+        if win_seq:
+            # ISO window sequencing (twin of GoldenBackend): shared-across-
+            # channels short wants from the RAW pre-matrix PCM; the NEXT
+            # granule's want comes from within the chunk, and the chunk's
+            # last granule's from the lookahead input `la` [B, 576*ch]
+            # per frame (the session/batch layer holds frames back one
+            # granule — see EncoderSession). MIXED demotes to SHORT.
+            if la is None:
+                raise ValueError(
+                    "window_sequencing chunk encode requires the per-frame "
+                    "lookahead input la [B, T, 576*ch]"
+                )
+            if ch == 1:
+                raw_g = pcm_bt.reshape(B, 1, T, 2, 576)
+                la_g = la.reshape(B, 1, T, 576)
+            else:
+                raw_g = jnp.stack([left, right], axis=1).reshape(
+                    B, 2, T, 2, 576
+                )
+                la_g = jnp.stack(
+                    [la[..., 0::2], la[..., 1::2]], axis=1
+                )  # [B, 2, T, 576]
+            rb, _ = dsp.transient_frame(raw_g)  # [B, chs, T, 2]
+            want_b = jnp.any(rb != dsp.BLOCK_LONG, axis=1)  # [B, T, 2]
+            lb, _ = dsp.transient_frame(la_g[..., None, :])  # [B, chs, T, 1]
+            want_la = jnp.any(lb[..., 0] != dsp.BLOCK_LONG, axis=1)  # [B, T]
+            want_next = jnp.stack([want_b[..., 1], want_la], axis=-1)
+            valid_g = jnp.repeat(valid, 2, axis=1)  # [B, 2T]
+            bts, seq_ps = dsp.sequence_blocks_chunk(
+                want_b.reshape(B, 2 * T),
+                want_next.reshape(B, 2 * T),
+                valid_g,
+                carry["seq_prev_short"],
+            )
+            block_b = jnp.broadcast_to(
+                bts.reshape(B, 1, T, 2), (B, ch, T, 2)
+            )
+            sb_gain_b = jnp.zeros((B, ch, T, 2, 3), jnp.int32)
+        else:
+            block_b, sb_gain_b = dsp.transient_frame(granule_pcm)  # [B,ch,T,2],[B,ch,T,2,3]
+            if iso_quant:
+                # The quantizer never applies per-window gains, so the
+                # reference's heuristic subblock_gain values make conforming
+                # decoders attenuate short windows by 2^(-2*sbg) spuriously;
+                # the unit-gain law emits zeros (mirrors preflag suppression).
+                sb_gain_b = jnp.zeros_like(sb_gain_b)
         block_seq = block_b.reshape(B, ch, 2 * T)  # granule-sequence order
         spectra, cur = dsp.mdct_chunk(
             S, carry["overlap"], block_seq,
             iso_mixed_alias=options.iso_short_blocks,
+            window_seq=win_seq,
         )
         spectra = spectra.reshape(B, ch, T, 2, 576)  # [B,ch,T,gr,576]
 
         if strict_entropy:
             is_long_b = block_b == dsp.BLOCK_LONG  # [B, ch, T, 2]
+            # START/STOP granules: LONG scalefactor layout + scfsi
+            # eligibility, but NOT long for the entropy regions (is_long_b
+            # stays strict — the 36/576 switching split applies)
+            sf_block_b = (
+                jnp.where(block_b > dsp.BLOCK_SHORT, dsp.BLOCK_LONG, block_b)
+                if win_seq
+                else block_b
+            )
+            long_layout_b = (
+                is_long_b | (block_b > dsp.BLOCK_SHORT)
+                if win_seq
+                else is_long_b
+            )
             if options.real_scalefactors:
                 sfd = dsp.granule_scalefactors_device(
-                    spectra, sr, block_b,
+                    spectra, sr, sf_block_b,
                     psy=options.psy_scalefactors,
                     iso_short=options.iso_short_blocks,
                 )
@@ -218,7 +286,9 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 if options.scfsi:
                     # granule 1 skips retransmitting groups equal to granule
                     # 0's; the saved part2 bits return to the rate budget
-                    scfsi_nib, sf_write = dsp.scfsi_device(sfd["sf"], is_long_b)
+                    scfsi_nib, sf_write = dsp.scfsi_device(
+                        sfd["sf"], long_layout_b
+                    )
                     part2 = dsp.scfsi_part2_device(sfd, sf_write)
                 else:
                     scfsi_nib = sf_write = None
@@ -321,34 +391,29 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 bits_per_granule = jnp.minimum(bits_per_granule, 4095)
 
             if strict_entropy and options.demand_budget:
-                # Demand-proportional split (options.demand_budget): each
-                # granule-channel's share of the frame budget follows its
-                # priced bits at the K_DEMAND grid probe — attack granules
-                # stop being starved by the reference's equal split. Twin:
-                # encoder.py stage-2 budgets via ref.strict_demand.
+                # Donation law (options.demand_budget; twin of encoder.py
+                # stage-2 budgets): granules whose probe demand — exact
+                # priced bits at the K_DEMAND grid candidate, free here —
+                # sits UNDER the equal share donate surplus; granules over
+                # it split the donations by deficit. Exact no-op on frames
+                # with no (surplus, deficit) pair, so steady frames keep
+                # the equal split bit-for-bit.
                 d = bits_k[..., LINBITS_K_DEMAND]  # [B, G]
                 sum_d = jnp.sum(d, axis=-1, keepdims=True)
-                # deadband: equal split unless the imbalance is real
-                # (max/min >= 3; see encoder.py twin for the sweep)
-                gate = jnp.max(d, axis=-1, keepdims=True) >= 3 * jnp.min(
-                    d, axis=-1, keepdims=True
-                )
                 total_b = (slot * 8 + usable)[:, None]
-                # half equal / half demand blend (see encoder.py twin)
-                base = total_b // (2 * n_gran)
-                rest = total_b - base * n_gran
-                share = base + (rest * d) // jnp.maximum(sum_d, 1)
-                clamped = jnp.minimum(share, 4095)
-                # redistribute the 4095-clamp surplus to unclamped granules
-                # (one round; see encoder.py twin for the measured rationale)
-                surplus = jnp.sum(share - clamped, axis=-1, keepdims=True)
-                unc = clamped < 4095
-                n_unc = jnp.sum(unc.astype(jnp.int32), axis=-1, keepdims=True)
-                add = surplus // jnp.maximum(n_unc, 1)
-                prop = jnp.minimum(clamped + jnp.where(unc, add, 0), 4095)
-                max_b = jnp.where(
-                    (sum_d > 0) & gate, prop, bits_per_granule[:, None]
+                share = total_b // n_gran
+                sur = jnp.maximum(share - d, 0)
+                defi = jnp.maximum(d - share, 0)
+                pool = jnp.sum(sur, axis=-1, keepdims=True)
+                sdef = jnp.sum(defi, axis=-1, keepdims=True)
+                take = jnp.minimum(pool, sdef)
+                prop = (
+                    share
+                    - (sur * take) // jnp.maximum(pool, 1)
+                    + (take * defi) // jnp.maximum(sdef, 1)
                 )
+                prop = jnp.minimum(prop, 4095)
+                max_b = jnp.where(sum_d > 0, prop, bits_per_granule[:, None])
             else:
                 max_b = bits_per_granule[:, None]
             k_sel, has_fit, bits_sel = dsp.rate_loop_select(
@@ -621,6 +686,8 @@ def make_chunk_fn(options: MP3EncoderOptions):
             new_carry["est_stream_len"] = carry["est_stream_len"]
         new_carry["fb_hist"] = fb_hist
         new_carry["overlap"] = overlap
+        if win_seq:
+            new_carry["seq_prev_short"] = seq_ps
         return new_carry, outputs
 
     return run
@@ -708,9 +775,15 @@ def frame_results_from_outputs(
             window_switching=0 if block == dsp.BLOCK_LONG else 1,
             # iso_short_blocks: ISO encoding block_type=2 + mixed_block_flag
             # (the reference's raw enum signals mixed as block_type=1 =
-            # ISO "start"; see GoldenBackend twin)
+            # ISO "start"; see GoldenBackend twin). window_sequencing's
+            # transition granules map to ISO header values (START->1,
+            # STOP->3).
             block_type=(
-                2
+                1
+                if block == dsp.BLOCK_START
+                else 3
+                if block == dsp.BLOCK_STOP
+                else 2
                 if (options.iso_short_blocks and block == dsp.BLOCK_MIXED)
                 else block
             ),
@@ -760,11 +833,6 @@ class TPUBackend:
     CHUNK = 8
 
     def __init__(self, options: MP3EncoderOptions):
-        if options.window_sequencing:
-            raise NotImplementedError(
-                "window_sequencing device twin is in progress; use "
-                "backend='numpy' for sequenced streams"
-            )
         self.options = options
         self._run = make_chunk_encoder(options, self.CHUNK)
         self.carry = init_carry(1, options)
@@ -778,6 +846,7 @@ class TPUBackend:
         n = SAMPLES_PER_FRAME * self.options.channels
         F = len(frames)
         results: List[FrameResult] = []
+        la_n = SAMPLES_PER_GRANULE * self.options.channels
         for start in range(0, F, self.CHUNK):
             count = min(self.CHUNK, F - start)
             pcm = np.zeros((1, self.CHUNK, n), dtype=np.float32)
@@ -786,7 +855,13 @@ class TPUBackend:
             pcm[0, :count] = frames[start : start + count]
             fin[0, :count] = is_final[start : start + count]
             val[0, :count] = True
-            self.carry, outs = self._run(self.carry, pcm, fin, val)
+            if self.options.window_sequencing:
+                la = np.zeros((1, self.CHUNK, la_n), dtype=np.float32)
+                if lookahead is not None:
+                    la[0, :count] = lookahead[start : start + count]
+                self.carry, outs = self._run(self.carry, pcm, fin, val, la)
+            else:
+                self.carry, outs = self._run(self.carry, pcm, fin, val)
             outs = fetch_outputs(outs, self.options)
             for t in range(count):
                 results.append(frame_results_from_outputs(outs, self.options, t, 0))

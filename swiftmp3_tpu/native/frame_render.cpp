@@ -163,9 +163,14 @@ std::vector<uint8_t> build_head_side(
             si.write(static_cast<uint32_t>(scalefac_compress[o]), 4);
             si.write(static_cast<uint32_t>(ws), 1);
             if (ws) {
-                // block_type arrives as the internal enum (mixed=1); the
-                // ISO encoding for mixed is block_type=2 + mixed_block_flag
+                // block_type arrives as the internal enum (mixed=1,
+                // start=3, stop=4); the ISO encoding for mixed is
+                // block_type=2 + mixed_block_flag, and window_sequencing's
+                // transitions map START->1 / STOP->3 (twin of
+                // frame_results_from_outputs / GoldenBackend)
                 int bt_emit = (s->iso_short_blocks && bt == 1) ? 2 : bt;
+                if (bt == 3) bt_emit = 1;
+                if (bt == 4) bt_emit = 3;
                 si.write(static_cast<uint32_t>(bt_emit), 2);
                 si.write(bt == 1 ? 1u : 0u, 1);  // mixed_block_flag
                 si.write(static_cast<uint32_t>(table_select[o * 3 + 0]), 5);

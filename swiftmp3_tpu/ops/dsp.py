@@ -32,6 +32,8 @@ from ..tables import (
     LONG_WINDOW,
     SHORT_MDCT_MATRIX,
     SHORT_WINDOW,
+    START_WINDOW,
+    STOP_WINDOW,
     TABLE15_LEN,
     band_table,
 )
@@ -58,6 +60,10 @@ _T15_LEN = jnp.asarray(TABLE15_LEN.astype(np.int32))  # [256]
 BLOCK_LONG = 0
 BLOCK_MIXED = 1
 BLOCK_SHORT = 2
+# window_sequencing transition windows (twins of reference.BLOCK_START/STOP;
+# long layout everywhere except the switching 36/576 entropy regions)
+BLOCK_START = 3
+BLOCK_STOP = 4
 
 N_GAIN_CANDIDATES = 20  # the reference's maxIterations (MP3Encoder.swift:745)
 
@@ -486,8 +492,28 @@ def _build_mdct_fold() -> dict:
     MC = np.concatenate([Lc @ A, Sc, Lc[:, :36]], axis=1)
     MPi = np.concatenate([Lp @ A, Sp, (Lp @ A1)[:, :36]], axis=1)
     MCi = np.concatenate([Lc @ A, Sc, (Lc @ A1)[:, :36]], axis=1)
+
+    # START/STOP corrections (options.window_sequencing): each transition
+    # window differs from LONG on exactly one half of the 36-sample window
+    # (start: current half, stop: overlap half), so the transition law is
+    # the aliased long output plus a per-granule [18, 18] correction on
+    # that half's subband samples — alias-reduced separately (linearity)
+    # and added. Same block for every subband; K=18 keeps it FLOP-free
+    # next to the [576, 1188] fold.
+    STW = np.asarray(START_WINDOW, dtype=np.float64)
+    SPW = np.asarray(STOP_WINDOW, dtype=np.float64)
+    k_start = np.einsum("t,mt->tm", (STW - W36)[18:], ML[:, 18:]) / 9.0
+    k_stop = np.einsum("t,mt->tm", (SPW - W36)[:18], ML[:, :18]) / 9.0
+
     f32 = lambda x: jnp.asarray(x.astype(np.float32))  # noqa: E731
-    return {"p": f32(MP), "c": f32(MC), "p_iso": f32(MPi), "c_iso": f32(MCi)}
+    return {
+        "p": f32(MP),
+        "c": f32(MC),
+        "p_iso": f32(MPi),
+        "c_iso": f32(MCi),
+        "k_start": f32(k_start),
+        "k_stop": f32(k_stop),
+    }
 
 
 _MDCT_FOLD = _build_mdct_fold()
@@ -501,6 +527,7 @@ def mdct_chunk(
     overlap: jax.Array,
     block_type: jax.Array,
     iso_mixed_alias: bool = False,
+    window_seq: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """MDCT for all 2T granules of a chunk at once (folded-matrix form).
 
@@ -541,6 +568,25 @@ def mdct_chunk(
     # mixed: unaliased long for subbands 0-1, short above
     mixed = jnp.concatenate([head36, short[..., 36:]], axis=-1)
     out = jnp.where(bt == BLOCK_MIXED, mixed, out)
+    if window_seq:
+        # START/STOP (options.window_sequencing): aliased long output plus
+        # the [18, 18] half-window correction (see _build_mdct_fold) —
+        # alias-reduced separately, by linearity of the butterflies.
+        def _corr(x, blk):
+            xg = x.reshape(*x.shape[:-1], 18, 32)
+            d = jnp.einsum("...ts,tm->...sm", xg, blk, precision=_HIGHEST)
+            return _aliasing_reduce(d).reshape(*x.shape[:-1], 576)
+
+        out = jnp.where(
+            bt == BLOCK_START,
+            long_aliased + _corr(cur, _MDCT_FOLD["k_start"]),
+            out,
+        )
+        out = jnp.where(
+            bt == BLOCK_STOP,
+            long_aliased + _corr(prev, _MDCT_FOLD["k_stop"]),
+            out,
+        )
     return out.astype(_F32), signed
 
 
@@ -569,6 +615,38 @@ def transient_frame(granule_pcm: jax.Array) -> tuple[jax.Array, jax.Array]:
     )
     gain = jnp.trunc((_F32(1.0) - normalized) * _F32(7.0)).astype(jnp.int32)
     return block, gain
+
+
+def sequence_blocks_chunk(
+    want: jax.Array,
+    want_next: jax.Array,
+    valid_g: jax.Array,
+    prev_short: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """ISO window sequencing over a chunk's granule sequence (twin of
+    reference.sequence_block_type applied granule-by-granule).
+
+    want/want_next/valid_g: [B, 2T] bool (shared-across-channels short
+    wants, the NEXT granule's want — the last granule's comes from the
+    lookahead input — and the frame valid mask repeated per granule);
+    prev_short: [B] carry. Returns (block [B, 2T] int32, new prev_short).
+    The recurrence is sequential (a sandwiched long granule joins the
+    short run), but it is a [B]-wide boolean scan — negligible cost."""
+
+    def step(ps, x):
+        w, wn, v = x
+        s = w | (ps & wn)
+        bt = jnp.where(
+            s,
+            BLOCK_SHORT,
+            jnp.where(wn, BLOCK_START, jnp.where(ps, BLOCK_STOP, BLOCK_LONG)),
+        )
+        return jnp.where(v, s, ps), bt.astype(jnp.int32)
+
+    ps, bts = jax.lax.scan(
+        step, prev_short, (want.T, want_next.T, valid_g.T)
+    )
+    return bts.T, ps
 
 
 # --- Gain init, quantization sweep, bit counting -----------------------------
@@ -1401,7 +1479,8 @@ def rate_loop_precompute_strict(
         mag = mag * mag_scale
     sign_neg = spectrum < 0
     if iso_short:
-        is_long_x = (block == BLOCK_LONG)[..., None]
+        # START/STOP granules are long-layout: no 2.4.3.4.8 reordering
+        is_long_x = ((block == BLOCK_LONG) | (block > BLOCK_SHORT))[..., None]
         is_mixed_x = (block == BLOCK_MIXED)[..., None]
 
         def reorder_by_block(x):

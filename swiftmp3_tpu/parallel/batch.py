@@ -96,19 +96,40 @@ class BatchEncoder:
             return jax.device_put(arr)
         return jax.device_put(arr, self._xm)
 
-    def prepare(self, pcm: np.ndarray, final: np.ndarray, valid: np.ndarray):
+    def prepare(
+        self, pcm: np.ndarray, final: np.ndarray, valid: np.ndarray,
+        lookahead: np.ndarray = None,
+    ):
         """Start the host->device upload of a chunk's inputs (async); pass
         the result to step() later so the transfer overlaps other work."""
-        return (self._put(pcm), self._put(final), self._put(valid))
+        out = (self._put(pcm), self._put(final), self._put(valid))
+        if lookahead is not None:
+            out = out + (self._put(lookahead),)
+        return out
 
-    def step(self, pcm, final, valid):
+    def step(self, pcm, final, valid, lookahead=None):
         """Run one device scan chunk. pcm: [B, T, 1152*ch] float32 or int16
         (normalized by 1/32768 on device); final/valid: [B, T]. Accepts
         numpy arrays or device arrays from prepare(). Returns stacked
-        outputs (device arrays, host copy already in flight)."""
-        self.carry, outs = self._run(
-            self.carry, self._put(pcm), self._put(final), self._put(valid)
-        )
+        outputs (device arrays, host copy already in flight).
+
+        window_sequencing: `lookahead` [B, T, 576*ch] is REQUIRED — each
+        frame's next raw granule (zeros after a stream's final frame);
+        the chunk fn's START decisions read it (see models/pipeline.py)."""
+        if self.options.window_sequencing:
+            if lookahead is None:
+                raise ValueError(
+                    "window_sequencing needs the per-frame lookahead "
+                    "chunk [B, T, 576*ch] (next raw granule per frame)"
+                )
+            self.carry, outs = self._run(
+                self.carry, self._put(pcm), self._put(final),
+                self._put(valid), self._put(lookahead),
+            )
+        else:
+            self.carry, outs = self._run(
+                self.carry, self._put(pcm), self._put(final), self._put(valid)
+            )
         # Start the device->host copies now so they overlap the next chunk's
         # compute; fetch_outputs() later finds them complete.
         for leaf in jax.tree_util.tree_leaves(outs):
@@ -228,6 +249,19 @@ def encode_batch(
     n_streams = len(streams)
     ch = options.channels
     frame_len = SAMPLES_PER_FRAME * ch
+    la_len = (SAMPLES_PER_FRAME // 2) * ch if options.window_sequencing else 0
+    if la_len:
+        # window_sequencing: one granule of encoder delay, identical to
+        # EncoderSession (byte parity with per-stream sessions); the
+        # lookahead granule per frame is sliced from the delayed stream.
+        streams = [
+            np.concatenate(
+                [np.zeros(la_len, dtype=np.asarray(s).dtype), np.asarray(s)]
+            )
+            if len(s)
+            else np.asarray(s)  # empty stream stays empty (session parity)
+            for s in streams
+        ]
 
     # Pad the batch to the mesh size if sharded.
     B = n_streams
@@ -272,7 +306,19 @@ def encode_batch(
                 pcm[b, :nrows] = buf.reshape(nrows, frame_len)
             if rem[b] and start <= n_frames[b] - 1 < start + Tc:
                 final[b, int(n_frames[b] - 1 - start)] = True
-        return pcm, final, valid
+        la = None
+        if la_len:
+            la = np.zeros((B, Tc, la_len), dtype=pcm_dtype)
+            for b in range(n_streams):
+                for t in range(count):
+                    lo = (start + t + 1) * frame_len
+                    hi = min(lo + la_len, int(lengths[b]))
+                    if hi > lo:
+                        seg = np.asarray(streams[b][lo:hi])
+                        if seg.dtype == np.int16 and pcm_dtype == np.float32:
+                            seg = seg.astype(np.float32) / np.float32(32768.0)
+                        la[b, t, : hi - lo] = seg
+        return pcm, final, valid, la
 
     # Software pipeline, 3 stages deep: while chunk k computes, chunk k+1's
     # PCM uploads (prepare) and chunk k-1's bytes render (drain) — both
@@ -281,15 +327,15 @@ def encode_batch(
     prepared = None
     prepared_valid = None
     if starts:
-        pcm, final, valid = build_chunk(starts[0])
-        prepared, prepared_valid = enc.prepare(pcm, final, valid), valid
+        pcm, final, valid, la = build_chunk(starts[0])
+        prepared, prepared_valid = enc.prepare(pcm, final, valid, la), valid
     pending = None  # (outs, valid)
     for idx, start in enumerate(starts):
         outs = enc.step(*prepared)
         cur_valid = prepared_valid
         if idx + 1 < len(starts):
-            pcm, final, valid = build_chunk(starts[idx + 1])
-            prepared, prepared_valid = enc.prepare(pcm, final, valid), valid
+            pcm, final, valid, la = build_chunk(starts[idx + 1])
+            prepared, prepared_valid = enc.prepare(pcm, final, valid, la), valid
         if pending is not None:
             for b, chunk in enumerate(enc.drain(*pending)):
                 if b < n_streams:
@@ -347,6 +393,17 @@ def encode_batch_multihost(
     local_dev = n_dev // n_proc
     ch = options.channels
     frame_len = SAMPLES_PER_FRAME * ch
+    la_len = (SAMPLES_PER_FRAME // 2) * ch if options.window_sequencing else 0
+    if la_len:
+        # window_sequencing: one granule of encoder delay (see encode_batch)
+        local_streams = [
+            np.concatenate(
+                [np.zeros(la_len, dtype=np.asarray(s).dtype), np.asarray(s)]
+            )
+            if len(s)
+            else np.asarray(s)
+            for s in local_streams
+        ]
     n_local = len(local_streams)
     B_local = max(((n_local + local_dev - 1) // local_dev) * local_dev, local_dev)
     B_global = B_local * n_proc
@@ -413,7 +470,19 @@ def encode_batch_multihost(
                 pcm[b, :nrows] = buf.reshape(nrows, frame_len)
             if rem[b] and start <= n_frames[b] - 1 < start + Tc:
                 final[b, int(n_frames[b] - 1 - start)] = True
-        return pcm, final, valid
+        la = None
+        if la_len:
+            la = np.zeros((B_local, Tc, la_len), dtype=pcm_dtype)
+            for b in range(n_local):
+                for t in range(Tc):
+                    lo_s = (start + t + 1) * frame_len
+                    hi_s = min(lo_s + la_len, int(lengths[b]))
+                    if hi_s > lo_s:
+                        seg = np.asarray(local_streams[b][lo_s:hi_s])
+                        if seg.dtype == np.int16 and pcm_dtype == np.float32:
+                            seg = seg.astype(np.float32) / np.float32(32768.0)
+                        la[b, t, : hi_s - lo_s] = seg
+        return pcm, final, valid, la
 
     def local_rows(global_arr) -> np.ndarray:
         """Assemble this host's [B_local, T, ...] rows from its addressable
@@ -426,13 +495,15 @@ def encode_batch_multihost(
         return np.concatenate(blocks, axis=0)
 
     for start in range(0, t_total, Tc):
-        pcm, final, valid = build_local_chunk(start)
-        carry, outs = run(
-            carry,
+        pcm, final, valid, la = build_local_chunk(start)
+        args = [
             put_global(mesh, pcm, batch_axis=0),
             put_global(mesh, final, batch_axis=0),
             put_global(mesh, valid, batch_axis=0),
-        )
+        ]
+        if la is not None:
+            args.append(put_global(mesh, la, batch_axis=0))
+        carry, outs = run(carry, *args)
         fetched = fetch_outputs({"packed": local_rows(outs["packed"])}, options)
         if use_native:
             counts = valid.sum(axis=1)

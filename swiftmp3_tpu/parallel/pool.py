@@ -82,6 +82,22 @@ class _ChunkBuffer:
         self._chunks.append(arr)
         self._len += len(arr)
 
+    def peek(self, n: int) -> np.ndarray:
+        """Return (a copy of) the first min(n, len) samples, non-destructively
+        (window_sequencing lookahead: the next granule is read one step
+        before it is consumed)."""
+        out, got = [], 0
+        for c in self._chunks:
+            if got >= n:
+                break
+            take = min(len(c), n - got)
+            out.append(c[:take])
+            got += take
+        dt = np.int16 if self.is_int16 else np.float32
+        if not out:
+            return np.zeros(0, dtype=dt)
+        return np.concatenate(out) if len(out) > 1 else out[0].copy()
+
     def pop(self, n: int) -> np.ndarray:
         """Remove and return the first n samples (n <= len)."""
         out, got = [], 0
@@ -111,6 +127,7 @@ class _Stream:
     done: bool = False
     frames: int = 0
     frame_sizes: Optional[List[int]] = None  # snapshot at finish (Xing)
+    fed: bool = False  # any real PCM received (window_sequencing preroll)
 
 
 class StreamPool:
@@ -138,6 +155,11 @@ class StreamPool:
         self._waiting: List[int] = []  # sids with no lane yet (FIFO)
         self._next_sid = 0
         self._n = SAMPLES_PER_FRAME * self.options.channels
+        # window_sequencing: one granule of encoder delay per stream
+        # (preroll zeros on first feed) + per-frame lookahead in the chunk
+        self._la_n = (
+            self._n // 2 if self.options.window_sequencing else 0
+        )
         # in-flight chunk awaiting drain: (outs, valid, active, finishing)
         self._pending = None
 
@@ -165,6 +187,11 @@ class StreamPool:
             arr = arr.astype(np.float32).reshape(-1)
             if not np.isfinite(arr).all():
                 arr = np.nan_to_num(arr, nan=0.0, posinf=0.0, neginf=0.0)
+        if self._la_n and not s.fed and len(arr):
+            # window_sequencing encoder delay (EncoderSession parity: the
+            # preroll is dropped when a stream is closed without PCM)
+            s.buffer.append(np.zeros(self._la_n, dtype=arr.dtype))
+            s.fed = True
         s.buffer.append(arr)
 
     def close(self, sid: int) -> None:
@@ -248,28 +275,51 @@ class StreamPool:
             assigned += 1
         return assigned
 
-    def _lane_chunk(self, s: _Stream, pcm_row: np.ndarray):
-        """Fill pcm_row [T, n] and return (final [T], valid [T], consumed,
+    def _lane_chunk(self, s: _Stream, pcm_row: np.ndarray, la_row=None):
+        """Fill pcm_row [T, n] (and la_row [T, la_n] under
+        window_sequencing) and return (final [T], valid [T], consumed,
         finishing). EncoderSession parity: `final` is raised ONLY on a
         zero-padded partial tail frame (a stream ending exactly on a frame
         boundary encodes its last frame unflagged, like flush()); an open
-        stream only emits the whole frames it has buffered."""
+        stream only emits the whole frames it has buffered — and, under
+        window_sequencing, only frames whose lookahead granule has also
+        arrived (the session's holdback rule)."""
         T, n = self.T, self._n
-        avail_frames = len(s.buffer) // n
-        tail = len(s.buffer) - avail_frames * n
+        la_n = self._la_n
+        if la_n and not s.closed:
+            avail_frames = max(len(s.buffer) - la_n, 0) // n
+        else:
+            avail_frames = len(s.buffer) // n
+        tail = len(s.buffer) - avail_frames * n if s.closed else 0
         final = np.zeros(T, dtype=bool)
         valid = np.zeros(T, dtype=bool)
         emit = min(avail_frames, T)
         consumed = emit * n
         if emit:
-            pcm_row[:emit] = s.buffer.pop(consumed).reshape(emit, n)
+            data = s.buffer.pop(consumed)
+            pcm_row[:emit] = data.reshape(emit, n)
             valid[:emit] = True
+            if la_n:
+                for t in range(emit - 1):
+                    la_row[t] = data[(t + 1) * n : (t + 1) * n + la_n]
+                peek = s.buffer.peek(la_n)
+                la_row[emit - 1, : len(peek)] = peek
         if s.closed and tail and emit == avail_frames and emit < T:
-            # the padded isFinal frame (EncoderSession.flush)
+            # the padded isFinal frame (EncoderSession.flush); its
+            # lookahead is silence, and the frame BEFORE it sees the
+            # padded tail via the peek above
             pcm_row[emit, :tail] = s.buffer.pop(tail)
             valid[emit] = True
             final[emit] = True
             consumed += tail
+        elif (
+            la_n and s.closed and emit and emit == avail_frames
+            and len(s.buffer) == 0
+        ):
+            # sequenced stream whose delayed length is an exact frame
+            # multiple: the session's flush still flags its held-back last
+            # frame is_final (the delay guarantees a flush emission)
+            final[emit - 1] = True
         finishing = s.closed and len(s.buffer) == 0
         return final, valid, consumed, finishing
 
@@ -289,21 +339,30 @@ class StreamPool:
         ]
         # int16 end-to-end when every active stream's buffer is int16
         all_i16 = bool(active) and all(s.buffer.is_int16 for _, s in active)
-        pcm = np.zeros((B, T, n), dtype=np.int16 if all_i16 else np.float32)
+        dt = np.int16 if all_i16 else np.float32
+        pcm = np.zeros((B, T, n), dtype=dt)
+        la = (
+            np.zeros((B, T, self._la_n), dtype=dt) if self._la_n else None
+        )
         final = np.zeros((B, T), dtype=bool)
         valid = np.zeros((B, T), dtype=bool)
         finishing: Dict[int, bool] = {}
         for lane, s in active:
             row = pcm[lane]
+            la_row = la[lane] if la is not None else None
             if not all_i16 and s.buffer.is_int16 and len(s.buffer):
                 # mixed-dtype step: normalize this lane's int16 on host
-                fin, val, cons, fini = self._lane_chunk_f32(s, row)
+                fin, val, cons, fini = self._lane_chunk_f32(s, row, la_row)
             else:
-                fin, val, cons, fini = self._lane_chunk(s, row)
+                fin, val, cons, fini = self._lane_chunk(s, row, la_row)
             final[lane], valid[lane] = fin, val
             finishing[lane] = fini
 
-        outs = self.enc.step(pcm, final, valid) if valid.any() else None
+        outs = (
+            self.enc.step(pcm, final, valid, lookahead=la)
+            if valid.any()
+            else None
+        )
 
         # Drain the previous chunk AFTER dispatching this one: its device
         # outputs are ready (or nearly), and the new chunk computes while
@@ -352,14 +411,16 @@ class StreamPool:
         self.enc.reset_lanes(reset_mask)
         return progress
 
-    def _lane_chunk_f32(self, s: _Stream, pcm_row: np.ndarray):
+    def _lane_chunk_f32(self, s: _Stream, pcm_row: np.ndarray, la_row=None):
         """_lane_chunk for an int16-buffered stream in a float32 step: the
         int16 samples assign into the float row (exact cast), then the
         valid frames normalize by 1/32768 (exact; session parity)."""
-        fin, val, cons, fini = self._lane_chunk(s, pcm_row)
+        fin, val, cons, fini = self._lane_chunk(s, pcm_row, la_row)
         nf = int(val.sum())
         if nf:
             pcm_row[:nf] /= np.float32(32768.0)
+            if la_row is not None:
+                la_row[:nf] /= np.float32(32768.0)
         return fin, val, cons, fini
 
     def _lane_frame_sizes(self, lane: int):

@@ -37,25 +37,61 @@ def _align(
 ) -> int:
     """Find the decoder delay minimizing the resulting error energy.
 
-    The objective matches the SNR that will be measured: with unit_gain,
-    argmin_d ||ref - dec_d||^2 = argmax_d (2*corr(d) - ||dec_d||^2); with
-    the least-squares gain, argmax_d corr(d)^2 / ||dec_d||^2. A bare
-    correlation peak (the old law) can land one period off on periodic
-    content — the peaks are nearly equal there while the SNR at the true
-    delay is tens of dB higher — and stays SIGNED either way: a
-    sign-inverting decode SHOULD score badly."""
-    n = min(len(ref), len(dec) - max_delay, 44100)
-    if n <= 0:
+    The objective matches the SNR that will be measured AT THAT LAG over
+    the FULL overlap n_d = min(len(ref), len(dec)-d) — not a fixed head
+    window. A head-window objective can land a period multiple off on
+    periodic content (interior error is identical there) and then charge
+    the stream-end mismatch — trailing encoder-delay zeros compared
+    against source content — to the SNR: measured as a phantom -15 dB on
+    a delayed encode of a 16-frame tonal signal whose interior agreed to
+    0.05 dB. With unit_gain the score is -err(d)/refE(n_d); with the
+    least-squares gain, corr(d)^2/(decE(d)*refE(n_d)). Signed either way:
+    a sign-inverting decode SHOULD score badly. Falls back to the head-
+    window law when the full-overlap correlate would be too large (long
+    streams — where end effects are a negligible fraction anyway)."""
+    L = len(ref)
+    D = len(dec)
+    if L <= 0 or D <= 0:
         return 0
-    r = ref[:n].astype(np.float64)
-    seg = dec[: n + max_delay].astype(np.float64)
-    corr = np.correlate(seg, r, mode="valid")
+    if L * max_delay > 400_000_000:  # long streams: head-window law
+        n = min(L, D - max_delay, 44100)
+        if n <= 0:
+            return 0
+        r = ref[:n].astype(np.float64)
+        seg = dec[: n + max_delay].astype(np.float64)
+        corr = np.correlate(seg, r, mode="valid")
+        e = np.concatenate([[0.0], np.cumsum(seg * seg)])
+        energy = e[n:] - e[:-n]
+        if unit_gain:
+            score = 2.0 * corr - energy
+        else:
+            score = np.where(
+                corr > 0, corr * corr / np.maximum(energy, 1e-30), -np.inf
+            )
+            if not np.isfinite(score).any():
+                score = corr
+        return int(np.argmax(score))
+
+    max_d = int(min(max_delay, max(D - min(L, 1024), 0)))
+    r = ref.astype(np.float64)
+    pad = max(max_d + L - D, 0)
+    seg = np.concatenate([dec.astype(np.float64), np.zeros(pad)])[: max_d + L]
+    corr = np.correlate(seg, r, mode="valid")  # [max_d + 1], zero-pad exact
     e = np.concatenate([[0.0], np.cumsum(seg * seg)])
-    energy = e[n:] - e[:-n]  # ||dec[d:d+n]||^2 for each candidate d
+    d_idx = np.arange(max_d + 1)
+    dece = e[d_idx + L] - e[d_idx]  # decode energy over the (padded) overlap
+    re = np.concatenate([[0.0], np.cumsum(r * r)])
+    n_d = np.minimum(L, D - d_idx)
+    refe = re[np.maximum(n_d, 0)]
     if unit_gain:
-        score = 2.0 * corr - energy
+        err = refe - 2.0 * corr + dece
+        score = -err / np.maximum(refe, 1e-30)
     else:
-        score = np.where(corr > 0, corr * corr / np.maximum(energy, 1e-30), -np.inf)
+        score = np.where(
+            corr > 0,
+            corr * corr / np.maximum(dece * refe, 1e-30),
+            -np.inf,
+        )
         if not np.isfinite(score).any():
             score = corr
     return int(np.argmax(score))

@@ -173,19 +173,23 @@ def test_hq_emits_esc_tables_and_caps_part23():
 
 
 def test_hq_stereo_and_bursts_decode():
-    """Joint-stereo hq with transient content (short blocks + ESC in one
-    stream) stays conforming and beats strict on the same content."""
-    x = _bursty(4 * 1152)
+    """Joint-stereo hq with transient content (short blocks + sequenced
+    transitions + ESC in one stream) stays conforming and beats strict on
+    the same content. Scored over the source INTERIOR: encoder delay and
+    end-of-stream coarseness otherwise dominate short clips (see
+    tools/quality_vs_lame._score for the measured phantom swings)."""
+    x = _bursty(10 * 1152)
     st = np.stack([x, np.roll(x, 5)], axis=1)
+    ref = x[2 * 1152 : -2 * 1152]
     hq = _encode(MP3EncoderOptions.hq(mode=Mode.JOINT_STEREO, bitrate_kbps=256), st)
     strict = _encode(
         MP3EncoderOptions.spec_strict(mode=Mode.JOINT_STEREO, bitrate_kbps=256), st
     )
     dh = decode_mp3(hq, iso_conventions=True)
     ds = decode_mp3(strict, iso_conventions=True)
-    sh = measure_quality(x, dh.pcm[:, 0], compensate_gain=False).snr_db
-    ss = measure_quality(x, ds.pcm[:, 0], compensate_gain=False).snr_db
-    assert sh > ss + 5, (sh, ss)
+    sh = measure_quality(ref, dh.pcm[:, 0], compensate_gain=False).snr_db
+    ss = measure_quality(ref, ds.pcm[:, 0], compensate_gain=False).snr_db
+    assert sh > ss + 3, (sh, ss)
 
 
 # ---------------------------------------------------------------- device twin
@@ -275,38 +279,43 @@ def test_hq_backends_agree():
     assert min(snrs.values()) > 40.0, snrs
 
 
-# ------------------------------------------- demand-proportional budgets
+# ------------------------------------------------ demand-donation budgets
 
 
-def test_demand_budget_transient_quality_floors():
-    """options.demand_budget (in the hq preset): frames whose granule
-    demand imbalance crosses the deadband (max/min >= 3) split the frame
-    budget half-equal/half-demand instead of equally — attack granules
-    stop being starved. Pins the measured win on transient content
-    (+1.05/+3.35 dB at 64/128 kbps) with margin; high bitrates saturate
-    the transient's codable SNR either way (delta ~0)."""
-    pcm = _bursty(6 * 1152)
-    floors = {64: 0.7, 128: 2.5}
-    for kbps, floor in floors.items():
-        snr = {}
-        for db in (True, False):
-            o = MP3EncoderOptions.hq(
-                mode=Mode.MONO, bitrate_kbps=kbps, demand_budget=db
-            )
-            dec = decode_mp3(_encode(o, pcm), iso_conventions=True)
-            snr[db] = measure_quality(
-                pcm, dec.pcm[:, 0], compensate_gain=False
-            ).snr_db
-        assert snr[True] - snr[False] > floor, (kbps, snr)
+def test_demand_budget_donation_wins_on_starving_transients():
+    """options.demand_budget (in the hq preset), donation law: granule-
+    channels whose probe demand sits UNDER the equal share donate the
+    surplus; granules over it split the donations by deficit. Donation
+    fires only at starving bitrates, where transient frames hold a real
+    (surplus, deficit) pair — pins the measured +1.4 dB at 64 kbps on 16
+    frames of bursty content. Interior-scored: the encoder-delay head
+    and the deliberately coarse final frame otherwise dominate the clip
+    (see tools/quality_vs_lame._score)."""
+    pcm = _bursty(16 * 1152)
+    trim = 2 * 1152
+    interior = pcm[trim:-trim]
+    snr = {}
+    for db in (True, False):
+        o = MP3EncoderOptions.hq(
+            mode=Mode.MONO, bitrate_kbps=64, demand_budget=db
+        )
+        dec = decode_mp3(_encode(o, pcm), iso_conventions=True)
+        snr[db] = measure_quality(
+            interior, dec.pcm[:, 0], compensate_gain=False
+        ).snr_db
+    assert snr[True] - snr[False] > 0.8, snr
 
 
-def test_demand_budget_deadband_keeps_balanced_frames_equal():
-    """Stationary content's demand ratios sit ~1.0-1.2, inside the
-    deadband — the gate never fires and the stream is BYTE-identical to
-    demand_budget=False (skewing an equal-optimum split measured -4..-5 dB
-    on tonal content before the deadband existed)."""
-    pcm = _tonal(5 * 1152)
-    for kbps in (64, 256):
+def test_demand_budget_exact_noop_without_surplus_deficit_pair():
+    """The donation law self-gates with no threshold: when no granule
+    sits under the equal share (nothing to donate) or none sits over it
+    (no deficit), the budgets are untouched and the stream is
+    BYTE-identical to demand_budget=False. Both polarities: tonal
+    content at 256 kbps (every demand under the share) and bursty
+    content at 128 kbps (the share covers every probe demand's
+    overflow)."""
+    cases = [(_tonal(5 * 1152), 256), (_bursty(6 * 1152), 128)]
+    for pcm, kbps in cases:
         outs = [
             _encode(
                 MP3EncoderOptions.hq(
@@ -319,18 +328,21 @@ def test_demand_budget_deadband_keeps_balanced_frames_equal():
         assert outs[0] == outs[1], kbps
 
 
+@pytest.mark.slow
 def test_demand_budget_backends_agree():
-    """Device twin of the demand split (models/pipeline.py scan step):
-    same deadband gate, same half/half blend, same 4095-clamp surplus
-    redistribution. Structure must match exactly on bursty content;
-    decoded SNR within the ULP-flip contract."""
+    """Device twin of the donation law (models/pipeline.py scan step):
+    same share/surplus/deficit integer arithmetic, same 4095 clamp. Run
+    at 64 kbps on 16 bursty frames — the config where donation FIRES
+    (128k is a byte-level no-op on this clip) — crossing the device
+    backend's CHUNK=8 boundary. Structure must match exactly; decoded
+    SNR within the ULP-flip contract."""
     import sys
 
     sys.path.insert(0, "tests")
     from util import parse_frames
 
-    pcm = _bursty(6 * 1152)
-    o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=128)
+    pcm = _bursty(16 * 1152)
+    o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=64)
     outs = {be: _encode(o, pcm, backend=be) for be in ("numpy", "tpu")}
     fa, fb = parse_frames(outs["numpy"]), parse_frames(outs["tpu"])
     assert len(fa) == len(fb)
@@ -338,30 +350,39 @@ def test_demand_budget_backends_agree():
         assert (a.size, a.bitrate_kbps, a.padding, a.mode) == (
             b.size, b.bitrate_kbps, b.padding, b.mode,
         )
+    trim = 2 * 1152
+    interior = pcm[trim:-trim]
     snrs = {}
     for be, blob in outs.items():
         dec = decode_mp3(blob, iso_conventions=True)
-        snrs[be] = measure_quality(pcm, dec.pcm[:, 0], compensate_gain=False).snr_db
+        snrs[be] = measure_quality(
+            interior, dec.pcm[:, 0], compensate_gain=False
+        ).snr_db
     assert abs(snrs["numpy"] - snrs["tpu"]) < 1.0, snrs
-    assert min(snrs.values()) > 16.5, snrs
+    assert min(snrs.values()) > 9.0, snrs
 
 
 @pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
 def test_demand_budget_streams_conform_externally():
-    """A demand_budget stream is plain conforming MP3 (the split only
+    """A demand_budget stream is plain conforming MP3 (the donation only
     moves part2_3_length budgets); libmpg123 must decode it in close
-    agreement with the oracle and confirm the transient win externally."""
-    pcm = _bursty(6 * 1152)
-    o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=128)
+    agreement with the oracle and confirm the 64 kbps transient win
+    externally (measured +1.44 dB through mpg123, interior-scored)."""
+    pcm = _bursty(16 * 1152)
+    trim = 2 * 1152
+    interior = pcm[trim:-trim]
+    o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=64)
     blob = _encode(o, pcm)
     ext, _ = mpg123_decode(blob)
     ours = decode_mp3(blob, iso_conventions=True).pcm
     agree = decode_agreement_snr(ext[:, 0], ours[: len(ext), 0])
     assert agree > 100.0, agree
-    snr_on = measure_quality(pcm, ext[:, 0], compensate_gain=False).snr_db
+    snr_on = measure_quality(interior, ext[:, 0], compensate_gain=False).snr_db
     o_off = MP3EncoderOptions.hq(
-        mode=Mode.MONO, bitrate_kbps=128, demand_budget=False
+        mode=Mode.MONO, bitrate_kbps=64, demand_budget=False
     )
     ext_off, _ = mpg123_decode(_encode(o_off, pcm))
-    snr_off = measure_quality(pcm, ext_off[:, 0], compensate_gain=False).snr_db
-    assert snr_on - snr_off > 2.5, (snr_on, snr_off)
+    snr_off = measure_quality(
+        interior, ext_off[:, 0], compensate_gain=False
+    ).snr_db
+    assert snr_on - snr_off > 0.8, (snr_on, snr_off)

@@ -279,3 +279,134 @@ def test_sequenced_drip_feed_and_resume():
     # empty session flush emits nothing (the delay preroll alone is dropped)
     s3 = MP3Encoder(o, backend="numpy").new_session()
     assert s3.flush() == b""
+
+
+def test_sequenced_encode_batch_matches_sessions():
+    """encode_batch under hq (window_sequencing): the batch layer's
+    one-granule stream delay + per-frame lookahead slices must reproduce
+    per-stream session bytes exactly, across a partial tail, an exact
+    frame multiple, and an empty stream."""
+    from swiftmp3_tpu.parallel import encode_batch
+
+    o = _hq(mode=Mode.MONO, bitrate_kbps=128)
+    streams = [
+        _bursty(4 * 1152 + 700, seed=21),
+        _bursty(3 * 1152, seed=22),  # exact frame multiple
+        np.zeros(0, dtype=np.float32),  # empty stream stays empty
+        _bursty(5 * 1152 + 1, seed=23),
+    ]
+    batched = encode_batch(o, streams, frames_per_step=3)
+    for i, s in enumerate(streams):
+        sess = MP3Encoder(o, backend="tpu").new_session()
+        expect = sess.encode(s) + sess.flush()
+        assert batched[i] == expect, f"stream {i}"
+
+
+def test_sequenced_pool_matches_sessions():
+    """StreamPool under hq (window_sequencing): the holdback rule (a
+    frame is emitted only once its lookahead granule has arrived), the
+    preroll delay on first feed, and the exact-frame-multiple final flag
+    must reproduce per-stream session bytes — including a drip-fed
+    stream and a stream closed without any PCM."""
+    from swiftmp3_tpu.parallel import StreamPool
+
+    o = _hq(mode=Mode.MONO, bitrate_kbps=128)
+    sigs = [
+        _bursty(3 * 1152 + 500, seed=31),
+        _bursty(2 * 1152, seed=32),  # exact frame multiple
+        _bursty(4 * 1152 + 1, seed=33),
+    ]
+    pool = StreamPool(o, lanes=2, frames_per_step=2)
+    # stream 0 drip-feeds across steps; 1 and 2 arrive one-shot, staggered
+    sid0 = pool.submit()
+    sid_empty = pool.submit()
+    pool.close(sid_empty)  # closed with no PCM: emits nothing
+    pos = 0
+    sched = [900, 2500, 3333, None, None]  # None => one-shot arrivals
+    sids = [sid0, None, None]
+    arrivals = [1, 2]
+    for chunk in sched:
+        if chunk is not None:
+            end = min(pos + chunk, len(sigs[0]))
+            pool.feed(sid0, sigs[0][pos:end])
+            pos = end
+        elif arrivals:
+            i = arrivals.pop(0)
+            sids[i] = pool.submit()
+            pool.feed(sids[i], sigs[i])
+            pool.close(sids[i])
+        pool.step()
+    pool.feed(sid0, sigs[0][pos:])
+    pool.close(sid0)
+    pool.run_until_idle()
+
+    assert pool.result(sid_empty) == b""
+    for i, sid in enumerate(sids):
+        sess = MP3Encoder(o, backend="tpu").new_session()
+        expect = sess.encode(sigs[i]) + sess.flush()
+        assert pool.result(sid) == expect, f"stream {i}"
+
+
+def test_sequenced_backends_agree():
+    """Device twin (models/pipeline.py win_seq path + dsp.mdct_chunk
+    start/stop corrections + dsp.sequence_blocks_chunk): identical frame
+    structure AND identical block-type sequences; decoded SNR within the
+    ULP-flip contract."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from util import parse_frames
+
+    pcm = _bursty(6 * 1152)
+    o = _hq(mode=Mode.MONO, bitrate_kbps=256)
+    outs = {be: _encode(o, pcm, backend=be) for be in ("numpy", "tpu")}
+    fa, fb = parse_frames(outs["numpy"]), parse_frames(outs["tpu"])
+    assert len(fa) == len(fb)
+    for a, b in zip(fa, fb):
+        assert (a.size, a.bitrate_kbps, a.padding) == (
+            b.size, b.bitrate_kbps, b.padding,
+        )
+    bt_seqs = {}
+    snrs = {}
+    for be, blob in outs.items():
+        bts = []
+        for fi in _iter_frames(blob, strict=False):
+            bts.append(tuple(
+                g.block_type if g.window_switching else 0
+                for gr in fi.granules for g in gr
+            ))
+        bt_seqs[be] = bts
+        dec = decode_mp3(blob, iso_conventions=True)
+        snrs[be] = measure_quality(
+            pcm, dec.pcm[:, 0], compensate_gain=False
+        ).snr_db
+    assert bt_seqs["numpy"] == bt_seqs["tpu"], bt_seqs
+    assert abs(snrs["numpy"] - snrs["tpu"]) < 1.0, snrs
+    assert min(snrs.values()) > 30.0, snrs
+
+
+def test_sequenced_backends_agree_stereo_chunked():
+    """Stereo + a stream long enough to cross the TPU backend's CHUNK=8
+    boundary: the seq_prev_short carry and per-chunk lookahead must keep
+    the device block sequence identical to golden's."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from util import parse_frames
+
+    x = _bursty(11 * 1152, seed=17)
+    st = np.stack([x, np.roll(x, 7)], axis=1)
+    o = _hq(mode=Mode.JOINT_STEREO, bitrate_kbps=192)
+    outs = {be: _encode(o, st, backend=be) for be in ("numpy", "tpu")}
+    fa, fb = parse_frames(outs["numpy"]), parse_frames(outs["tpu"])
+    assert len(fa) == len(fb) and len(fa) == 12
+    bt_seqs = {}
+    for be, blob in outs.items():
+        bts = []
+        for fi in _iter_frames(blob, strict=False):
+            bts.append(tuple(
+                g.block_type if g.window_switching else 0
+                for gr in fi.granules for g in gr
+            ))
+        bt_seqs[be] = bts
+    assert bt_seqs["numpy"] == bt_seqs["tpu"], bt_seqs

@@ -43,10 +43,23 @@ def _ours(opts: MP3EncoderOptions, pcm: np.ndarray) -> bytes:
 
 
 def _score(pcm: np.ndarray, blob: bytes) -> tuple[float, float]:
-    """(raw unit-gain SNR, gain-compensated SNR) through libmpg123."""
+    """(raw unit-gain SNR, gain-compensated SNR) through libmpg123.
+
+    Scored over the source INTERIOR (first and last two frames dropped):
+    every MP3 encoder's final frame is deliberately coarse (no reservoir
+    borrowing at end-of-stream) and its first granules carry filterbank
+    warm-up error, and whether those regions land inside the comparison
+    window depends on the encoder's delay vs the decoder's unflushed
+    tail. On periodic content the alignment can also land a period
+    multiple off and slide edge garbage in or out of the window —
+    measured as a phantom -7..-15 dB swing between two encodes whose
+    true-lag profiles agreed granule-for-granule. The interior window is
+    delay- and alias-invariant."""
     ext, _ = mpg123_decode(blob)
-    raw = measure_quality(pcm, ext[:, 0], SR, compensate_gain=False).snr_db
-    comp = measure_quality(pcm, ext[:, 0], SR).snr_db
+    trim = 2 * 1152
+    ref = pcm[trim:-trim] if len(pcm) > 3 * trim else pcm
+    raw = measure_quality(ref, ext[:, 0], SR, compensate_gain=False).snr_db
+    comp = measure_quality(ref, ext[:, 0], SR).snr_db
     return raw, comp
 
 
