@@ -113,7 +113,7 @@ def main() -> None:
     # ---- device compute: chained steps over pre-uploaded unique inputs,
     # one final block; median over repeats. (Per-step blocking would measure
     # the tunnel's ~25-45 ms dispatch round-trip, not the chip.)
-    CHAIN = 8
+    CHAIN = min(8, len(pcms))  # small BENCH_ITERS runs still chain correctly
     pcm_d = [jax.device_put(p) for p in pcms[:CHAIN]]
     fin_d = jax.device_put(final)
     val_d = jax.device_put(valid)
