@@ -207,6 +207,24 @@ class GoldenBackend:
             self.seq_prev_short = bt1 == ref.BLOCK_SHORT
             seq_blocks = (bt0, bt1)
 
+        shared_blocks = None
+        if (
+            opts.shared_ms_blocks
+            and channels == 2
+            and seq_blocks is None
+            and use_ms
+        ):
+            # M/S frames must carry ONE window layout across both channels
+            # (options.shared_ms_blocks): detect on the raw pre-matrix L/R
+            # (matrixing can cancel a one-channel transient out of mid) and
+            # let the more-transient verdict win (LONG < MIXED < SHORT).
+            shared_blocks = []
+            for gr in range(2):
+                sl = slice(gr * SAMPLES_PER_GRANULE, (gr + 1) * SAMPLES_PER_GRANULE)
+                bl, _ = ref.transient_detect(left[sl])
+                br, _ = ref.transient_detect(right[sl])
+                shared_blocks.append(max(bl, br))
+
         granules = [[None] * channels for _ in range(2)]
         quantized = np.zeros((2 * channels, SAMPLES_PER_GRANULE), dtype=np.int32)
         big_values = np.zeros(2 * channels, dtype=np.int32)
@@ -231,6 +249,8 @@ class GoldenBackend:
                     # window gains are not used (long-layout transitions
                     # carry none; short granules ride scalefactors)
                     block, sb_gain = seq_blocks[gr], [0, 0, 0]
+                elif shared_blocks is not None:
+                    block, sb_gain = shared_blocks[gr], [0, 0, 0]
                 else:
                     block, sb_gain = ref.transient_detect(gsamples)
                 if opts.iso_quantization:

@@ -243,6 +243,18 @@ def make_chunk_fn(options: MP3EncoderOptions):
             sb_gain_b = jnp.zeros((B, ch, T, 2, 3), jnp.int32)
         else:
             block_b, sb_gain_b = dsp.transient_frame(granule_pcm)  # [B,ch,T,2],[B,ch,T,2,3]
+            if options.shared_ms_blocks and use_ms is not None:
+                # M/S frames must carry ONE window layout across both
+                # channels (options.shared_ms_blocks; twin of
+                # GoldenBackend): detect on the raw pre-matrix L/R and let
+                # the more-transient verdict win (LONG < MIXED < SHORT).
+                # L/R frames keep the per-channel post-matrix decision.
+                raw_g = jnp.stack([left, right], axis=1).reshape(
+                    B, 2, T, 2, 576
+                )
+                rb, _ = dsp.transient_frame(raw_g)  # [B, 2, T, 2]
+                shared = jnp.max(rb, axis=1, keepdims=True)  # [B, 1, T, 2]
+                block_b = jnp.where(use_ms[:, None, :, None], shared, block_b)
             if iso_quant:
                 # The quantizer never applies per-window gains, so the
                 # reference's heuristic subblock_gain values make conforming

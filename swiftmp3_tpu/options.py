@@ -153,6 +153,22 @@ class MP3EncoderOptions:
     #   mid/side reconstruction to frames that actually carry L/R —
     #   garbling the stereo image whenever the per-frame decision flips.
     iso_mode_ext: bool = False
+    # shared_ms_blocks: share the window (block-type) decision across the
+    #   two channels of any frame that actually encodes mid/side, computed
+    #   on the raw pre-matrix L/R PCM (the more-transient channel wins:
+    #   LONG < MIXED < SHORT). The reference family detects transients per
+    #   channel on the POST-matrix mid/side signals (MP3Encoder.swift:
+    #   1944-1968 runs inside the per-channel granule loop), so an M/S
+    #   frame can carry DIFFERENT window layouts in its two channels; the
+    #   matrixed spectra then live in different time-frequency layouts and
+    #   ISO 2.4.3.4.9.2 defines no reading for the reconstruction
+    #   (measured: the oracle and libmpg123 each "decode" such streams and
+    #   disagree at ~40 dB on bursty decorrelated stereo vs ~133 dB
+    #   otherwise — tools/external_matrix.py found it). L/R frames keep
+    #   the per-channel decision. Requires iso_quantization (the shared
+    #   decision emits subblock_gain=0, the unit-gain law). Subsumed by
+    #   window_sequencing, which always shares the decision.
+    shared_ms_blocks: bool = False
     # linbits_tables: code big-values regions whose max |q| exceeds 15 with
     #   the ISO B.7 24-family ESC tables (symbol 15 + linbits raw magnitude
     #   bits + sign) instead of capping |q| at 15. The reference's table-15
@@ -237,6 +253,12 @@ class MP3EncoderOptions:
                 "short signaling; the family's bt=1 mixed quirk collides "
                 "with the ISO START block type)"
             )
+        if self.shared_ms_blocks and not self.iso_quantization:
+            raise ValueError(
+                "shared_ms_blocks requires iso_quantization (the shared "
+                "decision emits subblock_gain=0, which is only the decode "
+                "law under unit-gain quantization)"
+            )
         if self.demand_budget and not self.spec_strict_entropy:
             raise ValueError(
                 "demand_budget requires the strict entropy layout (the "
@@ -269,6 +291,7 @@ class MP3EncoderOptions:
             iso_short_blocks=True,
             iso_mode_ext=True,
             iso_ms_matrix=True,
+            shared_ms_blocks=True,
         )
         base.update(kwargs)
         return cls(**base)

@@ -1020,3 +1020,82 @@ def test_psy_corpus_regression_floors():
     # the psy law's reason to exist: a real tonal gain, bounded noise cost
     assert snrs[("tonal", "psy")] > snrs[("tonal", "peak")] + 0.5, snrs
     assert snrs[("noise", "psy")] > snrs[("noise", "peak")] - 0.8, snrs
+
+
+# --- shared_ms_blocks -----------------------------------------------------------
+
+
+def _bursty_decorrelated_stereo(n: int, seed: int = 11) -> np.ndarray:
+    """Tone + hard bursts with a decorrelated-noise right channel: the
+    content class whose per-channel post-matrix transient decisions diverge
+    (found by tools/external_matrix.py — the existing fuzz's correlated
+    draws never produced a mismatched M/S frame)."""
+    rng = np.random.default_rng(seed)
+    sr = 44100
+    t = np.arange(n) / sr
+    x = 0.25 * np.sin(2 * np.pi * 493.88 * t) + 0.1 * np.sin(2 * np.pi * 1975.5 * t)
+    env = np.full(n, 0.15)
+    for p in range(2000, n - 1500, 3500):
+        env[p : p + 900] = 1.0
+    x = (x * env + rng.standard_normal(n) * 0.01).astype(np.float32)
+    out = np.empty(n * 2, dtype=np.float32)
+    out[0::2] = x
+    out[1::2] = np.clip(x * 0.8 + 0.02 * rng.standard_normal(n), -0.99, 0.99)
+    return np.clip(out, -0.99, 0.99)
+
+
+def _ms_layout_mismatches(data: bytes) -> int:
+    """Count M/S granules whose two channels carry different window
+    layouts (short-vs-long or mixed-flag disagreement)."""
+    from swiftmp3_tpu.decoder.decoder import _iter_frames
+
+    mism = 0
+    for fi in _iter_frames(data):
+        if fi.channels == 2 and (fi.mode_extension & 0b10):
+            for gr in range(2):
+                a, b = fi.granules[gr][0], fi.granules[gr][1]
+                ka = (a.window_switching and a.block_type == 2, a.mixed_block_flag)
+                kb = (b.window_switching and b.block_type == 2, b.mixed_block_flag)
+                mism += ka != kb
+    return mism
+
+
+def test_shared_ms_blocks_uniform_layout_and_conformance():
+    """options.shared_ms_blocks (in the strict preset): an M/S frame must
+    carry ONE window layout across both channels — ISO 2.4.3.4.9.2 defines
+    no reading for mid/side spectra in different time-frequency layouts,
+    and real decoders disagree (~40 dB oracle-vs-mpg123 before the fix).
+    Flag off reproduces the divergence (pinned so the hazard stays
+    visible); flag on removes it and restores external agreement."""
+    pcm = _bursty_decorrelated_stereo(10 * 1152)
+    on = MP3EncoderOptions.spec_strict(mode=Mode.JOINT_STEREO, bitrate_kbps=128)
+    off = on.replace(shared_ms_blocks=False)
+    data_off = _encode(off, pcm, "numpy")
+    data_on = _encode(on, pcm, "numpy")
+    assert _ms_layout_mismatches(data_off) > 0  # the hazard is real
+    assert _ms_layout_mismatches(data_on) == 0
+
+    from swiftmp3_tpu.utils.external import have_mpg123, mpg123_decode
+    from swiftmp3_tpu.utils.quality import decode_agreement_snr
+
+    if have_mpg123():
+        dec = decode_mp3(data_on, iso_conventions=True)
+        ext, _ = mpg123_decode(data_on)
+        m = min(ext.shape[0], dec.pcm.shape[0])
+        assert m > 1152
+        for c in range(2):
+            agree = decode_agreement_snr(ext[:m, c], dec.pcm[:m, c])
+            assert agree > 90.0, (c, agree)
+
+
+@pytest.mark.slow
+def test_shared_ms_blocks_backends_agree():
+    pcm = _bursty_decorrelated_stereo(8 * 1152)
+    opts = MP3EncoderOptions.spec_strict(mode=Mode.JOINT_STEREO, bitrate_kbps=128)
+    a = _encode(opts, pcm, "numpy")
+    b = _encode(opts, pcm, "tpu")
+    fa, fb = parse_frames(a), parse_frames(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        assert (x.size, x.padding, x.mode) == (y.size, y.padding, y.mode)
+    assert _ms_layout_mismatches(b) == 0
