@@ -34,6 +34,15 @@ from .tables import (
     short_reorder_src,
 )
 
+# Gapless bookkeeping (options.gapless_info). The family pipeline delays
+# audio by a structural 528 samples (polyphase filterbank + MDCT phase:
+# measured as a 1057-sample total source->decode latency through libmpg123,
+# minus the standard 529-sample decoder synthesis delay); window_sequencing
+# adds its explicit one-granule preroll on top. The LAME info tag's delay
+# field carries the encoder part only — players skip delay + 529.
+GAPLESS_ENCODER_DELAY = 528
+GAPLESS_DECODER_DELAY = 529
+
 
 class GoldenBackend:
     """Pure-numpy frame encoder: the algorithmic spec, frame at a time.
@@ -543,6 +552,7 @@ class EncoderSession:
         )
         self._pcm = np.zeros(self._la_n, dtype=np.float32)
         self._fed = False  # any real PCM received (empty flush stays empty)
+        self._fed_samples = 0  # interleaved samples received (gapless_info)
 
     @property
     def encoded_frame_count(self) -> int:
@@ -567,6 +577,7 @@ class EncoderSession:
             samples = np.nan_to_num(samples, nan=0.0, posinf=0.0, neginf=0.0)
         if samples.size:
             self._fed = True
+            self._fed_samples += int(samples.size)
         self._pcm = np.concatenate([self._pcm, samples]) if self._pcm.size else samples
         n = SAMPLES_PER_FRAME * self.options.channels
         # with window_sequencing, a frame is emitted only once its
@@ -600,6 +611,18 @@ class EncoderSession:
         if self._la_n and not self._fed:
             # nothing was ever encoded; don't emit the delay preroll alone
             self._pcm = np.zeros(0, dtype=np.float32)
+        if self._fed and self.options.gapless_info:
+            # gapless_info: cover the tail. The pipeline's structural
+            # 528-sample encoder delay means the last input samples live in
+            # a frame flush would otherwise never emit; appending
+            # delay + 529 zeros puts every real sample inside an emitted
+            # frame AND leaves >= 529 samples of padding so gapless players
+            # can trim the decoder's own synthesis delay at the end
+            # (padding fields: generate_xing_header).
+            tail = (GAPLESS_ENCODER_DELAY + GAPLESS_DECODER_DELAY) * self.options.channels
+            self._pcm = np.concatenate(
+                [self._pcm, np.zeros(tail, dtype=np.float32)]
+            )
         if self._pcm.size:
             # with window_sequencing the held-back delay tail can span two
             # frames; the final frame's lookahead is silence
@@ -635,6 +658,7 @@ class EncoderSession:
         state = {
             "pcm": self._pcm.copy(),
             "fed": self._fed,
+            "fed_samples": self._fed_samples,
             "reservoir_stream": bytes(a.reservoir.stream),
             "reservoir_avail": a.reservoir.available_bytes,
             "buffered_head": a._buffered[0] if a._buffered else b"",
@@ -650,6 +674,7 @@ class EncoderSession:
         a = self.assembler
         self._pcm = np.asarray(state["pcm"], dtype=np.float32).copy()
         self._fed = bool(state.get("fed", True))
+        self._fed_samples = int(state.get("fed_samples", 0))
         a.reservoir.stream = bytearray(state["reservoir_stream"])
         a.reservoir.available_bytes = int(state["reservoir_avail"])
         if int(state["buffered_slot"]) >= 0:
@@ -667,11 +692,22 @@ class EncoderSession:
         return build_id3_tag(self.options.id3_tag)
 
     def generate_xing_header(self) -> bytes:
+        gapless = None
+        if self.options.gapless_info:
+            delay = GAPLESS_ENCODER_DELAY + (
+                SAMPLES_PER_GRANULE if self._la_n else 0
+            )
+            per_ch = self._fed_samples // self.options.channels
+            padding = (
+                self.assembler.frame_count * SAMPLES_PER_FRAME - delay - per_ch
+            )
+            gapless = (delay, max(padding, 0))
         return build_xing_header(
             self.options,
             self.assembler.frame_count,
             self.assembler.total_bytes,
             self.assembler.frame_sizes,
+            gapless=gapless,
         )
 
 

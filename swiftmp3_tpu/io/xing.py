@@ -42,7 +42,15 @@ def build_xing_header(
     frame_count: int,
     total_bytes: int,
     frame_sizes,
+    gapless: "tuple[int, int] | None" = None,
 ) -> bytes:
+    """gapless=(encoder_delay, padding) appends the de-facto-standard LAME
+    info-tag extension (36 bytes after the TOC: version string, VBR method,
+    the 12+12-bit delay/padding pair, music length, and the tag CRC-16 that
+    players require before trusting the gapless fields). Layout per the
+    LAME VbrTag format; only the fields gapless playback needs are
+    populated. The reference writes no such extension (its header ends at
+    the TOC, MP3Encoder.swift:415-417)."""
     channels = options.channels
     side_info_size = 17 if channels == 1 else 32
 
@@ -72,10 +80,63 @@ def build_xing_header(
     frame += bytes(side_info_size)
     frame += (b"Xing" if options.vbr else b"Info")
     frame += (0x07).to_bytes(4, "big")  # flags: frames + bytes + TOC
-    frame += (frame_count + 1).to_bytes(4, "big")
+    # The reference counts the header frame itself (+1, MP3Encoder.swift:
+    # 405). Gapless players compute the end-trim point from this field
+    # (track samples = frames * 1152 - delay - padding), so the gapless
+    # variant writes the TRUE audio frame count — the +1 pushes the trim
+    # point one frame past the stream and the padding is never removed.
+    frame += (frame_count + (1 if gapless is None else 0)).to_bytes(4, "big")
     frame += ((total_bytes + frame_size) & 0xFFFFFFFF).to_bytes(4, "big")
     frame += generate_toc(frame_sizes)
+
+    if gapless is not None:
+        delay, padding = gapless
+        delay = max(0, min(int(delay), 0xFFF))
+        padding = max(0, min(int(padding), 0xFFF))
+        lame = bytearray()
+        # 9-byte encoder version string: gapless-aware players key the
+        # extension's presence on a "LAME"-shaped field (mpg123 and ffmpeg
+        # both sniff it), so the de-facto format requires the magic even
+        # from other encoders.
+        lame += b"LAME3.100"
+        # tag revision 0 (high nibble) + VBR method (low nibble: 1=CBR,
+        # 3=file-based VBR is the closest match for the vbr heuristic)
+        lame += bytes([(0 << 4) | (3 if options.vbr else 1)])
+        lame += bytes(1)  # lowpass (unknown)
+        lame += bytes(4)  # peak amplitude (unset)
+        lame += bytes(2)  # radio replay gain (unset)
+        lame += bytes(2)  # audiophile replay gain (unset)
+        lame += bytes(1)  # encoding flags + ATH type (unset)
+        lame += bytes([min(options.bitrate_kbps, 255)])  # (min) bitrate
+        lame += bytes(
+            [
+                (delay >> 4) & 0xFF,
+                ((delay & 0xF) << 4) | ((padding >> 8) & 0xF),
+                padding & 0xFF,
+            ]
+        )
+        lame += bytes(1)  # misc (source/noise-shaping info, unset)
+        lame += bytes(1)  # mp3 gain
+        lame += bytes(2)  # preset + surround
+        # music length: whole-file bytes from the start of this frame
+        lame += ((total_bytes + frame_size) & 0xFFFFFFFF).to_bytes(4, "big")
+        lame += bytes(2)  # music CRC (unset; players ignore it for gapless)
+        frame += lame
+        # info-tag CRC-16 (poly 0x8005, init 0) over the frame up to here;
+        # players validate it before trusting delay/padding
+        frame += _crc16_zero(bytes(frame)).to_bytes(2, "big")
 
     if len(frame) < frame_size:
         frame += bytes(frame_size - len(frame))
     return bytes(frame)
+
+
+def _crc16_zero(data: bytes) -> int:
+    """CRC-16 poly 0x8005 with INIT 0 — the LAME info-tag variant (the MP3
+    frame CRC uses the same polynomial with init 0xFFFF, io/crc.py)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc >> 1) ^ 0xA001) if (crc & 1) else (crc >> 1)
+    return crc & 0xFFFF

@@ -153,6 +153,19 @@ class MP3EncoderOptions:
     #   mid/side reconstruction to frames that actually carry L/R —
     #   garbling the stereo image whenever the per-frame decision flips.
     iso_mode_ext: bool = False
+    # gapless_info: make streams gapless-playable. Two effects: (1) flush()
+    #   appends enough trailing silence that every real input sample is
+    #   inside an emitted frame AND the decoder's 529-sample tail margin is
+    #   covered (the family pipeline has a structural 528-sample encoder
+    #   delay — measured through libmpg123 — so the last samples otherwise
+    #   fall into a frame that is never emitted and are silently truncated);
+    #   (2) generate_xing_header() appends the de-facto-standard LAME info
+    #   tag extension carrying (encoder_delay, padding), which gapless-aware
+    #   players (mpg123, ffmpeg, iTunes, ...) use to trim the decode to
+    #   sample-exact original length. Off by default: it adds a trailing
+    #   frame and tag bytes (the reference truncates and writes no gapless
+    #   info — MP3Encoder.swift:367-449 ends at the TOC).
+    gapless_info: bool = False
     # shared_ms_blocks: share the window (block-type) decision across the
     #   two channels of any frame that actually encodes mid/side, computed
     #   on the raw pre-matrix L/R PCM (the more-transient channel wins:

@@ -1,0 +1,142 @@
+"""options.gapless_info: sample-exact gapless playback.
+
+The family pipeline has a structural 528-sample encoder delay (measured:
+1057-sample source->decode latency through libmpg123 minus the standard
+529-sample decoder synthesis delay), and flush() emits exactly the frames
+the input filled — so the final `delay` samples of every stream are
+silently truncated, and players have no delay/padding info to trim with.
+gapless_info fixes both: flush covers the tail (+delay+529 zeros) and
+generate_xing_header() appends the de-facto-standard LAME info-tag
+extension (delay, padding, tag CRC). The reference writes no gapless info
+(its Xing frame ends at the TOC, MP3Encoder.swift:415-417).
+
+External validation: libmpg123's own gapless mode (the binding's
+gapless=True) must trim the decode to EXACTLY the original sample count,
+aligned at lag 0 — a third-party check of the whole chain (delay constant,
+padding arithmetic, tag layout, tag CRC)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from swiftmp3_tpu import MP3Encoder, MP3EncoderOptions, Mode
+from swiftmp3_tpu.encoder import GAPLESS_ENCODER_DELAY
+from swiftmp3_tpu.utils.external import have_mpg123, mpg123_decode
+
+SR = 44100
+
+
+def _chirp(n: int, ch: int = 1) -> np.ndarray:
+    t = np.arange(n) / SR
+    x = (0.5 * np.sin(2 * np.pi * (300 + 1500 * t / (n / SR)) * t)).astype(
+        np.float32
+    )
+    if ch == 1:
+        return x
+    out = np.empty(n * 2, dtype=np.float32)
+    out[0::2] = x
+    out[1::2] = x * 0.7
+    return out
+
+
+def _encode_with_tag(opts, pcm):
+    s = MP3Encoder(opts, backend="numpy").new_session()
+    audio = s.encode(pcm) + s.flush()
+    return s, s.generate_xing_header() + audio
+
+
+def _parse_lame_fields(xing_frame: bytes, channels: int):
+    side = 17 if channels == 1 else 32
+    base = 4 + side
+    assert xing_frame[base : base + 4] in (b"Xing", b"Info")
+    lame_off = base + 4 + 4 + 4 + 4 + 100  # magic+flags+frames+bytes+TOC
+    ident = xing_frame[lame_off : lame_off + 9]
+    b0, b1, b2 = xing_frame[lame_off + 21 : lame_off + 24]
+    delay = (b0 << 4) | (b1 >> 4)
+    padding = ((b1 & 0xF) << 8) | b2
+    return ident, delay, padding, lame_off
+
+
+def test_tag_fields_and_crc():
+    n = 3 * 1152 + 511
+    opts = MP3EncoderOptions.spec_strict(
+        mode=Mode.MONO, bitrate_kbps=128, gapless_info=True
+    )
+    s, blob = _encode_with_tag(opts, _chirp(n))
+    from swiftmp3_tpu.io.xing import _crc16_zero
+    from tests.util import parse_frames
+
+    frames = parse_frames(blob)
+    xf = blob[: frames[0].size]
+    ident, delay, padding, lame_off = _parse_lame_fields(xf, 1)
+    assert ident.startswith(b"LAME")
+    assert delay == GAPLESS_ENCODER_DELAY
+    total = s.encoded_frame_count * 1152
+    assert padding == total - delay - n
+    assert padding >= 529  # the end-trim margin gapless players need
+    # every real sample is inside an emitted frame
+    assert total >= delay + n + 529
+    # info-tag CRC validates (what players check before trusting the tag)
+    end = lame_off + 36
+    stored = int.from_bytes(xf[end - 2 : end], "big")
+    assert stored == _crc16_zero(xf[: end - 2])
+    # the frames field holds the TRUE audio frame count (the reference's
+    # +1 header-frame quirk would push players' end-trim point past the
+    # stream); the non-gapless path keeps the reference quirk
+    base = 4 + 17
+    assert int.from_bytes(xf[base + 8 : base + 12], "big") == s.encoded_frame_count
+
+
+def test_flag_off_keeps_reference_tag():
+    n = 2 * 1152
+    opts = MP3EncoderOptions.spec_strict(mode=Mode.MONO, bitrate_kbps=128)
+    s, blob = _encode_with_tag(opts, _chirp(n))
+    from tests.util import parse_frames
+
+    xf = blob[: parse_frames(blob)[0].size]
+    base = 4 + 17
+    # reference quirk intact: frame_count + 1, no LAME ident after the TOC
+    assert int.from_bytes(xf[base + 8 : base + 12], "big") == s.encoded_frame_count + 1
+    lame_off = base + 16 + 100
+    assert xf[lame_off : lame_off + 4] != b"LAME"
+
+
+def test_drip_feed_matches_whole_buffer():
+    n = 4 * 1152 + 333
+    pcm = _chirp(n)
+    opts = MP3EncoderOptions.hq(
+        mode=Mode.MONO, bitrate_kbps=128, gapless_info=True
+    )
+    _, whole = _encode_with_tag(opts, pcm)
+    s = MP3Encoder(opts, backend="numpy").new_session()
+    audio = b"".join(
+        s.encode(pcm[i : i + 1000]) for i in range(0, n, 1000)
+    ) + s.flush()
+    assert s.generate_xing_header() + audio == whole
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+@pytest.mark.parametrize(
+    "preset,mode,floor",
+    [
+        ("strict", Mode.MONO, 15.0),
+        ("hq", Mode.MONO, 40.0),
+        ("hq", Mode.JOINT_STEREO, 30.0),
+    ],
+)
+def test_mpg123_gapless_is_sample_exact(preset, mode, floor):
+    n = 5 * 1152 + 700  # deliberately not frame-aligned
+    ch = mode.channels
+    pcm = _chirp(n, ch)
+    mk = MP3EncoderOptions.spec_strict if preset == "strict" else MP3EncoderOptions.hq
+    opts = mk(mode=mode, bitrate_kbps=192, gapless_info=True)
+    _, blob = _encode_with_tag(opts, pcm)
+    ext, _ = mpg123_decode(blob, gapless=True)
+    assert ext.shape[0] == n, (preset, mode, ext.shape)
+    x = pcm[0::ch].astype(np.float64) if ch == 2 else pcm.astype(np.float64)
+    err = ext[:, 0].astype(np.float64) - x
+    snr = 10 * np.log10(
+        float(np.dot(x, x)) / max(float(np.dot(err, err)), 1e-15)
+    )
+    assert snr > floor, (preset, mode, snr)  # lag-0: no alignment search
