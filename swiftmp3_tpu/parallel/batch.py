@@ -249,6 +249,21 @@ def encode_batch(
     n_streams = len(streams)
     ch = options.channels
     frame_len = SAMPLES_PER_FRAME * ch
+    if options.gapless_info:
+        # EncoderSession.flush parity: extend each non-empty stream's tail
+        # by delay+529 zeros so every real sample lands inside an emitted
+        # frame (see encoder.GAPLESS_ENCODER_DELAY)
+        from ..encoder import GAPLESS_DECODER_DELAY, GAPLESS_ENCODER_DELAY
+
+        tail = (GAPLESS_ENCODER_DELAY + GAPLESS_DECODER_DELAY) * ch
+        streams = [
+            np.concatenate(
+                [np.asarray(s), np.zeros(tail, dtype=np.asarray(s).dtype)]
+            )
+            if len(s)
+            else np.asarray(s)
+            for s in streams
+        ]
     la_len = (SAMPLES_PER_FRAME // 2) * ch if options.window_sequencing else 0
     if la_len:
         # window_sequencing: one granule of encoder delay, identical to

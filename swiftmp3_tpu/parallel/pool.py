@@ -128,6 +128,7 @@ class _Stream:
     frames: int = 0
     frame_sizes: Optional[List[int]] = None  # snapshot at finish (Xing)
     fed: bool = False  # any real PCM received (window_sequencing preroll)
+    fed_samples: int = 0  # interleaved samples received (gapless_info)
 
 
 class StreamPool:
@@ -192,12 +193,24 @@ class StreamPool:
             # preroll is dropped when a stream is closed without PCM)
             s.buffer.append(np.zeros(self._la_n, dtype=arr.dtype))
             s.fed = True
+        s.fed_samples += len(arr)
         s.buffer.append(arr)
 
     def close(self, sid: int) -> None:
         """Mark the stream complete; its tail is zero-padded to a full
-        frame and flagged final (EncoderSession flush semantics)."""
-        self._streams[sid].closed = True
+        frame and flagged final (EncoderSession flush semantics). Under
+        options.gapless_info the tail is first extended by delay+529 zeros
+        (EncoderSession.flush parity) so every real sample lands inside an
+        emitted frame with the end-trim margin gapless players need."""
+        s = self._streams[sid]
+        if self.options.gapless_info and s.fed_samples and not s.closed:
+            from ..encoder import GAPLESS_DECODER_DELAY, GAPLESS_ENCODER_DELAY
+
+            tail = (
+                GAPLESS_ENCODER_DELAY + GAPLESS_DECODER_DELAY
+            ) * self.options.channels
+            s.buffer.append(np.zeros(tail, dtype=np.int16))
+        s.closed = True
 
     def done(self, sid: int) -> bool:
         return self._streams[sid].done
@@ -231,7 +244,22 @@ class StreamPool:
         if not s.done:
             raise ValueError(f"stream {sid} is not finished")
         sizes = s.frame_sizes or []
-        return build_xing_header(self.options, len(sizes), sum(sizes), sizes)
+        gapless = None
+        if self.options.gapless_info:
+            from ..encoder import GAPLESS_ENCODER_DELAY
+            from ..options import SAMPLES_PER_GRANULE
+
+            delay = GAPLESS_ENCODER_DELAY + (
+                SAMPLES_PER_GRANULE if self._la_n else 0
+            )
+            per_ch = s.fed_samples // self.options.channels
+            gapless = (
+                delay,
+                max(len(sizes) * SAMPLES_PER_FRAME - delay - per_ch, 0),
+            )
+        return build_xing_header(
+            self.options, len(sizes), sum(sizes), sizes, gapless=gapless
+        )
 
     def shutdown(self) -> None:
         """Drain any in-flight chunk and release the render thread pool

@@ -140,3 +140,34 @@ def test_mpg123_gapless_is_sample_exact(preset, mode, floor):
         float(np.dot(x, x)) / max(float(np.dot(err, err)), 1e-15)
     )
     assert snr > floor, (preset, mode, snr)  # lag-0: no alignment search
+
+
+def test_pool_and_batch_match_session_gapless():
+    """Byte parity: StreamPool and encode_batch under gapless_info equal
+    per-stream sessions (tail zeros + tag fields included)."""
+    from swiftmp3_tpu.parallel import StreamPool, encode_batch
+
+    n = 3 * 1152 + 451
+    pcm = _chirp(n)
+    opts = MP3EncoderOptions.hq(
+        mode=Mode.MONO, bitrate_kbps=128, gapless_info=True
+    )
+    # device-backend session: batch/pool ride the device float stack, and
+    # byte equality is only guaranteed within a backend
+    s = MP3Encoder(opts, backend="tpu").new_session()
+    want = s.encode(pcm) + s.flush()
+    want = s.generate_xing_header() + want
+
+    got_batch = encode_batch(opts, [pcm], frames_per_step=4)[0]
+    assert got_batch == want[len(want) - len(got_batch):]  # audio bytes equal
+
+    pool = StreamPool(opts, lanes=2, frames_per_step=4, pipelined=False)
+    sid = pool.submit()
+    pool.feed(sid, pcm)
+    pool.close(sid)
+    for _ in range(64):
+        if pool.done(sid):
+            break
+        pool.step()
+    assert pool.xing_header(sid) + pool.result(sid) == want
+    pool.shutdown()
