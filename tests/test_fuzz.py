@@ -31,11 +31,37 @@ def _random_signal(rng, n, kind):
         return (rng.uniform(0.05, 0.9) * np.sin(2 * np.pi * f * t)).astype(np.float32)
     if kind == 2:
         return (rng.standard_normal(n) * rng.uniform(0.01, 0.8)).astype(np.float32)
-    # bursty: silence with loud attacks (forces short blocks)
-    x = np.zeros(n, dtype=np.float32)
-    for _ in range(max(1, n // 4000)):
-        p = rng.integers(0, max(n - 200, 1))
-        x[p : p + 200] = (rng.standard_normal(min(200, n - p)) * 0.9).astype(np.float32)
+    if kind == 3:
+        # bursty: silence with loud attacks (forces short blocks)
+        x = np.zeros(n, dtype=np.float32)
+        for _ in range(max(1, n // 4000)):
+            p = rng.integers(0, max(n - 200, 1))
+            x[p : p + 200] = (rng.standard_normal(min(200, n - p)) * 0.9).astype(
+                np.float32
+            )
+        return x
+    # kind 4 — M/S-hazard class (round 3: shared_ms_blocks): a correlated
+    # tonal base (keeps the frame's M/S decision on) with bursts gated by
+    # independent per-channel envelopes, so the channels' transient
+    # detections can diverge inside M/S frames. Interleaved content: even
+    # and odd samples get DIFFERENT envelopes. The other kinds are either
+    # channel-correlated or (noise) never choose M/S — this class is what
+    # exposed the mismatched-window-layout hazard.
+    t = np.arange(n) / 44100
+    base = (0.3 * np.sin(2 * np.pi * rng.uniform(200, 900) * t)).astype(np.float32)
+    env = np.full(n, 0.2, dtype=np.float32)
+    for ph in (0, 1):  # per-channel burst trains on interleaved lanes
+        for _ in range(max(1, n // 5000)):
+            p = int(rng.integers(0, max(n - 1000, 1)))
+            sl = slice(p + ph, p + 1000, 2)
+            env[sl] = 1.0
+    x = base * env
+    x[1::2] = np.clip(
+        x[1::2] * 0.8
+        + 0.02 * rng.standard_normal(len(x[1::2])).astype(np.float32),
+        -0.99,
+        0.99,
+    )
     return x
 
 
@@ -157,7 +183,7 @@ def test_fuzz_spec_strict_flags(trial):
     )
     ch = mode.channels
     n = (int(rng.integers(3, 10)) * 1152 + int(rng.integers(0, 1152))) * ch
-    kind = int(rng.integers(1, 4))
+    kind = int(rng.integers(1, 5))  # incl. kind 4: the M/S-hazard class
     pcm = _random_signal(rng, n, kind)
 
     outs = {}
@@ -195,10 +221,10 @@ def test_fuzz_spec_strict_flags(trial):
             q = measure_quality(
                 mono_in, dec.pcm[:, 0], 44100, compensate_gain=False
             )
-            # raw unit-gain floors by content kind (sine / noise / bursts);
-            # sanity floors, not targets — strict decode must track both
-            # values AND level
-            floor = {1: 8.0, 2: 0.0, 3: 1.0}[kind]
+            # raw unit-gain floors by content kind (sine / noise / bursts /
+            # M/S-hazard tone+bursts); sanity floors, not targets — strict
+            # decode must track both values AND level
+            floor = {1: 8.0, 2: 0.0, 3: 1.0, 4: 3.0}[kind]
             assert q.snr_db > floor, (trial, be, kind, q)
 
 
