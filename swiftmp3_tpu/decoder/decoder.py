@@ -609,8 +609,29 @@ def decode_mp3(
         granule_pcm = np.zeros((2, channels, 576), dtype=np.float64)
         gr_xr = [[None] * channels for _ in range(2)]  # requantized spectra
         gr0_sf = [None] * channels  # granule 0 scalefactors for scfsi reuse
+        gr_sf = [[None] * channels for _ in range(2)]  # long sf (intensity pos)
+        gr_rzero = [[0] * channels for _ in range(2)]  # decoded nonzero extent
         ok = True
+        frame_is_mode = (
+            channels == 2 and fi.mode == 0b01 and (fi.mode_extension & 0b01)
+        )
         for gr in range(2):
+            # Intensity frames defer alias reduction until AFTER stereo
+            # processing (the ISO 2.4.3.4 order). M/S commutes with the
+            # alias butterflies (one scalar mix for every line), so the
+            # pre-stereo placement is equivalent for everything this
+            # encoder family emits — but intensity's per-band gains do NOT
+            # commute with butterflies that straddle band boundaries
+            # (measured: ~31 dB vs libmpg123 in the wrong order, ~130 dB in
+            # ISO order). Deferral needs BOTH channels long-layout (the
+            # stereo mix must see the same alias state on both).
+            defer_alias = frame_is_mode and all(
+                not (
+                    fi.granules[gr][c].window_switching
+                    and fi.granules[gr][c].block_type == 2
+                )
+                for c in range(channels)
+            )
             for ch in range(channels):
                 g = fi.granules[gr][ch]
                 part_start = r.pos
@@ -655,11 +676,14 @@ def decode_mp3(
                                 scalefacs[band] = r.read(slen)
                     if gr == 0:
                         gr0_sf[ch] = scalefacs
+                gr_sf[gr][ch] = scalefacs
                 try:
                     q = _decode_granule_spectrum(r, g, sr, part_start)
                 except (ValueError, IndexError):
                     ok = False
                     break
+                nzq = np.nonzero(q)[0]
+                gr_rzero[gr][ch] = int(nzq[-1]) + 1 if nzq.size else 0
                 # jump to the granule's declared end (robustness)
                 r.pos = part_start + g.part23_length
                 is_short_g = g.window_switching and g.block_type == 2
@@ -674,7 +698,8 @@ def decode_mp3(
                     q = nat
                 xr = _requantize(q, g, sr, scalefacs, sf_short, sf_mixed_long)
                 if not is_short_g:
-                    xr = _alias_reduce_decode(xr)
+                    if not defer_alias:  # intensity: alias AFTER stereo
+                        xr = _alias_reduce_decode(xr)
                 elif g.mixed_block_flag:
                     # conforming decoders alias-reduce only the long head's
                     # subband 0/1 boundary for mixed blocks; the legacy
@@ -697,13 +722,58 @@ def decode_mp3(
             # decode failure still lets earlier granules advance the
             # overlap state, like a streaming decoder.
             ms_mode = fi.mode == 0b01 and (fi.mode_extension & 0b10)
-            if channels == 2 and ms_mode:
+            is_mode = fi.mode == 0b01 and (fi.mode_extension & 0b01)
+            if channels == 2 and (ms_mode or is_mode):
                 m, s_ = gr_xr[gr][0], gr_xr[gr][1]
-                # iso_conventions: ISO 2.4.3.4.9.2 divides by sqrt(2)
-                # (inverts an (L+-R)/sqrt(2) encode at unit gain); the
-                # encoder-family law inverts mid=(L+R)/2 with L=M+S.
-                k = 1.0 / np.sqrt(2.0) if iso_conventions else 1.0
-                gr_xr[gr][0], gr_xr[gr][1] = (m + s_) * k, (m - s_) * k
+                if ms_mode:
+                    # iso_conventions: ISO 2.4.3.4.9.2 divides by sqrt(2)
+                    # (inverts an (L+-R)/sqrt(2) encode at unit gain); the
+                    # encoder-family law inverts mid=(L+R)/2 with L=M+S.
+                    k = 1.0 / np.sqrt(2.0) if iso_conventions else 1.0
+                    out_l, out_r = (m + s_) * k, (m - s_) * k
+                else:
+                    out_l, out_r = m.copy(), s_.copy()
+                if is_mode and defer_alias and gr_sf[gr][1] is not None:
+                    # ISO 2.4.3.4.9.3 intensity stereo (long-layout
+                    # granules): scalefactor bands at or above the right
+                    # channel's decoded zero part carry an intensity
+                    # position in the RIGHT channel's scalefactor slot;
+                    # both channels are reconstructed from the LEFT
+                    # channel's requantized values, split by
+                    # ratio = tan(is_pos * pi/12). is_pos 7 is illegal and
+                    # leaves the band in its M/S (or L/R) reading; is_pos 6
+                    # is the all-left limit. The sfb21 tail (above the last
+                    # band bound) rides band 20's position, the reference-
+                    # decoder (dist10) convention. Short-block granules are
+                    # left untouched — no producer exists to validate a
+                    # short-window IS reading against (libmp3lame never
+                    # emits IS), so claiming one would be evidence-free.
+                    bounds = np.concatenate(
+                        [[0], np.cumsum(band_table(sr))]
+                    ).astype(int)
+                    rz = gr_rzero[gr][1]
+                    spos = gr_sf[gr][1]
+                    for b in range(22):
+                        lo = int(bounds[b])
+                        hi = int(bounds[b + 1]) if b < 21 else 576
+                        if lo < rz or lo >= hi:
+                            continue
+                        pos = spos[min(b, 20)]
+                        if pos == 7:
+                            continue
+                        if pos == 6:
+                            kl, kr = 1.0, 0.0
+                        else:
+                            ratio = float(np.tan(pos * np.pi / 12.0))
+                            kl = ratio / (1.0 + ratio)
+                            kr = 1.0 / (1.0 + ratio)
+                        seg = m[lo:hi]  # pre-matrix left channel
+                        out_l[lo:hi] = seg * kl
+                        out_r[lo:hi] = seg * kr
+                gr_xr[gr][0], gr_xr[gr][1] = out_l, out_r
+            if defer_alias:
+                gr_xr[gr][0] = _alias_reduce_decode(gr_xr[gr][0])
+                gr_xr[gr][1] = _alias_reduce_decode(gr_xr[gr][1])
             for ch in range(channels):
                 g = fi.granules[gr][ch]
                 sub = _imdct_granule(gr_xr[gr][ch], g, overlaps[ch])
