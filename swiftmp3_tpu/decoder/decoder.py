@@ -610,6 +610,7 @@ def decode_mp3(
         gr_xr = [[None] * channels for _ in range(2)]  # requantized spectra
         gr0_sf = [None] * channels  # granule 0 scalefactors for scfsi reuse
         gr_sf = [[None] * channels for _ in range(2)]  # long sf (intensity pos)
+        gr_sfs = [[None] * channels for _ in range(2)]  # short sf [12][3]
         gr_rzero = [[0] * channels for _ in range(2)]  # decoded nonzero extent
         ok = True
         frame_is_mode = (
@@ -677,6 +678,7 @@ def decode_mp3(
                     if gr == 0:
                         gr0_sf[ch] = scalefacs
                 gr_sf[gr][ch] = scalefacs
+                gr_sfs[gr][ch] = sf_short
                 try:
                     q = _decode_granule_spectrum(r, g, sr, part_start)
                 except (ValueError, IndexError):
@@ -744,10 +746,7 @@ def decode_mp3(
                     # leaves the band in its M/S (or L/R) reading; is_pos 6
                     # is the all-left limit. The sfb21 tail (above the last
                     # band bound) rides band 20's position, the reference-
-                    # decoder (dist10) convention. Short-block granules are
-                    # left untouched — no producer exists to validate a
-                    # short-window IS reading against (libmp3lame never
-                    # emits IS), so claiming one would be evidence-free.
+                    # decoder (dist10) convention.
                     bounds = np.concatenate(
                         [[0], np.cumsum(band_table(sr))]
                     ).astype(int)
@@ -770,6 +769,49 @@ def decode_mp3(
                         seg = m[lo:hi]  # pre-matrix left channel
                         out_l[lo:hi] = seg * kl
                         out_r[lo:hi] = seg * kr
+                elif is_mode and gr_sfs[gr][1] is not None:
+                    # Short-window intensity: per (short sfb, window), with
+                    # the zero-part bound computed PER WINDOW (natural index
+                    # of (line, w) is 3*line + w, so window w's lines are
+                    # the w::3 stride). The tail above the last short band
+                    # bound rides band 11's position. Pure short blocks
+                    # carry no alias butterflies, so no deferral is needed.
+                    # Requires BOTH channels pure short (the intensity
+                    # source is the left spectrum; mixing window layouts
+                    # has no defined reading — see shared_ms_blocks).
+                    both_pure_short = all(
+                        g2.window_switching
+                        and g2.block_type == 2
+                        and not g2.mixed_block_flag
+                        for g2 in (fi.granules[gr][0], fi.granules[gr][1])
+                    )
+                    if both_pure_short:
+                        sb = np.concatenate(
+                            [[0], np.cumsum(short_band_table(sr))]
+                        ).astype(int)
+                        spos = gr_sfs[gr][1]
+                        lines = 192
+                        for w in range(3):
+                            nzw = np.nonzero(s_[w::3])[0]
+                            rzw = int(nzw[-1]) + 1 if nzw.size else 0
+                            for s in range(13):
+                                lo = int(sb[s]) if s < 12 else int(sb[12])
+                                hi = int(sb[s + 1]) if s < 12 else lines
+                                if lo < rzw or lo >= hi:
+                                    continue
+                                pos = spos[min(s, 11)][w]
+                                if pos == 7:
+                                    continue
+                                if pos == 6:
+                                    kl, kr = 1.0, 0.0
+                                else:
+                                    ratio = float(np.tan(pos * np.pi / 12.0))
+                                    kl = ratio / (1.0 + ratio)
+                                    kr = 1.0 / (1.0 + ratio)
+                                idx = 3 * np.arange(lo, hi) + w
+                                seg = m[idx]
+                                out_l[idx] = seg * kl
+                                out_r[idx] = seg * kr
                 gr_xr[gr][0], gr_xr[gr][1] = out_l, out_r
             if defer_alias:
                 gr_xr[gr][0] = _alias_reduce_decode(gr_xr[gr][0])

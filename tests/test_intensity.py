@@ -11,9 +11,11 @@ the right channel's scalefactor slots. The oracle's IS reading is then
 A/B'd against the system libmpg123 — the same neutral-referee standard as
 every other conformance claim in this repo.
 
-Long-layout granules only: a short-window IS reading has no producer to
-validate against, and the oracle deliberately implements nothing it cannot
-evidence (see decoder.py inline note).
+Both window layouts are covered: long granules (per-band positions, sfb21
+tail) and pure short granules (per-(band, window) positions with
+per-window zero-part bounds, sfb12 tail). Mixed-block intensity remains
+unimplemented — both-channel mixed IS granules are exotic enough that no
+decoder pair agrees on a canonical reading to validate against.
 """
 
 from __future__ import annotations
@@ -147,6 +149,117 @@ def test_is_decode_agrees_with_mpg123(mode_ext):
     a scalefactor-band boundary)."""
     blob = build_is_stream(mode_ext=mode_ext)
     dec = decode_mp3(blob, iso_conventions=True)
+    ext, _ = mpg123_decode(blob)
+    m = min(ext.shape[0], dec.pcm.shape[0])
+    assert m >= 2 * 1152
+    for c in range(2):
+        agree = decode_agreement_snr(ext[:m, c], dec.pcm[:m, c])
+        assert agree > 60.0, (mode_ext, c, agree)
+
+
+# --- short-window intensity ----------------------------------------------------
+
+SHORT_BOUND = 6  # right channel zero from this short band upward (all windows)
+# per (short sfb 6..11, window) positions
+IS_POS_SHORT = [[1, 3, 5], [0, 6, 2], [4, 4, 4], [2, 0, 6], [3, 1, 5], [6, 2, 0]]
+
+
+def _short_bounds():
+    from swiftmp3_tpu.tables import short_band_table
+
+    return np.concatenate([[0], np.cumsum(short_band_table(SR))]).astype(int)
+
+
+def _short_granule(q_stream: np.ndarray, sf_slots: np.ndarray, gain: int):
+    """(GranuleInfo, chunks, nbits) for one PURE SHORT granule; q_stream is
+    in the ISO 2.4.3.4.8 reordered (transmission) order."""
+    layout = ref.strict_entropy_layout(q_stream, SR, ref.BLOCK_SHORT, True, True)
+    fin = ref._finish_slots(np.asarray(sf_slots, dtype=np.int64), 18, 18)
+    sfd = {
+        "sf": np.zeros(21, dtype=np.int32),
+        "sf_slots": np.asarray(sf_slots, dtype=np.int64),
+        **fin,
+    }
+    sf_chunks, sf_nbits = ref.scalefactor_chunks_masked(
+        sfd, np.ones(21, dtype=bool)
+    )
+    gi = GranuleInfo(
+        part23_length=int(sf_nbits.sum()) + int(layout["part23_bits"]),
+        big_values=int(layout["big_values"]),
+        global_gain=gain,
+        scalefac_compress=int(sfd["compress"]),
+        window_switching=1,
+        block_type=2,
+        mixed_block_flag=0,
+        table_select=tuple(layout["table_select"]),
+        count1table_select=int(layout["count1table_select"]),
+        scalefac_scale=0,
+    )
+    return gi, [sf_chunks, layout["chunks"]], [sf_nbits, layout["nbits"]]
+
+
+def build_short_is_stream(
+    n_frames: int = 3, mode_ext: int = 0b01, gain: int = 170, seed: int = 9
+) -> bytes:
+    """Joint-stereo stream of PURE SHORT granules with intensity-coded
+    upper short bands (the zero part starts at the same band boundary in
+    every window, so every decoder's bound reading agrees)."""
+    from swiftmp3_tpu.io.bitwriter import BitstreamWriter
+
+    sb = _short_bounds()
+    rz3 = 3 * int(sb[SHORT_BOUND])  # right's stream-order zero start
+    hi3 = 3 * int(sb[10])  # left spectrum extent (below the sfb11 tail)
+    rng = np.random.default_rng(seed)
+    frame_size = (144 * KBPS * 1000) // SR
+    slot = frame_size - 4 - 32
+    out = bytearray()
+    for _ in range(n_frames):
+        granules = [[None, None], [None, None]]
+        chunks, nbits = [], []
+        for gr in range(2):
+            ql = np.zeros(576, dtype=np.int64)
+            ql[:hi3] = rng.integers(-4, 5, hi3)
+            ql[hi3 - 1] = 3
+            qr = np.zeros(576, dtype=np.int64)
+            qr[:rz3] = rng.integers(-4, 5, rz3)
+            qr[rz3 - 1] = 2
+            sfl = np.zeros(36, dtype=np.int64)
+            sfr = np.zeros(36, dtype=np.int64)
+            for s in range(6, 12):
+                for w in range(3):
+                    sfr[s * 3 + w] = IS_POS_SHORT[s - 6][w]
+            for ch, (q, sf) in enumerate(((ql, sfl), (qr, sfr))):
+                gi, c, nb = _short_granule(q, sf, gain)
+                granules[gr][ch] = gi
+                chunks += c
+                nbits += nb
+        h = BitstreamWriter()
+        h.write(0x7FF, 11)
+        h.write(0b11, 2)
+        h.write(0b01, 2)
+        h.write(1, 1)
+        h.write(bitrate_index(KBPS, SR), 4)
+        h.write(sample_rate_index(SR), 2)
+        h.write(0, 1)
+        h.write(0, 1)
+        h.write(0b01, 2)  # joint stereo
+        h.write(mode_ext, 2)
+        h.write(0, 1)
+        h.write(1, 1)
+        h.write(0, 2)
+        side = build_side_info(2, granules, [[0, 0, 0, 0]] * 2, 0)
+        md, _bits = pack_chunks(np.concatenate(chunks), np.concatenate(nbits))
+        assert len(md) <= slot, (len(md), slot)
+        out += h.data + side + md + bytes(slot - len(md))
+    return bytes(out)
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+@pytest.mark.parametrize("mode_ext", [0b01, 0b11])
+def test_short_is_decode_agrees_with_mpg123(mode_ext):
+    blob = build_short_is_stream(mode_ext=mode_ext)
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert dec.frame_count == 3 and np.all(np.isfinite(dec.pcm))
     ext, _ = mpg123_decode(blob)
     m = min(ext.shape[0], dec.pcm.shape[0])
     assert m >= 2 * 1152
