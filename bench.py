@@ -62,6 +62,28 @@ def _make_audio(rng, B, T, n, channels, sample_rate):
 def main() -> None:
     import jax
 
+    # The axon tunnel to the TPU flaps for hours at a time (measured:
+    # repeated UNAVAILABLE backend-init failures). jax caches the failed
+    # backend state in-process, so retry by RE-EXECING with a backoff — a
+    # transient outage then doesn't sink the whole bench run. This must
+    # run BEFORE any swiftmp3_tpu import (module-level jnp constants touch
+    # the backend during import).
+    try:
+        jax.devices()
+    except Exception as e:  # jax wraps init failures in several types
+        attempt = int(os.environ.get("_BENCH_TPU_RETRY", "0"))
+        if attempt >= 5:
+            raise
+        print(
+            f"TPU backend unavailable (attempt {attempt + 1}/6): {e}; "
+            "re-exec retry in 120 s",
+            file=sys.stderr,
+        )
+        time.sleep(120)
+        env = dict(os.environ)
+        env["_BENCH_TPU_RETRY"] = str(attempt + 1)
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
     from swiftmp3_tpu.options import MP3EncoderOptions, Mode
     from swiftmp3_tpu.parallel.batch import BatchEncoder
     from swiftmp3_tpu.utils import enable_compilation_cache
