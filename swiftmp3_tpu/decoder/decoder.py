@@ -545,12 +545,52 @@ def _iter_frames(data: bytes, strict: bool = True):
         i += fi.size
 
 
+def _parse_lame_gapless(xing_frame: bytes, channels: int):
+    """(delay, padding) from a LAME info-tag, or None if absent/invalid.
+    Independent re-derivation of the de-facto tag format (the encoder's
+    writer lives in io/xing.py; this parser validates against it AND
+    against what mpg123 accepts — tests/test_gapless.py)."""
+    side = 17 if channels == 1 else 32
+    for base in (4 + side, 4 + side + 2):  # without / with a CRC field
+        if xing_frame[base : base + 4] in (b"Xing", b"Info"):
+            break
+    else:
+        return None
+    if len(xing_frame) < base + 8:
+        return None
+    flags = int.from_bytes(xing_frame[base + 4 : base + 8], "big")
+    off = base + 8
+    off += 4 * bool(flags & 0x1)  # frames
+    off += 4 * bool(flags & 0x2)  # bytes
+    off += 100 * bool(flags & 0x4)  # TOC
+    off += 4 * bool(flags & 0x8)  # quality
+    end = off + 36
+    if len(xing_frame) < end or not xing_frame[off : off + 4] == b"LAME":
+        return None
+    # tag CRC-16 (reflected poly 0xA001, init 0) over everything before it
+    crc = 0
+    for byte in xing_frame[: end - 2]:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc >> 1) ^ 0xA001) if (crc & 1) else (crc >> 1)
+    if crc != int.from_bytes(xing_frame[end - 2 : end], "big"):
+        return None
+    b0, b1, b2 = xing_frame[off + 21 : off + 24]
+    return (b0 << 4) | (b1 >> 4), ((b1 & 0xF) << 8) | b2
+
+
 def decode_mp3(
     data: bytes,
     skip_metadata_frames: bool = True,
     iso_conventions: bool = False,
+    gapless: bool = False,
 ) -> DecodedStream:
     """Decode an MP3 byte stream to PCM.
+
+    gapless=True honors a LAME info-tag's delay/padding fields the way
+    gapless-aware players do (skip delay+529 at the start, trim
+    padding-529 at the end — see options.gapless_info); without a valid
+    tag it is a no-op.
 
     Skips an ID3v2 prefix and (optionally) a leading Xing/Info metadata
     frame, and stops at a truncated/malformed tail — like real-world
@@ -580,10 +620,15 @@ def decode_mp3(
         data = data[10 + size :]
 
     frames = list(_iter_frames(data, strict=False))
+    gapless_trim = None  # (delay, padding) from a LAME info tag
     if skip_metadata_frames and frames:
         f0 = frames[0]
         body = data[f0.offset + 4 : f0.offset + f0.size]
         if b"Xing" in body[:40] or b"Info" in body[:40]:
+            if gapless:
+                gapless_trim = _parse_lame_gapless(
+                    data[f0.offset : f0.offset + f0.size], f0.channels
+                )
             frames = frames[1:]
     if not frames:
         return DecodedStream(np.zeros((0, 1), np.float32), 44100, 1, 0)
@@ -840,4 +885,9 @@ def decode_mp3(
         if pcm_out
         else np.zeros((0, channels), np.float32)
     )
+    if gapless_trim is not None and len(pcm):
+        delay, padding = gapless_trim
+        start = min(delay + 529, len(pcm))
+        end = len(pcm) - max(padding - 529, 0)
+        pcm = pcm[start : max(end, start)]
     return DecodedStream(pcm, sr, channels, len(frames))

@@ -171,3 +171,33 @@ def test_pool_and_batch_match_session_gapless():
         pool.step()
     assert pool.xing_header(sid) + pool.result(sid) == want
     pool.shutdown()
+
+
+def test_oracle_gapless_trim_matches_mpg123():
+    """decode_mp3(gapless=True) honors the LAME tag exactly like a
+    gapless-aware player: sample-exact original length, aligned at lag 0,
+    and (when available) equal in length to mpg123's own gapless read."""
+    from swiftmp3_tpu.decoder import decode_mp3
+
+    n = 4 * 1152 + 519
+    pcm = _chirp(n)
+    opts = MP3EncoderOptions.hq(
+        mode=Mode.MONO, bitrate_kbps=192, gapless_info=True
+    )
+    _, blob = _encode_with_tag(opts, pcm)
+    dec = decode_mp3(blob, iso_conventions=True, gapless=True)
+    assert dec.pcm.shape[0] == n
+    x = pcm.astype(np.float64)
+    err = dec.pcm[:, 0].astype(np.float64) - x
+    snr = 10 * np.log10(float(np.dot(x, x)) / max(float(np.dot(err, err)), 1e-15))
+    assert snr > 40.0, snr  # lag 0, no alignment search
+    # corrupting the tag must disable the trim (players' behavior):
+    # flip a byte inside the CRC-covered region (the ident field)
+    bad2 = bytearray(blob)
+    base = 4 + 17 + 4 + 4 + 4 + 4 + 100
+    bad2[base] ^= 0x01  # "LAME" -> "MAME"-ish; CRC now mismatches too
+    dec2 = decode_mp3(bytes(bad2), iso_conventions=True, gapless=True)
+    assert dec2.pcm.shape[0] != n  # untrimmed
+    if have_mpg123():
+        ext, _ = mpg123_decode(blob, gapless=True)
+        assert ext.shape[0] == dec.pcm.shape[0] == n

@@ -266,3 +266,33 @@ def test_short_is_decode_agrees_with_mpg123(mode_ext):
     for c in range(2):
         agree = decode_agreement_snr(ext[:m, c], dec.pcm[:m, c])
         assert agree > 60.0, (mode_ext, c, agree)
+
+
+# --- decoder corruption robustness ----------------------------------------------
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_decoder_survives_bitstream_corruption(trial):
+    """Real-world decoder behavior: random byte corruption and truncation
+    must never raise or emit non-finite PCM — corrupted frames/granules
+    are skipped or decoded to whatever the bits say, like a streaming
+    player. (The serving layer feeds untrusted bytes to the oracle in
+    validation loops, so this is a safety surface, not a nicety.)"""
+    from swiftmp3_tpu import MP3Encoder, MP3EncoderOptions, Mode
+
+    rng = np.random.default_rng(4200 + trial)
+    t = np.arange(8 * 1152) / 44100
+    pcm = (0.4 * np.sin(2 * np.pi * 523 * t)).astype(np.float32)
+    opts = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=128)
+    s = MP3Encoder(opts, backend="numpy").new_session()
+    blob = bytearray(s.encode(pcm) + s.flush())
+
+    if trial % 2:
+        blob = blob[: int(rng.integers(10, len(blob)))]  # truncation
+    for _ in range(int(rng.integers(1, 12))):  # byte corruption
+        if not blob:
+            break
+        blob[int(rng.integers(0, len(blob)))] = int(rng.integers(0, 256))
+
+    dec = decode_mp3(bytes(blob), iso_conventions=True)
+    assert np.all(np.isfinite(dec.pcm))
