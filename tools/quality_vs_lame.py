@@ -67,7 +67,13 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--bitrates", type=int, nargs="+", default=[64, 96, 128])
+    p.add_argument("--sr", type=int, default=44100,
+                   help="sample rate (32000/44100/48000)")
     args = p.parse_args()
+    global SR
+    SR = args.sr
+    import tune_psy as _tp
+    _tp.SR = args.sr  # synth() reads its module global
     if not (have_mpg123() and have_lame()):
         print("needs system libmpg123 + libmp3lame")
         return 1
@@ -81,12 +87,14 @@ def main() -> int:
     deltas_s, deltas_h = [], []
     for kbps in args.bitrates:
         for kind, pcm in signals.items():
-            compat = MP3EncoderOptions(mode=Mode.MONO, bitrate_kbps=kbps)
+            compat = MP3EncoderOptions(mode=Mode.MONO, bitrate_kbps=kbps,
+                                       sample_rate=SR)
             strict = MP3EncoderOptions.spec_strict(
-                mode=Mode.MONO, bitrate_kbps=kbps,
+                mode=Mode.MONO, bitrate_kbps=kbps, sample_rate=SR,
                 psy_scalefactors=True, scfsi=True,
             )
-            hq = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=kbps)
+            hq = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=kbps,
+                                      sample_rate=SR)
             c_raw, c_comp = _score(pcm, _ours(compat, pcm))
             s_raw, _ = _score(pcm, _ours(strict, pcm))
             h_raw, _ = _score(pcm, _ours(hq, pcm))
