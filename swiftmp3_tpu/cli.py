@@ -54,6 +54,13 @@ def main(argv=None) -> int:
         help="high-quality preset: --spec-strict + linbits ESC coding + "
         "scfsi (quality scales with bitrate; see MP3EncoderOptions.hq)",
     )
+    p.add_argument(
+        "--gapless",
+        action="store_true",
+        help="gapless playback info: cover the encoder-delay tail at flush "
+        "and write the LAME info-tag delay/padding fields "
+        "(options.gapless_info)",
+    )
     p.add_argument("--title")
     p.add_argument("--artist")
     p.add_argument("--album")
@@ -88,6 +95,7 @@ def main(argv=None) -> int:
         quality=args.quality,
         crc_protected=args.crc,
         id3_tag=tag,
+        gapless_info=args.gapless,
     )
     if args.hq:
         options = MP3EncoderOptions.hq(psy_scalefactors=args.psy, **common)
