@@ -171,3 +171,82 @@ def encode_decode_quality(options, pcm: np.ndarray, backend: str = "numpy") -> Q
     # header bit signals; see decode_mp3's docstring)
     dec = decode_mp3(data, iso_conventions=options.iso_ms_matrix)
     return measure_quality(pcm, dec.pcm[:, 0], options.sample_rate)
+
+
+def masked_noise_ratio(
+    original: np.ndarray,
+    decoded: np.ndarray,
+    sample_rate: int = 44100,
+    frame: int = 1024,
+    unit_gain: bool = True,
+) -> float:
+    """Mean noise-to-mask ratio in dB (lower = better; <= 0 dB means the
+    coding noise sits at or below the masking threshold everywhere).
+
+    A simplified PEAQ-style NMR: per Hann-windowed frame, the source power
+    spectrum is grouped into ~bark-wide bands, spread with the classic
+    two-slope (+25 dB/bark toward lower bands, -10 dB/bark toward higher)
+    max-plus skirt, offset by -18 dB (between the tonal and noise masking
+    offsets), and floored at the absolute threshold of hearing (Terhardt,
+    with full-scale = 96 dB SPL). The error spectrum's band power is then
+    measured against that threshold. This is NOT a calibrated PEAQ score —
+    it is a RELATIVE perceptual referee: all contenders are judged by the
+    same masking law, so deltas are meaningful where plain SNR is blind
+    (SNR cannot reward moving noise under maskers — the documented reason
+    psy-law tuning stalled on an SNR objective).
+    """
+    original = np.asarray(original, dtype=np.float64).reshape(-1)
+    decoded = np.asarray(decoded, dtype=np.float64).reshape(-1)
+    d = _align(original, decoded, unit_gain=unit_gain)
+    n = min(len(original), len(decoded) - d)
+    ref = original[:n]
+    dec = decoded[d : d + n]
+    if not unit_gain:
+        g = float(dec @ ref) / float(dec @ dec) if dec @ dec > 0 else 1.0
+        dec = dec * g
+    err = ref - dec
+
+    hop = frame // 2
+    win = np.hanning(frame)
+    freqs = np.fft.rfftfreq(frame, 1.0 / sample_rate)
+    # bark index per bin (Zwicker/Traunmüller approximation)
+    f = np.maximum(freqs, 1.0)
+    bark = 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+    n_bands = int(np.ceil(bark.max()))
+    band_of = np.minimum(bark.astype(int), n_bands - 1)
+    # absolute threshold of hearing, dB SPL (full-scale sine = 96 dB SPL)
+    khz = f / 1000.0
+    ath_db = (
+        3.64 * khz**-0.8
+        - 6.5 * np.exp(-0.6 * (khz - 3.3) ** 2)
+        + 1e-3 * khz**4
+    )
+    # per-band minimum ATH, as linear power in the full-scale=96dB convention
+    ath_band = np.full(n_bands, np.inf)
+    np.minimum.at(ath_band, band_of, ath_db)
+    ath_pow = 10.0 ** ((ath_band - 96.0) / 10.0)
+
+    ratios = []
+    for start in range(0, n - frame + 1, hop):
+        R = np.fft.rfft(ref[start : start + frame] * win)
+        E = np.fft.rfft(err[start : start + frame] * win)
+        # normalize so a full-scale sine has band power ~1.0
+        scale = 1.0 / (frame / 4) ** 2
+        sp = np.zeros(n_bands)
+        ep = np.zeros(n_bands)
+        np.add.at(sp, band_of, np.abs(R) ** 2 * scale)
+        np.add.at(ep, band_of, np.abs(E) ** 2 * scale)
+        if sp.max() <= 0:
+            continue
+        # two-slope max-plus spreading in the dB domain
+        sdb = 10.0 * np.log10(np.maximum(sp, 1e-30))
+        spread = sdb.copy()
+        for b in range(1, n_bands):  # upward spread (toward higher bands)
+            spread[b] = max(spread[b], spread[b - 1] - 10.0)
+        for b in range(n_bands - 2, -1, -1):  # downward spread
+            spread[b] = max(spread[b], spread[b + 1] - 25.0)
+        thr = np.maximum(10.0 ** ((spread - 18.0) / 10.0), ath_pow)
+        ratios.append(float(np.mean(ep / thr)))
+    if not ratios:
+        return -np.inf
+    return 10.0 * np.log10(max(float(np.mean(ratios)), 1e-30))

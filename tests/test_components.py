@@ -174,3 +174,27 @@ def test_long_stream_batch_matches_session():
     want = sess.encode(pcm) + sess.flush()
     assert got == want
     assert sess.encoded_frame_count > 1700
+
+
+def test_masked_noise_ratio_metric():
+    """NMR sanity: monotone in noise level, ~-200 dB on identity, and the
+    masking property SNR is blind to — noise placed UNDER a loud tone's
+    skirt scores better than the same-energy noise placed far from it."""
+    import numpy as np
+
+    from swiftmp3_tpu.utils.quality import masked_noise_ratio
+
+    sr = 44100
+    n = 6 * 1152
+    t = np.arange(n) / sr
+    x = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    rng = np.random.default_rng(3)
+    assert masked_noise_ratio(x, x, sr) < -100
+    small = masked_noise_ratio(x, x + 1e-5 * rng.standard_normal(n), sr)
+    big = masked_noise_ratio(x, x + 1e-3 * rng.standard_normal(n), sr)
+    assert small < big
+    # same noise energy, different placement: near the masker (1.1 kHz)
+    # vs far above it (12 kHz) — the masked one must score lower
+    near = 2e-4 * np.sin(2 * np.pi * 1100.0 * t)
+    far = 2e-4 * np.sin(2 * np.pi * 12000.0 * t)
+    assert masked_noise_ratio(x, x + near, sr) < masked_noise_ratio(x, x + far, sr) - 6.0

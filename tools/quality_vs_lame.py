@@ -32,7 +32,7 @@ import numpy as np  # noqa: E402
 from swiftmp3_tpu import MP3Encoder, MP3EncoderOptions, Mode  # noqa: E402
 from swiftmp3_tpu.utils.external import have_lame, have_mpg123  # noqa: E402
 from swiftmp3_tpu.utils.external import lame_encode, mpg123_decode  # noqa: E402
-from swiftmp3_tpu.utils.quality import measure_quality  # noqa: E402
+from swiftmp3_tpu.utils.quality import masked_noise_ratio, measure_quality  # noqa: E402
 
 from tune_psy import SR, synth  # noqa: E402
 
@@ -60,7 +60,8 @@ def _score(pcm: np.ndarray, blob: bytes) -> tuple[float, float]:
     ref = pcm[trim:-trim] if len(pcm) > 3 * trim else pcm
     raw = measure_quality(ref, ext[:, 0], SR, compensate_gain=False).snr_db
     comp = measure_quality(ref, ext[:, 0], SR).snr_db
-    return raw, comp
+    nmr = masked_noise_ratio(ref, ext[:, 0], SR)
+    return raw, comp, nmr
 
 
 def main() -> int:
@@ -83,8 +84,9 @@ def main() -> int:
     signals = {k: synth(k, n, 10 + i) for i, k in enumerate(kinds)}
 
     print(f"{'class':>8} {'kbps':>5} | {'compat raw/comp':>16} | "
-          f"{'strict raw':>10} | {'hq raw':>7} | {'lame raw':>9} | {'hq-lame':>8}")
-    deltas_s, deltas_h = [], []
+          f"{'strict raw':>10} | {'hq raw':>7} | {'lame raw':>9} | {'hq-lame':>8} | "
+          f"{'hq NMR':>7} | {'lame NMR':>8}")
+    deltas_s, deltas_h, deltas_nmr = [], [], []
     for kbps in args.bitrates:
         for kind, pcm in signals.items():
             compat = MP3EncoderOptions(mode=Mode.MONO, bitrate_kbps=kbps,
@@ -95,19 +97,24 @@ def main() -> int:
             )
             hq = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=kbps,
                                       sample_rate=SR)
-            c_raw, c_comp = _score(pcm, _ours(compat, pcm))
-            s_raw, _ = _score(pcm, _ours(strict, pcm))
-            h_raw, _ = _score(pcm, _ours(hq, pcm))
-            l_raw, _ = _score(pcm, lame_encode(pcm, SR, kbps, mode="mono"))
+            c_raw, c_comp, _ = _score(pcm, _ours(compat, pcm))
+            s_raw, _, _ = _score(pcm, _ours(strict, pcm))
+            h_raw, _, h_nmr = _score(pcm, _ours(hq, pcm))
+            l_raw, _, l_nmr = _score(pcm, lame_encode(pcm, SR, kbps, mode="mono"))
             deltas_s.append(s_raw - l_raw)
             deltas_h.append(h_raw - l_raw)
+            deltas_nmr.append(h_nmr - l_nmr)
             print(f"{kind:>8} {kbps:>5} | {c_raw:>7.1f}/{c_comp:>7.1f} | "
                   f"{s_raw:>10.1f} | {h_raw:>7.1f} | {l_raw:>9.1f} | "
-                  f"{h_raw - l_raw:>+8.1f}")
+                  f"{h_raw - l_raw:>+8.1f} | {h_nmr:>7.1f} | {l_nmr:>8.1f}")
     print(f"\nmean strict-minus-lame delta: {np.mean(deltas_s):+.1f} dB; "
           f"mean hq-minus-lame delta: {np.mean(deltas_h):+.1f} dB "
           f"(SNR metric; lame optimizes masking, not SNR — read deltas "
-          f"as league placement, not superiority)")
+          f"as league placement, not superiority); "
+          f"mean hq-minus-lame NMR: {np.mean(deltas_nmr):+.1f} dB "
+          f"(masked-noise-ratio, LOWER is better — the masking-aware "
+          f"referee; negative delta = hq noise sits further under the "
+          f"mask than lame's)")
     return 0
 
 
