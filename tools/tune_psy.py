@@ -77,6 +77,23 @@ def synth(kind: str, n: int, seed: int) -> np.ndarray:
     return np.clip(x, -0.99, 0.99).astype(np.float32)
 
 
+def corpus_nmr(opts: MP3EncoderOptions, signals) -> dict:
+    """Corpus masked-noise-ratio through the EXTERNAL decoder (libmpg123):
+    the perceptual referee. Lower is better."""
+    from swiftmp3_tpu.utils.external import mpg123_decode
+    from swiftmp3_tpu.utils.quality import masked_noise_ratio
+
+    out = {}
+    for kind, pcm in signals.items():
+        s = MP3Encoder(opts, backend="numpy").new_session()
+        data = s.encode(pcm) + s.flush()
+        ext, _ = mpg123_decode(data)
+        trim = 2 * 1152
+        ref = pcm[trim:-trim] if len(pcm) > 3 * trim else pcm
+        out[kind] = masked_noise_ratio(ref, ext[:, 0], SR)
+    return out
+
+
 def corpus_snr(opts: MP3EncoderOptions, signals) -> dict:
     out = {}
     for kind, pcm in signals.items():
@@ -92,15 +109,25 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--bitrate", type=int, default=96)
+    p.add_argument("--hq", action="store_true",
+                   help="sweep under the hq preset (linbits) instead of "
+                   "spec_strict — the regime where the t15-tuned constants "
+                   "measured -0.1..-2.9 dB")
+    p.add_argument("--nmr", action="store_true",
+                   help="objective = masked-noise-ratio through libmpg123 "
+                   "(LOWER is better) instead of oracle SNR — the "
+                   "masking-aware referee SNR cannot stand in for")
     args = p.parse_args()
     n = args.frames * 1152
 
     kinds = ("speech", "music", "tonal", "noise", "burst")
     signals = {k: synth(k, n, 10 + i) for i, k in enumerate(kinds)}
 
-    base = MP3EncoderOptions.spec_strict(
-        mode=Mode.MONO, bitrate_kbps=args.bitrate
-    )
+    mk = MP3EncoderOptions.hq if args.hq else MP3EncoderOptions.spec_strict
+    base = mk(mode=Mode.MONO, bitrate_kbps=args.bitrate)
+    if args.nmr:
+        global corpus_snr
+        corpus_snr = corpus_nmr  # same shape, NMR objective (lower=better)
     peak_share = corpus_snr(base, signals)  # psy off: the peak-share law
     print(f"bitrate {args.bitrate}k, {args.frames} frames/class")
     print("peak-share baseline:", {k: round(v, 2) for k, v in peak_share.items()})
@@ -112,15 +139,16 @@ def main() -> int:
             ref.PSY_SLOPE = slope
             ref.PSY_ALPHA_NUM, ref.PSY_ALPHA_DEN = a_num, a_den
             snrs = corpus_snr(psy_opts, signals)
-            mean = float(np.mean(list(snrs.values())))
-            worst_delta = min(snrs[k] - peak_share[k] for k in kinds)
+            sign = -1.0 if args.nmr else 1.0  # NMR: lower is better
+            mean = sign * float(np.mean(list(snrs.values())))
+            worst_delta = min(sign * (snrs[k] - peak_share[k]) for k in kinds)
             rows.append((slope, (a_num, a_den), mean, worst_delta, snrs))
             print(
                 f"slope={slope} alpha={a_num}/{a_den}: mean {mean:6.2f} "
                 f"worst-vs-baseline {worst_delta:+5.2f}  "
                 + " ".join(f"{k}={snrs[k]:5.2f}" for k in kinds)
             )
-    best = max(rows, key=lambda r: (r[2]))
+    best = max(rows, key=lambda r: (r[2]))  # mean is sign-adjusted above
     print(
         f"\nbest mean: slope={best[0]} alpha={best[1][0]}/{best[1][1]} "
         f"(mean {best[2]:.2f} dB, worst class delta {best[3]:+.2f} dB)"
