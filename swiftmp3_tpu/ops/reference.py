@@ -114,6 +114,13 @@ def analyze_subbands(samples576: np.ndarray, buffer: np.ndarray) -> tuple[np.nda
     return S, buffer
 
 
+# Family transient threshold (MP3Encoder.swift:1956). A module constant so
+# tools can sweep it; the device twin (ops/dsp.py) carries its own literal —
+# production behavior stays 6.0 on both (twin-pinned by the block-decision
+# fuzz), this knob exists for golden-only experiments.
+TRANSIENT_RATIO = 6.0
+
+
 def transient_detect(samples576: np.ndarray) -> tuple[int, list[int]]:
     """Block-type decision from 3-subblock energy ratio
     (MP3Encoder.swift:1944-1968). Returns (block_type, subblock_gain[3])."""
@@ -126,7 +133,7 @@ def transient_detect(samples576: np.ndarray) -> tuple[int, list[int]]:
     emax = np.float32(energies.max())
     emin = np.float32(energies.min())
     ratio = emax / max(emin, np.float32(1e-4))
-    if ratio > np.float32(6.0):
+    if ratio > np.float32(TRANSIENT_RATIO):
         block = BLOCK_MIXED if int(np.argmax(energies)) == 0 else BLOCK_SHORT
     else:
         block = BLOCK_LONG
