@@ -224,3 +224,35 @@ def test_oracle_lame_quality_reasonable():
     assert rep.snr_db > 30.0, rep
     # lame applies a small global scale of its own; just pin "near unit"
     assert abs(rep.gain - 1.0) < 0.1, rep
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+@pytest.mark.parametrize("sr", [32000, 48000])
+@pytest.mark.parametrize("kbps", [64, 320])
+@pytest.mark.parametrize("mode", [Mode.MONO, Mode.JOINT_STEREO])
+def test_hq_rate_matrix_conforms_externally(sr, kbps, mode):
+    """Compact CI cut of tools/external_matrix.py: hq across the OTHER two
+    sample rates (band tables, frame byte sizes, and reservoir arithmetic
+    all change with rate; the full 30-config sweep found the strict-JS
+    shared_ms_blocks hazard) on transient decorrelated-stereo content,
+    every config A/B'd oracle-vs-libmpg123."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from external_matrix import make_pcm
+
+    ch = mode.channels
+    pcm = make_pcm(sr, 14 * 1152, 7000 + sr + kbps + ch, ch)
+    opts = MP3EncoderOptions.hq(mode=mode, sample_rate=sr, bitrate_kbps=kbps)
+    s = MP3Encoder(opts, backend="numpy").new_session()
+    blob = s.encode(pcm) + s.flush()
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert dec.frame_count == s.encoded_frame_count
+    ext, ext_sr = mpg123_decode(blob)
+    assert ext_sr == sr
+    m = min(ext.shape[0], dec.pcm.shape[0])
+    assert m >= (s.encoded_frame_count - 1) * 1152
+    for c in range(ch):
+        agree = decode_agreement_snr(ext[:m, c], dec.pcm[:m, c])
+        assert agree > 90.0, (sr, kbps, mode, c, agree)
