@@ -201,3 +201,22 @@ def test_oracle_gapless_trim_matches_mpg123():
     if have_mpg123():
         ext, _ = mpg123_decode(blob, gapless=True)
         assert ext.shape[0] == dec.pcm.shape[0] == n
+
+
+def test_gapless_survives_checkpoint_resume():
+    """state_dict/load_state_dict carries the fed-sample counter: a resumed
+    session's flush padding and tag fields equal an uninterrupted one's."""
+    n = 5 * 1152 + 207
+    pcm = _chirp(n)
+    opts = MP3EncoderOptions.hq(
+        mode=Mode.MONO, bitrate_kbps=128, gapless_info=True
+    )
+    _, want = _encode_with_tag(opts, pcm)
+
+    s1 = MP3Encoder(opts, backend="numpy").new_session()
+    head = s1.encode(pcm[: n // 2])
+    state = s1.state_dict()
+    s2 = MP3Encoder(opts, backend="numpy").new_session()
+    s2.load_state_dict(state)
+    tail = s2.encode(pcm[n // 2 :]) + s2.flush()
+    assert s2.generate_xing_header() + head + tail == want
