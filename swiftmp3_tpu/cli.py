@@ -55,6 +55,15 @@ def main(argv=None) -> int:
         "scfsi (quality scales with bitrate; see MP3EncoderOptions.hq)",
     )
     p.add_argument(
+        "--lowpass",
+        type=int,
+        default=None,
+        metavar="HZ",
+        help="zero spectrum above this frequency (subband granularity) so "
+        "the bit budget concentrates below — the standard low-bitrate "
+        "knob; try 10000-12000 at 64-96 kbps on speech/noisy material",
+    )
+    p.add_argument(
         "--gapless",
         action="store_true",
         help="gapless playback info: cover the encoder-delay tail at flush "
@@ -96,6 +105,7 @@ def main(argv=None) -> int:
         crc_protected=args.crc,
         id3_tag=tag,
         gapless_info=args.gapless,
+        lowpass_hz=args.lowpass,
     )
     if args.hq:
         options = MP3EncoderOptions.hq(psy_scalefactors=args.psy, **common)

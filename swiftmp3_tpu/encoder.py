@@ -270,6 +270,12 @@ class GoldenBackend:
                     S, self.overlap[ch], block,
                     iso_mixed_alias=opts.iso_short_blocks,
                 )
+                if opts.lowpass_hz is not None:
+                    # subband-granularity lowpass (options.lowpass_hz):
+                    # the natural layout is subband-major in every block
+                    # kind, so zeroing whole subbands is layout-invariant
+                    cut_sb = int(opts.lowpass_hz * 64 // opts.sample_rate)
+                    spectrum[cut_sb * 18 :] = 0.0
                 # Masking thresholds are computed-but-unused in the reference
                 # (MP3Encoder.swift:961 vs :734-744); skipped here — no effect
                 # on any output. See ops.reference.masking_thresholds.

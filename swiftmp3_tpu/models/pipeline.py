@@ -268,6 +268,14 @@ def make_chunk_fn(options: MP3EncoderOptions):
             window_seq=win_seq,
         )
         spectra = spectra.reshape(B, ch, T, 2, 576)  # [B,ch,T,gr,576]
+        if options.lowpass_hz is not None:
+            # subband-granularity lowpass (options.lowpass_hz; twin of
+            # GoldenBackend) — static mask, fuses into the MDCT epilogue
+            cut_sb = int(options.lowpass_hz * 64 // options.sample_rate)
+            lp_mask = jnp.asarray(
+                (np.arange(576) < cut_sb * 18).astype(np.float32)
+            )
+            spectra = spectra * lp_mask
 
         if strict_entropy:
             is_long_b = block_b == dsp.BLOCK_LONG  # [B, ch, T, 2]

@@ -153,6 +153,18 @@ class MP3EncoderOptions:
     #   mid/side reconstruction to frames that actually carry L/R —
     #   garbling the stereo image whenever the per-frame decision flips.
     iso_mode_ext: bool = False
+    # lowpass_hz: zero all MDCT subbands whose band START is at or above
+    #   this frequency before allocation (subband granularity, SR/64 per
+    #   band — layout-invariant across long/short/mixed granules), so the
+    #   whole bit budget concentrates below the cutoff. The standard
+    #   low-bitrate encoder knob (libmp3lame lowpasses ~11-12 kHz at 64
+    #   kbps; the reference has nothing): measured at 64k mono through
+    #   libmpg123, a 10 kHz cutoff takes speech/noise masked-noise-ratio
+    #   to lame parity (15.0->9.7 / 12.6->9.5 vs lame's 9.4) — but it
+    #   REMOVES real content, so clean wideband material (tonal music,
+    #   where full-band hq BEATS lame by ~13 dB NMR) should keep the
+    #   default None (off). A knob, not a preset member.
+    lowpass_hz: "int | None" = None
     # gapless_info: make streams gapless-playable. Two effects: (1) flush()
     #   appends enough trailing silence that every real input sample is
     #   inside an emitted frame AND the decoder's 529-sample tail margin is

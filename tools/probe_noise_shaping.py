@@ -107,26 +107,54 @@ def _walk_and_noise(spectrum, sf, budget_bits):
     return ratios, float(np.sum(err**2)), bits
 
 
-def shape_granule(spectrum, budget_bits, iters):
-    """(sf_before==zeros baseline ratios, shaped sf, shaped ratios)."""
+def shape_granule(spectrum, budget_bits, iters, greedy: bool = True):
+    """(baseline ratios, err, shaped sf, shaped ratios, err).
+
+    greedy=True: amplify the worst violators unconditionally (the naive
+    loop). greedy=False: hill-climb WITH REJECTION — try one-band bumps on
+    the worst violators, keep a bump only if the measured mean noise/mask
+    at the same budget improves, else revert and blacklist the band. If
+    even this loses, the negative result is economic (amplification's
+    global-gain cost exceeds its band gain), not an artifact of greed."""
     sf = ref.strict_scalefactors(spectrum, SR, ref.BLOCK_LONG)["sf"].copy()
     base_ratios, base_err, _ = _walk_and_noise(spectrum, sf, budget_bits)
     cur = sf.astype(np.int64).copy()
-    for _ in range(iters):
+    if greedy:
+        for _ in range(iters):
+            ratios, _, _ = _walk_and_noise(spectrum, cur, budget_bits)
+            viol = np.where(ratios > 1.0)[0]
+            if viol.size == 0:
+                break
+            worst = viol[np.argsort(ratios[viol])[::-1][:4]]
+            bumped = False
+            for b in worst:
+                cap = 15 if b < 11 else 7
+                if cur[b] < cap:
+                    cur[b] += 1
+                    bumped = True
+            if not bumped:
+                break
+    else:
         ratios, _, _ = _walk_and_noise(spectrum, cur, budget_bits)
-        # amplify the worst violators (noise above threshold), one step
-        viol = np.where(ratios > 1.0)[0]
-        if viol.size == 0:
-            break
-        worst = viol[np.argsort(ratios[viol])[::-1][:4]]
-        bumped = False
-        for b in worst:
-            cap = 15 if b < 11 else 7
-            if cur[b] < cap:
-                cur[b] += 1
-                bumped = True
-        if not bumped:
-            break
+        score = float(np.mean(ratios))
+        dead = set()
+        for _ in range(iters * 4):
+            viol = [
+                b for b in np.argsort(ratios)[::-1]
+                if ratios[b] > 1.0 and b not in dead
+                and cur[b] < (15 if b < 11 else 7)
+            ]
+            if not viol:
+                break
+            b = int(viol[0])
+            cur[b] += 1
+            new_ratios, _, _ = _walk_and_noise(spectrum, cur, budget_bits)
+            new_score = float(np.mean(new_ratios))
+            if new_score < score:
+                ratios, score = new_ratios, new_score
+            else:
+                cur[b] -= 1
+                dead.add(b)
     shaped_ratios, shaped_err, _ = _walk_and_noise(spectrum, cur, budget_bits)
     return base_ratios, base_err, cur, shaped_ratios, shaped_err
 
@@ -136,6 +164,9 @@ def main() -> int:
     p.add_argument("--kbps", type=int, default=64)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--frames", type=int, default=12)
+    p.add_argument("--hillclimb", action="store_true",
+                   help="accept/reject one-band bumps by measured mean "
+                   "noise/mask instead of the naive greedy loop")
     args = p.parse_args()
 
     frame_bytes = (144 * args.kbps * 1000) // SR
@@ -156,7 +187,9 @@ def main() -> int:
             if float(np.abs(spec).max()) <= 0:
                 shaped_sfs.append(np.zeros(21, dtype=np.int64))
                 continue
-            br, be, sf, sr_, se = shape_granule(spec, budget, args.iters)
+            br, be, sf, sr_, se = shape_granule(
+                spec, budget, args.iters, greedy=not args.hillclimb
+            )
             shaped_sfs.append(sf)
             nmr_b.append(10 * np.log10(max(float(np.mean(br)), 1e-30)))
             nmr_s.append(10 * np.log10(max(float(np.mean(sr_)), 1e-30)))
