@@ -386,3 +386,29 @@ def test_demand_budget_streams_conform_externally():
         interior, ext_off[:, 0], compensate_gain=False
     ).snr_db
     assert snr_on - snr_off > 0.8, (snr_on, snr_off)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+def test_hq_corpus_nmr_regression_floors():
+    """Masked-noise-ratio regression floors for the hq preset at 128 kbps
+    (lower is better; ceilings set ~3 dB above the round-3 measured values
+    through libmpg123 — music -28.2, tonal -31.1, speech 6.5, burst 11.6).
+    Pins the perceptual referee next to the SNR floors so quality changes
+    are judged on both axes."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from tune_psy import synth
+
+    from swiftmp3_tpu.utils.quality import masked_noise_ratio
+
+    ceilings = {"music": -24.0, "tonal": -27.0, "speech": 9.5, "burst": 15.0}
+    trim = 2 * 1152
+    for i, (kind, ceil) in enumerate(ceilings.items()):
+        pcm = synth(kind, 16 * 1152, 10 + {"speech": 0, "music": 1, "tonal": 2, "burst": 4}[kind])
+        opts = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=128)
+        blob = _encode(opts, pcm)
+        ext, _ = mpg123_decode(blob)
+        nmr = masked_noise_ratio(pcm[trim:-trim], ext[:, 0], 44100)
+        assert nmr < ceil, (kind, nmr)
