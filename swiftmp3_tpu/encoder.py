@@ -73,6 +73,7 @@ class GoldenBackend:
         # window_sequencing: was the previously emitted granule SHORT?
         # (the first granule of a frame needs it to place a STOP window)
         self.seq_prev_short = False
+        self.seq_prev_want = False
 
     def encode_frames(
         self,
@@ -109,6 +110,7 @@ class GoldenBackend:
             "prev_slot": self.prev_slot,
             "has_buffered": self.has_buffered,
             "seq_prev_short": self.seq_prev_short,
+            "seq_prev_want": self.seq_prev_want,
         }
 
     def load_state_dict(self, state: dict) -> None:
@@ -124,6 +126,7 @@ class GoldenBackend:
         self.prev_slot = int(state["prev_slot"])
         self.has_buffered = bool(state["has_buffered"])
         self.seq_prev_short = bool(state.get("seq_prev_short", False))
+        self.seq_prev_want = bool(state.get("seq_prev_want", False))
 
     def _encode_frame(
         self,
@@ -211,8 +214,25 @@ class GoldenBackend:
             else:
                 la = np.asarray(lookahead, dtype=np.float32)
                 want2 = ref.wants_short(_granule_channels(la, 0))
-            bt0 = ref.sequence_block_type(want0, self.seq_prev_short, want1)
-            bt1 = ref.sequence_block_type(want1, bt0 == ref.BLOCK_SHORT, want2)
+            # Post-transient hangover (part of the sequencing law): the
+            # effective want is the raw want OR the PREVIOUS granule's raw
+            # want, extending every short run one granule past the last
+            # detected transient so the STOP window never straddles loud
+            # content. A STOP granule's long-layout MDCT covers the
+            # previous granule too; placing it right after the attack ties
+            # its quantization noise floor to the LOUD half and spreads
+            # that noise over the quiet half (post-echo) — the measured
+            # dominant burst NMR source (tools/diag_err_sources.py: STOP
+            # granules alone carried +10.6 of the +11.6 dB hq-vs-lame gap
+            # at 128k; the hangover wins -5.8/-8.1/-7.7 dB NMR at
+            # 64/128/256k through mpg123 and is a byte no-op on
+            # non-transient content). Device twin: dsp.sequence_blocks_chunk.
+            w0 = want0 or self.seq_prev_want
+            w1 = want1 or want0
+            w2 = want2 or want1
+            self.seq_prev_want = want1
+            bt0 = ref.sequence_block_type(w0, self.seq_prev_short, w1)
+            bt1 = ref.sequence_block_type(w1, bt0 == ref.BLOCK_SHORT, w2)
             self.seq_prev_short = bt1 == ref.BLOCK_SHORT
             seq_blocks = (bt0, bt1)
 

@@ -86,7 +86,10 @@ def init_carry(batch: int, options: MP3EncoderOptions):
         "vbr_ehist": jnp.zeros((batch, 10), dtype=jnp.float32),
         "vbr_count": jnp.zeros(batch, dtype=jnp.int32),
         **(
-            {"seq_prev_short": jnp.zeros(batch, dtype=bool)}
+            {
+                "seq_prev_short": jnp.zeros(batch, dtype=bool),
+                "seq_prev_want": jnp.zeros(batch, dtype=bool),
+            }
             if options.window_sequencing
             else {}
         ),
@@ -226,16 +229,22 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     [la[..., 0::2], la[..., 1::2]], axis=1
                 )  # [B, 2, T, 576]
             rb, _ = dsp.transient_frame(raw_g)  # [B, chs, T, 2]
-            want_b = jnp.any(rb != dsp.BLOCK_LONG, axis=1)  # [B, T, 2]
+            want_b = jnp.any(
+                (rb != dsp.BLOCK_LONG) | dsp.onset_wants(raw_g), axis=1
+            )  # [B, T, 2]
             lb, _ = dsp.transient_frame(la_g[..., None, :])  # [B, chs, T, 1]
-            want_la = jnp.any(lb[..., 0] != dsp.BLOCK_LONG, axis=1)  # [B, T]
+            want_la = jnp.any(
+                (lb[..., 0] != dsp.BLOCK_LONG) | dsp.onset_wants(la_g),
+                axis=1,
+            )  # [B, T]
             want_next = jnp.stack([want_b[..., 1], want_la], axis=-1)
             valid_g = jnp.repeat(valid, 2, axis=1)  # [B, 2T]
-            bts, seq_ps = dsp.sequence_blocks_chunk(
+            bts, seq_ps, seq_pw = dsp.sequence_blocks_chunk(
                 want_b.reshape(B, 2 * T),
                 want_next.reshape(B, 2 * T),
                 valid_g,
                 carry["seq_prev_short"],
+                carry["seq_prev_want"],
             )
             block_b = jnp.broadcast_to(
                 bts.reshape(B, 1, T, 2), (B, ch, T, 2)
@@ -708,6 +717,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
         new_carry["overlap"] = overlap
         if win_seq:
             new_carry["seq_prev_short"] = seq_ps
+            new_carry["seq_prev_want"] = seq_pw
         return new_carry, outputs
 
     return run
@@ -902,3 +912,8 @@ class TPUBackend:
 
     def load_state_dict(self, state: dict) -> None:
         self.carry = {k: jnp.asarray(v) for k, v in state.items()}
+        if "seq_prev_short" in self.carry and "seq_prev_want" not in self.carry:
+            # pre-hangover checkpoint: no raw-want carry was saved
+            self.carry["seq_prev_want"] = jnp.zeros_like(
+                self.carry["seq_prev_short"]
+            )

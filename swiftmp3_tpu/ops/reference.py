@@ -62,6 +62,35 @@ def sequence_block_type(want_short: bool, prev_short: bool, next_short: bool) ->
     return BLOCK_LONG
 
 
+# Sequencing onset detector: the family's 3x192 max/min energy-ratio
+# detector misses attacks landing EARLY in a granule (offset ~124-136: the
+# loud part dominates all three subblocks, ratio stays under 6) — measured
+# as the remaining burst NMR mass at 128k after the hangover
+# (tools/diag_err_sources.py). A 6x96 consecutive-jump criterion catches
+# onsets the spread criterion cannot: measured via mpg123 at ratio 4,
+# -6..-16 dB NMR on noise-burst content (64-256k), -1/+0.5/-1 dB on the
+# hard on/off synth burst, <=0.3 dB on speech, exact no-op on steady
+# classes. Ratio swept {2.5,3,4,5}: 4 is the plateau edge (5 misses the
+# ~4.4x tone->tone+noise jumps; lower buys nothing). Module constant so
+# tools can sweep it; the device twin (dsp.onset_wants) carries its own
+# literal 4.0. 0.0 disables (golden-only A/B).
+ONSET_RATIO = 4.0
+
+
+def _onset_fires(samples576: np.ndarray) -> bool:
+    """6x96 consecutive energy-jump onset detector (sequencing wants only;
+    device twin dsp.onset_wants)."""
+    x = np.asarray(samples576[:576], dtype=np.float32)
+    if len(x) < 576:
+        x = np.concatenate([x, np.zeros(576 - len(x), dtype=np.float32)])
+    sq = x.reshape(6, 96)
+    e = np.sum(sq * sq, axis=1, dtype=np.float32) / np.float32(96.0)
+    for i in range(5):
+        if e[i + 1] > np.float32(ONSET_RATIO) * max(e[i], np.float32(1e-4)):
+            return True
+    return False
+
+
 def wants_short(samples_by_channel) -> bool:
     """Shared-across-channels transient decision for window sequencing:
     short if ANY channel's family detector fires (mixed demotes to short —
@@ -71,6 +100,8 @@ def wants_short(samples_by_channel) -> bool:
     for ch_samples in samples_by_channel:
         block, _ = transient_detect(ch_samples)
         if block != BLOCK_LONG:
+            return True
+        if ONSET_RATIO > 0.0 and _onset_fires(ch_samples):
             return True
     return False
 
@@ -570,6 +601,16 @@ def psy_scalefactors(
     return _long_sfd(sf, bounds)
 
 
+# Short-granule sf compensation share: sf = (ge - pe) // SHORT_SF_DIV per
+# (band, window), locked to the long law's //3. Swept golden-only against
+# the NMR referee (div 2/3/4/5/6/inf, hq + strict, 64-192k, mpg123): NOT a
+# robust lever — div=inf (no short sf at all) wins 1-2.5 dB NMR on the hard
+# on/off synth burst under hq/linbits but is a wash-to-slightly-worse on
+# noise-burst content, and the strict/t15 preset is insensitive (+-0.2 dB)
+# everywhere. Stays 3 (device twin carries the same literal).
+SHORT_SF_DIV = 3
+
+
 def short_scalefactors(
     spectrum: np.ndarray, sample_rate: int, block_type: int
 ) -> dict:
@@ -597,7 +638,7 @@ def short_scalefactors(
         if pb <= 0:
             return 0
         pe = np.frexp(pb)[1]
-        return min(max((int(ge) - int(pe)) // 3, 0), cap)
+        return min(max((int(ge) - int(pe)) // SHORT_SF_DIV, 0), cap)
 
     if gp > 0:
         ge = np.frexp(gp)[1]

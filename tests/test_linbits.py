@@ -393,7 +393,8 @@ def test_demand_budget_streams_conform_externally():
 def test_hq_corpus_nmr_regression_floors():
     """Masked-noise-ratio regression floors for the hq preset at 128 kbps
     (lower is better; ceilings set ~3 dB above the round-3 measured values
-    through libmpg123 — music -28.2, tonal -31.1, speech 6.5, burst 11.6).
+    through libmpg123 — music -28.2, tonal -31.1, speech 6.5, burst 3.5
+    with the sequencing hangover, which took burst from 11.6).
     Pins the perceptual referee next to the SNR floors so quality changes
     are judged on both axes."""
     import sys as _sys
@@ -403,7 +404,7 @@ def test_hq_corpus_nmr_regression_floors():
 
     from swiftmp3_tpu.utils.quality import masked_noise_ratio
 
-    ceilings = {"music": -24.0, "tonal": -27.0, "speech": 9.5, "burst": 15.0}
+    ceilings = {"music": -24.0, "tonal": -27.0, "speech": 9.5, "burst": 6.5}
     trim = 2 * 1152
     for i, (kind, ceil) in enumerate(ceilings.items()):
         pcm = synth(kind, 16 * 1152, 10 + {"speech": 0, "music": 1, "tonal": 2, "burst": 4}[kind])

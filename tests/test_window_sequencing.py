@@ -81,6 +81,77 @@ def test_sequencer_law():
             assert right_short == left_short, (wants, seq)
 
 
+def test_hangover_extends_short_run():
+    """Post-transient hangover: a LONE transient granule must emit
+    START, SHORT, SHORT, STOP — the run extends one granule past the
+    attack so the STOP window (whose long-layout MDCT straddles the
+    previous granule) never covers loud content. Placing STOP right
+    after the attack ties its noise floor to the loud half and spreads
+    that noise over the quiet half (post-echo) — measured as the
+    dominant burst NMR source (tools/diag_err_sources.py: STOP granules
+    alone carried +10.6 of the +11.6 dB hq-vs-lame NMR gap at 128k;
+    the hangover wins -5.8/-8.1/-7.7 dB NMR at 64/128/256k via mpg123)."""
+    rng = np.random.default_rng(3)
+    n = 9 * 1152
+    x = 0.2 * np.sin(2 * np.pi * 440.0 * np.arange(n) / 44100.0)
+    # one attack confined to granule 9's middle subblock (offset 250..450)
+    g = 9
+    x[g * 576 + 250 : g * 576 + 450] += 0.6 * rng.standard_normal(200)
+    pcm = np.clip(x, -0.99, 0.99).astype(np.float32)
+    for backend in ("numpy", "tpu"):
+        blob = _encode(_hq(mode=Mode.MONO, bitrate_kbps=128), pcm, backend)
+        bts = []
+        for fi in _iter_frames(blob, strict=False):
+            for gr in fi.granules:
+                for gg in gr:
+                    bts.append(gg.block_type if gg.window_switching else 0)
+        nz = [(i, b) for i, b in enumerate(bts) if b != 0]
+        # exactly one sequenced run: START SHORT SHORT STOP
+        assert [b for _, b in nz] == [1, 2, 2, 3], (backend, bts)
+        idxs = [i for i, _ in nz]
+        assert idxs == list(range(idxs[0], idxs[0] + 4)), (backend, bts)
+
+
+def test_onset_detector_catches_early_attack():
+    """An attack landing EARLY in a granule keeps all three 192-sample
+    subblocks loud, so the family max/min ratio detector reads LONG
+    (measured remaining burst NMR mass at 128k after the hangover) — the
+    6x96 consecutive-jump onset criterion must fire, and the emitted
+    stream must sequence a short run around the attack on BOTH backends
+    with identical block sequences. Measured win: -6..-16 dB NMR on
+    noise-burst content via mpg123 (ops/reference.ONSET_RATIO)."""
+    rng = np.random.default_rng(5)
+    g576 = 0.04 * np.sin(2 * np.pi * 440.0 * np.arange(576) / 44100.0)
+    g576[128:] += 0.55 * rng.standard_normal(576 - 128)
+    g576 = np.clip(g576, -0.99, 0.99).astype(np.float32)
+    # unit law: family detector is fooled, onset is not
+    blk, _ = ref.transient_detect(g576)
+    assert blk == ref.BLOCK_LONG
+    assert ref._onset_fires(g576)
+    assert ref.wants_short([g576])
+    # end-to-end: quiet tone with the early-attack granule at granule 9
+    n = 8 * 1152
+    x = 0.04 * np.sin(2 * np.pi * 440.0 * np.arange(n) / 44100.0)
+    x[9 * 576 : 10 * 576] = g576
+    # decay back toward the tone so only the onset granule wants short
+    x[10 * 576 : 10 * 576 + 400] += np.linspace(0.3, 0.0, 400) * (
+        rng.standard_normal(400).astype(np.float32) * 0.3
+    )
+    pcm = np.clip(x, -0.99, 0.99).astype(np.float32)
+    bt_seqs = {}
+    for backend in ("numpy", "tpu"):
+        blob = _encode(_hq(mode=Mode.MONO, bitrate_kbps=128), pcm, backend)
+        bts = []
+        for fi in _iter_frames(blob, strict=False):
+            for gr in fi.granules:
+                for gg in gr:
+                    bts.append(gg.block_type if gg.window_switching else 0)
+        bt_seqs[backend] = bts
+        assert 2 in bts, (backend, bts)  # the short run fired
+        assert 1 in bts and 3 in bts, (backend, bts)
+    assert bt_seqs["numpy"] == bt_seqs["tpu"], bt_seqs
+
+
 def test_tdac_restored_through_transitions():
     """Unquantized analysis->synthesis round trip: the family's direct
     long|short|long jump caps reconstruction ~14 dB; sequenced start/stop
