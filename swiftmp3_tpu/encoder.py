@@ -293,9 +293,14 @@ class GoldenBackend:
                 if opts.lowpass_hz is not None:
                     # subband-granularity lowpass (options.lowpass_hz):
                     # the natural layout is subband-major in every block
-                    # kind, so zeroing whole subbands is layout-invariant
+                    # kind, so zeroing whole subbands is layout-invariant.
+                    # adaptive_lowpass gates it per granule-channel on the
+                    # negligible-or-noise-like decision (reference.ALP_*).
                     cut_sb = int(opts.lowpass_hz * 64 // opts.sample_rate)
-                    spectrum[cut_sb * 18 :] = 0.0
+                    if not opts.adaptive_lowpass or ref.adaptive_lowpass_engage(
+                        spectrum, cut_sb
+                    ):
+                        spectrum[cut_sb * 18 :] = 0.0
                 # Masking thresholds are computed-but-unused in the reference
                 # (MP3Encoder.swift:961 vs :734-744); skipped here — no effect
                 # on any output. See ops.reference.masking_thresholds.

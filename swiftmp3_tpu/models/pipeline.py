@@ -279,12 +279,20 @@ def make_chunk_fn(options: MP3EncoderOptions):
         spectra = spectra.reshape(B, ch, T, 2, 576)  # [B,ch,T,gr,576]
         if options.lowpass_hz is not None:
             # subband-granularity lowpass (options.lowpass_hz; twin of
-            # GoldenBackend) — static mask, fuses into the MDCT epilogue
+            # GoldenBackend) — static mask, fuses into the MDCT epilogue.
+            # adaptive_lowpass gates it per granule-channel on the
+            # negligible-or-noise-like decision (dsp.adaptive_lowpass_engage).
             cut_sb = int(options.lowpass_hz * 64 // options.sample_rate)
             lp_mask = jnp.asarray(
                 (np.arange(576) < cut_sb * 18).astype(np.float32)
             )
-            spectra = spectra * lp_mask
+            if options.adaptive_lowpass:
+                eng = dsp.adaptive_lowpass_engage(spectra, cut_sb)
+                spectra = jnp.where(
+                    eng[..., None], spectra * lp_mask, spectra
+                )
+            else:
+                spectra = spectra * lp_mask
 
         if strict_entropy:
             is_long_b = block_b == dsp.BLOCK_LONG  # [B, ch, T, 2]

@@ -633,6 +633,30 @@ def onset_wants(granule_pcm: jax.Array) -> jax.Array:
     return jnp.any(jump, axis=-1)
 
 
+def adaptive_lowpass_engage(spectra: jax.Array, cut_sb: int) -> jax.Array:
+    """Per-granule adaptive-lowpass decision (twin of
+    reference.adaptive_lowpass_engage; reference.ALP_FRAC/ALP_SFM document
+    the law and calibration — this twin carries the same literals).
+    Engage the cutoff where the high band is negligible (energy fraction
+    < 1e-3) or noise-like (spectral flatness > 0.15); peaky harmonic high
+    bands keep the full band. Both statistics are permutation-invariant,
+    so the decision is layout-invariant across long/short/mixed granules.
+
+    spectra: [..., 576] subband-major MDCT coefficients. Returns bool
+    [...]."""
+    spec = spectra.astype(jnp.float32)
+    hb2 = spec[..., cut_sb * 18 :] ** 2
+    m_hb = jnp.mean(hb2, axis=-1)
+    m_tot = jnp.mean(spec * spec, axis=-1)
+    frac = m_hb * _F32(hb2.shape[-1]) / jnp.maximum(
+        m_tot * _F32(spec.shape[-1]), _F32(1e-30)
+    )
+    sfm = jnp.exp(jnp.mean(jnp.log(hb2 + _F32(1e-20)), axis=-1)) / (
+        m_hb + _F32(1e-20)
+    )
+    return (frac < _F32(1e-3)) | (sfm > _F32(0.15))
+
+
 def sequence_blocks_chunk(
     want: jax.Array,
     want_next: jax.Array,

@@ -91,6 +91,43 @@ def _onset_fires(samples576: np.ndarray) -> bool:
     return False
 
 
+# Adaptive-lowpass decision law (options.adaptive_lowpass; device twin
+# dsp.adaptive_lowpass_engage carries the same literals). Engage the
+# lowpass_hz cutoff on a granule-channel when its high band (coefficients
+# at/above the cut subband) is either NEGLIGIBLE (energy fraction below
+# ALP_FRAC: zeroing discards ~nothing and frees the sweep's pricing from
+# coding near-silence) or NOISE-LIKE (spectral flatness above ALP_SFM:
+# at low rates the band's bits buy more masked noise below the cutoff
+# than the noise band is worth — the measured mechanism behind static
+# lowpass winning on speech/noise at 64k). Peaky high bands (real
+# harmonics: flatness well under 0.1) keep the full band. Calibration:
+# Gaussian-noise MDCT coefficients have flatness ≈ 0.28 (chi-square(1):
+# exp(psi(1/2)+ln 2)), pure harmonic series measure < 0.05, so 0.15
+# separates the populations with margin on both sides; 1e-3 energy
+# fraction is ~-30 dB — content nobody allocates bits to anyway. Both
+# statistics are permutation-invariant over the coefficient set, hence
+# layout-invariant across long/short/mixed granules.
+ALP_FRAC = 1e-3
+ALP_SFM = 0.15
+
+
+def adaptive_lowpass_engage(spectrum: np.ndarray, cut_sb: int) -> bool:
+    """Per-granule adaptive-lowpass decision (see ALP_FRAC/ALP_SFM)."""
+    spec = np.asarray(spectrum, dtype=np.float32)
+    hb2 = spec[cut_sb * 18 :] ** 2
+    if hb2.size == 0:
+        return False
+    m_hb = np.float32(np.mean(hb2))
+    m_tot = np.float32(np.mean(spec * spec))
+    frac = m_hb * np.float32(hb2.size) / np.maximum(
+        m_tot * np.float32(spec.size), np.float32(1e-30)
+    )
+    sfm = np.exp(np.float32(np.mean(np.log(hb2 + np.float32(1e-20))))) / (
+        m_hb + np.float32(1e-20)
+    )
+    return bool(frac < np.float32(ALP_FRAC)) or bool(sfm > np.float32(ALP_SFM))
+
+
 def wants_short(samples_by_channel) -> bool:
     """Shared-across-channels transient decision for window sequencing:
     short if ANY channel's family detector fires (mixed demotes to short —

@@ -165,6 +165,22 @@ class MP3EncoderOptions:
     #   where full-band hq BEATS lame by ~13 dB NMR) should keep the
     #   default None (off). A knob, not a preset member.
     lowpass_hz: "int | None" = None
+    # adaptive_lowpass: make lowpass_hz conditional PER GRANULE-CHANNEL on
+    #   a content decision instead of unconditional. The cutoff engages
+    #   only where the high band (subbands >= the lowpass_hz cut) is
+    #   either negligible (energy fraction < reference.ALP_FRAC — zeroing
+    #   discards nothing) or noise-like (spectral flatness >
+    #   reference.ALP_SFM — the budget the band would eat at a low rate
+    #   costs more masked noise below the cutoff than the band is worth,
+    #   the measured reason static lowpass wins on speech/noise at 64k).
+    #   Harmonic-rich wideband content (peaky high band: flatness low,
+    #   fraction high) keeps the full band — the measured reason static
+    #   lowpass must stay OFF on tonal music. Both statistics are
+    #   permutation-invariant over the high-band coefficient set, so the
+    #   decision is layout-invariant across long/short/mixed granules.
+    #   Requires lowpass_hz (it selects WHERE the cutoff applies, not the
+    #   cutoff itself).
+    adaptive_lowpass: bool = False
     # gapless_info: make streams gapless-playable. Two effects: (1) flush()
     #   appends enough trailing silence that every real input sample is
     #   inside an emitted frame AND the decoder's 529-sample tail margin is
@@ -283,6 +299,11 @@ class MP3EncoderOptions:
                 "shared_ms_blocks requires iso_quantization (the shared "
                 "decision emits subblock_gain=0, which is only the decode "
                 "law under unit-gain quantization)"
+            )
+        if self.adaptive_lowpass and self.lowpass_hz is None:
+            raise ValueError(
+                "adaptive_lowpass requires lowpass_hz (it gates WHERE the "
+                "cutoff applies; the cutoff frequency itself is lowpass_hz)"
             )
         if self.demand_budget and not self.spec_strict_entropy:
             raise ValueError(
