@@ -68,8 +68,20 @@ class GoldenBackend:
         # shadows stream_len.
         self.est_stream_len = 0
         self.available_bytes = 0
-        self.prev_slot = 0
-        self.has_buffered = False
+        # Buffered-slot FIFO (options.reservoir_depth): slot sizes of the
+        # K frames encoded but not yet emitted, oldest first; zeros while
+        # the fifo fills (a zero splices nothing, so the fill phase needs
+        # no has_buffered conditional). K=1 is the reference's one-frame
+        # delay; the depth-general budget/mdb/stuffing law below is
+        # byte-identical to the historical one-frame law at K=1 (the
+        # equivalence is stream_len' == huffman_bytes - mdb; see
+        # ARCHITECTURE.md "Reservoir depth").
+        self.slot_fifo = [0] * options.reservoir_depth
+        # reservoir tank (options.reservoir_tank): frames of donor behavior
+        # left since the last starved transient, and that transient's frame
+        # energy (the donor gate's yardstick) — reference.TANK_*
+        self.tank_horizon = 0
+        self.tank_att_e = 0.0
         # window_sequencing: was the previously emitted granule SHORT?
         # (the first granule of a frame needs it to place a STOP window)
         self.seq_prev_short = False
@@ -91,11 +103,12 @@ class GoldenBackend:
         ]
 
     def notify_flush(self) -> None:
-        """Mirror the assembler's flush_buffered emission."""
-        if self.has_buffered:
-            self.stream_len = max(self.stream_len - self.prev_slot, 0)
-            self.est_stream_len = max(self.est_stream_len - self.prev_slot, 0)
-            self.has_buffered = False
+        """Mirror the assembler's flush_buffered emission (drains every
+        buffered frame, oldest first)."""
+        for s in self.slot_fifo:
+            self.stream_len = max(self.stream_len - s, 0)
+            self.est_stream_len = max(self.est_stream_len - s, 0)
+        self.slot_fifo = [0] * len(self.slot_fifo)
 
     def state_dict(self) -> dict:
         return {
@@ -107,8 +120,9 @@ class GoldenBackend:
             "stream_len": self.stream_len,
             "est_stream_len": self.est_stream_len,
             "available_bytes": self.available_bytes,
-            "prev_slot": self.prev_slot,
-            "has_buffered": self.has_buffered,
+            "slot_fifo": list(self.slot_fifo),
+            "tank_horizon": self.tank_horizon,
+            "tank_att_e": self.tank_att_e,
             "seq_prev_short": self.seq_prev_short,
             "seq_prev_want": self.seq_prev_want,
         }
@@ -123,8 +137,16 @@ class GoldenBackend:
         self.stream_len = int(state["stream_len"])
         self.est_stream_len = int(state.get("est_stream_len", state["stream_len"]))
         self.available_bytes = int(state["available_bytes"])
-        self.prev_slot = int(state["prev_slot"])
-        self.has_buffered = bool(state["has_buffered"])
+        if "slot_fifo" in state:
+            fifo = [int(x) for x in state["slot_fifo"]]
+        else:
+            # pre-depth checkpoint: one buffered frame at most
+            fifo = [int(state["prev_slot"]) if state.get("has_buffered") else 0]
+        K = self.options.reservoir_depth
+        # depth mismatch: keep the newest entries, zero-pad the (older) front
+        self.slot_fifo = ([0] * K + fifo)[-K:]
+        self.tank_horizon = int(state.get("tank_horizon", 0))
+        self.tank_att_e = float(state.get("tank_att_e", 0.0))
         self.seq_prev_short = bool(state.get("seq_prev_short", False))
         self.seq_prev_want = bool(state.get("seq_prev_want", False))
 
@@ -164,11 +186,17 @@ class GoldenBackend:
         usable = (res_bits * 9) // 10
         strict = opts.spec_strict_entropy
         if aligned:
-            # keep the unslotted stream short enough that the next frame's
-            # main_data_begin stays expressible (leftover <= prev slot).
-            # Strict mode budgets in the priced world (walk respec).
+            # Depth-general expressibility cap: a frame's data can only be
+            # placed in the sum of the still-buffered slots (the physical
+            # reach of a K-frame emission delay), and never deeper than
+            # main_data_begin's 9-bit field (511 bytes). At K=1 this is the
+            # historical (prev_slot - leftover) cap — the extra min(.,511)
+            # never binds there because the 90% draw rule already caps
+            # usable at 0.9*511 bytes. Strict mode budgets in the priced
+            # world (walk respec).
             budget_sl = self.est_stream_len if strict else self.stream_len
-            usable = min(usable, max(self.prev_slot - budget_sl, 0) * 8)
+            gap_budget = sum(self.slot_fifo) - budget_sl
+            usable = min(usable, max(min(gap_budget, 511), 0) * 8)
             mdb = None  # computed after the frame's byte count is known
         else:
             mdb = 0 if is_final else min(self.stream_len, 511)
@@ -355,6 +383,31 @@ class GoldenBackend:
                     gain0=gain0, part2=part2,
                 ))
 
+        # Reservoir tank gate (options.reservoir_tank; full law + measured
+        # dead-ends in ops.reference TANK_*; device twin in
+        # models/pipeline.py): while the horizon armed by a starved
+        # transient is live, all-LONG frames are donors — they draw
+        # NOTHING from the reservoir, and while the counter sits under its
+        # target each granule is re-budgeted at ONE LESS bit than its
+        # selected candidate costs (stage 2 below), banking the
+        # candidate-sized difference for the next attack.
+        tank_refill = False
+        tank_frame_long = False
+        if strict and opts.reservoir_tank:
+            tank_frame_long = all(c["block"] == ref.BLOCK_LONG for c in staged)
+        if (
+            strict and opts.reservoir_tank and not is_final
+            and tank_frame_long and self.tank_horizon > 0
+            and float(energy) * ref.TANK_DONOR_E_RATIO < self.tank_att_e
+        ):
+            usable = 0
+            total_bits = main_data_size * 8
+            bits_per_granule = total_bits // (2 * channels)
+            target = (
+                ref.TANK_TARGET_FRAC_NUM * min(sum(self.slot_fifo), 511)
+            ) // ref.TANK_TARGET_FRAC_DEN
+            tank_refill = self.available_bytes < target
+
         # Budget per granule-channel: equal split (reference law), or the
         # demand-donation law (options.demand_budget — demand is the exact
         # priced bits at the K_DEMAND grid probe; device twin in
@@ -403,6 +456,7 @@ class GoldenBackend:
                 ]
 
         # Stage 2: gain walks + entropy layout + side info, per granule.
+        tank_starved = False  # any granule denied the finest candidate
         for c, granule_budget in zip(staged, budgets):
             gr, ch = c["gr"], c["ch"]
             spectrum, block = c["spectrum"], c["block"]
@@ -414,20 +468,41 @@ class GoldenBackend:
                     # strict; device twin: dsp.rate_loop_precompute_strict).
                     # `bits` is the PRICED value; the actual emitted bits
                     # come from the final layout below.
-                    gain, q, bits = ref.quantize_to_fit_budget_strict(
-                        spectrum,
-                        sfd["mag_scale"] if sfd is not None else None,
-                        gain0,
-                        granule_budget,
-                        sr,
-                        block,
-                        opts.count1_coding,
-                        opts.region_table_select,
-                        c["part2"],
-                        perm,
-                        opts.iso_quantization,
-                        linbits=opts.linbits_tables,
-                    )
+                    def _walk(budget_bits):
+                        return ref.quantize_to_fit_budget_strict(
+                            spectrum,
+                            sfd["mag_scale"] if sfd is not None else None,
+                            gain0,
+                            budget_bits,
+                            sr,
+                            block,
+                            opts.count1_coding,
+                            opts.region_table_select,
+                            c["part2"],
+                            perm,
+                            opts.iso_quantization,
+                            linbits=opts.linbits_tables,
+                        )
+
+                    gain, q, bits = _walk(granule_budget)
+                    if tank_refill and 0 < bits <= granule_budget:
+                        # tank refill: one candidate coarser than selected
+                        # (budget = selected bits - 1; see the tank comment)
+                        gain, q, bits = _walk(bits - 1)
+                    if (
+                        opts.reservoir_tank
+                        and not tank_frame_long
+                        and gain > ref.walk_gstart(
+                            spectrum,
+                            sfd["mag_scale"] if sfd is not None else None,
+                            gain0, opts.iso_quantization,
+                            linbits=opts.linbits_tables,
+                        )
+                    ):
+                        # transient granule denied the finest candidate:
+                        # arms the tank horizon (device twin: k_sel > 0
+                        # or no fit)
+                        tank_starved = True
                 else:
                     gain, q, bits = ref.quantize_to_fit_budget(
                         spectrum,
@@ -513,33 +588,61 @@ class GoldenBackend:
 
         huffman_bytes = (total_part_bits + 7) // 8
         est_hb = (total_priced_bits + 7) // 8  # == huffman_bytes in compat
+        oldest = self.slot_fifo[0]  # slot spliced this frame (0 while filling)
         if aligned:
-            # distance from the next slot start back to this frame's data:
-            # the data rides at the tail of the previous frame's slot
-            # (stuffing before it), or spills forward when borrowing.
-            mdb = max(0, min(self.prev_slot - self.stream_len, huffman_bytes))
-            mdb = min(mdb, 511)
-        # Reservoir mirrors: append, then splice the previous frame's slot.
-        # (est_* is the priced world the budget law runs in; identical to
-        # the real mirrors in compat mode.)
-        self.stream_len += huffman_bytes
-        self.est_stream_len += est_hb
-        if self.has_buffered:
-            # aligned mode: at most 511 of this frame's bytes ride ahead of
-            # its header (fill_slot keeps the remainder in the stream), so
-            # the unslotted mirror floors at hb-511 even when the previous
-            # slot had room — twin of BitReservoir.fill_slot's keep-back
-            floor_real = max(huffman_bytes - 511, 0) if aligned else 0
-            floor_est = max(est_hb - 511, 0) if aligned else 0
-            self.stream_len = max(self.stream_len - self.prev_slot, floor_real)
-            self.est_stream_len = max(
-                self.est_stream_len - self.prev_slot, floor_est
+            # Depth-general placement law: the frame's data is tail-aligned
+            # against its own header within the expressible gap (sum of
+            # buffered slots minus the unslotted leftover), never deeper
+            # than 511; the assembler prepends (gap - mdb) stuffing zeros
+            # at APPEND time, so emission is a pure slot-sized pop. The
+            # mirror update stream_len += stuffing + data - oldest_slot is
+            # exactly the historical max(sl + hb - prev, hb - 511, 0) at
+            # K=1 (stream_len' == hb - mdb there).
+            gap_real = sum(self.slot_fifo) - self.stream_len
+            gap_est = sum(self.slot_fifo) - self.est_stream_len
+            assert gap_real >= 0 and gap_est >= 0, (gap_real, gap_est)
+            if opts.reservoir_depth > 1:
+                # FRONT-aligned placement (depth > 1): data starts at the
+                # full expressible gap (contiguous after the previous
+                # frame's data; stuffing only beyond the 511-byte mdb
+                # horizon), so banked space SURVIVES within the buffered
+                # window. Tail-alignment (the K=1 law below) re-stuffs the
+                # gap every frame — measured: the reservoir counter grew
+                # to 400+ bytes while the physical reach stayed pinned at
+                # one slot, making depth a byte no-op. Unused space still
+                # expires as end-padding when its slot emits (the floor).
+                mdb = max(0, min(gap_real, 511))
+                est_mdb = max(0, min(gap_est, 511))
+            else:
+                # tail-aligned (historical byte-exact K=1 law): data ends
+                # flush against its own header
+                mdb = max(0, min(gap_real, huffman_bytes, 511))
+                est_mdb = max(0, min(gap_est, est_hb, 511))
+            self.stream_len = max(
+                self.stream_len + (gap_real - mdb) + huffman_bytes - oldest, 0
             )
+            self.est_stream_len = max(
+                self.est_stream_len + (gap_est - est_mdb) + est_hb - oldest, 0
+            )
+        else:
+            self.stream_len = max(self.stream_len + huffman_bytes - oldest, 0)
+            self.est_stream_len = max(self.est_stream_len + est_hb - oldest, 0)
         self.available_bytes = min(
             max(self.available_bytes + main_data_size - est_hb, 0), 511
         )
-        self.prev_slot = main_data_size
-        self.has_buffered = True
+        self.slot_fifo = self.slot_fifo[1:] + [main_data_size]
+        if strict and opts.reservoir_tank:
+            # tank horizon (see the gate above): a starved transient arms
+            # it and records its energy (the donor gate's yardstick);
+            # everything else decays it. (An earlier unstarved-transient
+            # DISARM was a measured bug: the STOP frame right after an
+            # attack often fits its finest candidate and killed the
+            # horizon the SHORT frames had just armed.)
+            if not tank_frame_long and tank_starved:
+                self.tank_horizon = ref.TANK_HORIZON
+                self.tank_att_e = float(energy)
+            else:
+                self.tank_horizon = max(self.tank_horizon - 1, 0)
 
         return FrameResult(
             bitrate_index=br_idx,
@@ -692,8 +795,8 @@ class EncoderSession:
             "fed_samples": self._fed_samples,
             "reservoir_stream": bytes(a.reservoir.stream),
             "reservoir_avail": a.reservoir.available_bytes,
-            "buffered_head": a._buffered[0] if a._buffered else b"",
-            "buffered_slot": a._buffered[1] if a._buffered else -1,
+            "buffered_heads": [h for h, _ in a._buffered],
+            "buffered_slots": [s for _, s in a._buffered],
             "frame_count": a.frame_count,
             "total_bytes": a.total_bytes,
             "frame_sizes": list(a.frame_sizes),
@@ -708,10 +811,17 @@ class EncoderSession:
         self._fed_samples = int(state.get("fed_samples", 0))
         a.reservoir.stream = bytearray(state["reservoir_stream"])
         a.reservoir.available_bytes = int(state["reservoir_avail"])
-        if int(state["buffered_slot"]) >= 0:
-            a._buffered = (bytes(state["buffered_head"]), int(state["buffered_slot"]))
+        if "buffered_heads" in state:
+            a._buffered = [
+                (bytes(h), int(s))
+                for h, s in zip(state["buffered_heads"], state["buffered_slots"])
+            ]
+        elif int(state.get("buffered_slot", -1)) >= 0:  # pre-depth checkpoint
+            a._buffered = [
+                (bytes(state["buffered_head"]), int(state["buffered_slot"]))
+            ]
         else:
-            a._buffered = None
+            a._buffered = []
         a.frame_count = int(state["frame_count"])
         a.total_bytes = int(state["total_bytes"])
         a.frame_sizes = list(state["frame_sizes"])

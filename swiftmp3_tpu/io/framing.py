@@ -106,7 +106,11 @@ class FrameAssembler:
     def __init__(self, options: MP3EncoderOptions, reservoir: Optional[BitReservoir] = None):
         self.options = options
         self.reservoir = reservoir if reservoir is not None else BitReservoir()
-        self._buffered: Optional[tuple[bytes, int]] = None  # (header+sideinfo, slot)
+        # FIFO of (header+sideinfo, slot) pairs awaiting emission; length
+        # bounded by options.reservoir_depth (1 = the reference's one-frame
+        # delay). Deeper delays extend a frame's main_data back-reach to
+        # min(511, depth slots) — see options.reservoir_depth.
+        self._buffered: List[tuple[bytes, int]] = []
         self.frame_count = 0
         self.total_bytes = 0
         self.frame_sizes: List[int] = []
@@ -144,6 +148,22 @@ class FrameAssembler:
             main_data, _bits = pack_chunks(fr.chunks, fr.nbits)
         else:
             main_data, _part_bits = pack_frame_main_data(fr.quantized, fr.big_values)
+        aligned = self.options.reservoir_mode == "aligned"
+        if aligned:
+            # Append-time stuffing (depth-general placement): the frame's
+            # data is tail-aligned against its own header — the encoder's
+            # main_data_begin IS the placement (mdb bytes of it ride before
+            # the header), so the stuffing filling the gap between the
+            # previous frame's data and this one's start is gap - mdb.
+            # Emission below is then a pure slot-sized pop (fill_slot's
+            # emission-time tail logic reproduces exactly this layout at
+            # depth 1; append time is what generalizes to deeper delays,
+            # where one slot may carry several frames' data + stuffing).
+            gap = sum(s for _, s in self._buffered) - len(self.reservoir.stream)
+            stuff = gap - fr.main_data_begin
+            assert stuff >= 0, (gap, fr.main_data_begin)
+            if stuff:
+                self.reservoir.append(bytes(stuff))
         self.reservoir.append(main_data)
 
         scfsi = fr.scfsi if fr.scfsi is not None else [[0, 0, 0, 0]] * channels
@@ -160,29 +180,33 @@ class FrameAssembler:
             head += bytes([(crc >> 8) & 0xFF, crc & 0xFF])
         head += side_info
 
+        self._buffered.append((bytes(head), fr.slot_size))
         emitted = b""
-        if self._buffered is not None:
-            prev_head, prev_slot = self._buffered
-            tail = len(main_data) if self.options.reservoir_mode == "aligned" else 0
-            slot = self.reservoir.fill_slot(prev_slot, tail_bytes=tail)
+        if len(self._buffered) > self.options.reservoir_depth:
+            # the delay is full: emit the oldest buffered frame. aligned:
+            # stuffing was prepended at append time, so this is a pure
+            # slot-sized pop; compat: fill_slot reproduces the reference's
+            # end-padding quirk.
+            prev_head, prev_slot = self._buffered.pop(0)
+            slot = self.reservoir.fill_slot(prev_slot, tail_bytes=0)
             emitted = prev_head + slot
             self.frame_count += 1
             self.total_bytes += len(emitted)
             self.frame_sizes.append(len(emitted))
 
-        self._buffered = (bytes(head), fr.slot_size)
         self.reservoir.update(len(main_data), fr.slot_size)
         return emitted
 
     def flush_buffered(self) -> bytes:
-        """Emit the final buffered frame (MP3Encoder.swift:335-347)."""
-        if self._buffered is None:
-            return b""
-        head, slot_size = self._buffered
-        slot = self.reservoir.fill_slot(slot_size)
-        frame = head + slot
-        self.frame_count += 1
-        self.total_bytes += len(frame)
-        self.frame_sizes.append(len(frame))
-        self._buffered = None
-        return frame
+        """Emit every still-buffered frame, oldest first
+        (MP3Encoder.swift:335-347; depth-general)."""
+        out = b""
+        while self._buffered:
+            head, slot_size = self._buffered.pop(0)
+            slot = self.reservoir.fill_slot(slot_size)
+            frame = head + slot
+            self.frame_count += 1
+            self.total_bytes += len(frame)
+            self.frame_sizes.append(len(frame))
+            out += frame
+        return out

@@ -27,8 +27,9 @@ Carry layout (per stream):
     stream_len [B] i32  reservoir byte-stream length mirror
     avail      [B] i32  reservoir borrowing counter (MP3Encoder.swift:2096)
     pad_rem    [B] i32  Bresenham padding accumulator (MP3Encoder.swift:456)
-    prev_slot  [B] i32  buffered frame's slot size (one-frame delay)
-    has_buffered [B] bool
+    slot_fifo  [B, K] i32  buffered frames' slot sizes, oldest first
+               (K = options.reservoir_depth; zeros while the fifo fills —
+               a zero splices nothing, replacing the has_buffered flag)
     vbr_ehist  [B, 10] f32  granule energy history (MP3Encoder.swift:1144)
     vbr_count  [B] i32
 """
@@ -46,6 +47,12 @@ from ..io.framing import FrameResult
 from ..io.sideinfo import GranuleInfo
 from ..ops.reference import K_DEMAND as LINBITS_K_DEMAND
 from ..ops.reference import LINBITS_Q_TARGET
+from ..ops.reference import (
+    TANK_DONOR_E_RATIO as TANK_E_RATIO,
+    TANK_HORIZON as TANK_HOR,
+    TANK_TARGET_FRAC_DEN as TANK_DEN,
+    TANK_TARGET_FRAC_NUM as TANK_NUM,
+)
 from ..options import (
     MP3EncoderOptions,
     Mode,
@@ -81,8 +88,11 @@ def init_carry(batch: int, options: MP3EncoderOptions):
         "est_stream_len": jnp.zeros(batch, dtype=jnp.int32),
         "avail": jnp.zeros(batch, dtype=jnp.int32),
         "pad_rem": jnp.zeros(batch, dtype=jnp.int32),
-        "prev_slot": jnp.zeros(batch, dtype=jnp.int32),
-        "has_buffered": jnp.zeros(batch, dtype=bool),
+        # buffered-slot FIFO (options.reservoir_depth; oldest first, zeros
+        # while filling — a zero splices nothing, so no has_buffered flag)
+        "slot_fifo": jnp.zeros(
+            (batch, options.reservoir_depth), dtype=jnp.int32
+        ),
         "vbr_ehist": jnp.zeros((batch, 10), dtype=jnp.float32),
         "vbr_count": jnp.zeros(batch, dtype=jnp.int32),
         **(
@@ -91,6 +101,17 @@ def init_carry(batch: int, options: MP3EncoderOptions):
                 "seq_prev_want": jnp.zeros(batch, dtype=bool),
             }
             if options.window_sequencing
+            else {}
+        ),
+        **(
+            # reservoir tank: frames of donor behavior left since the last
+            # starved transient + that transient's frame energy (the donor
+            # gate's yardstick) — reference.TANK_*
+            {
+                "tank_horizon": jnp.zeros(batch, dtype=jnp.int32),
+                "tank_att_e": jnp.zeros(batch, dtype=jnp.float32),
+            }
+            if options.reservoir_tank
             else {}
         ),
     }
@@ -364,7 +385,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
 
         frame_e = (
             jnp.swapaxes(dsp.mean_square(pcm), 0, 1)  # [B,T] -> [T,B], tiny
-            if is_vbr
+            if is_vbr or options.reservoir_tank  # tank: donor energy gate
             else jnp.zeros((T, B), jnp.float32)
         )
         granule_e = tm(dsp.mean_square(granule_pcm))
@@ -378,10 +399,14 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 "stream_len",
                 "avail",
                 "pad_rem",
-                "prev_slot",
-                "has_buffered",
+                "slot_fifo",
                 "vbr_ehist",
                 "vbr_count",
+            )
+            + (
+                ("tank_horizon", "tank_att_e")
+                if options.reservoir_tank
+                else ()
             )
         }
         if strict_entropy:
@@ -392,7 +417,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
             int_carry["stream_len"] = carry["est_stream_len"]
 
         def step(c, x):
-            bits_k, evaluated, k_budget, fe, ge, fin, val = x
+            bits_k, evaluated, k_budget, fe, ge, fin, val, frame_long = x
             if is_vbr:
                 target = dsp.vbr_choose_bitrate(
                     fe, c["vbr_ehist"], c["vbr_count"], base_kbps, quality
@@ -411,14 +436,36 @@ def make_chunk_fn(options: MP3EncoderOptions):
             pad_rem = pad_acc - padding * sr
             slot = base_size + padding - 4 - crc_size - side_size
 
+            sum_fifo = jnp.sum(c["slot_fifo"], axis=1)  # [B]
+            oldest = c["slot_fifo"][:, 0]  # spliced this frame (0 = filling)
             res_bits = jnp.where(fin, 0, c["avail"] * 8)
             usable = (res_bits * 9) // 10
             if aligned:
-                # keep the unslotted stream <= prev slot so main_data_begin
-                # stays expressible (see options.reservoir_mode)
-                usable = jnp.minimum(
-                    usable, jnp.maximum(c["prev_slot"] - c["stream_len"], 0) * 8
+                # depth-general expressibility cap: a frame's data can only
+                # land in the still-buffered slots, never deeper than the
+                # 9-bit main_data_begin reach (twin of encoder.py; at K=1
+                # the min(.,511) never binds — the 90% rule caps usable at
+                # 0.9*511 bytes)
+                gap_b = sum_fifo - c["stream_len"]
+                usable = jnp.minimum(usable, jnp.clip(gap_b, 0, 511) * 8)
+            if strict_entropy and options.reservoir_tank:
+                # Reservoir tank gate (twin of encoder.py; full law +
+                # measured dead-ends in ops.reference TANK_*): while the
+                # horizon armed by a starved transient is live, all-LONG
+                # frames are DONORS — they draw nothing (a drawing donor
+                # leaks the tank as fast as it fills), and under-target
+                # donors get the one-candidate-coarser budget cap below.
+                engaged = (
+                    (c["tank_horizon"] > 0)
+                    & frame_long
+                    & (~fin)
+                    & (fe * jnp.float32(TANK_E_RATIO) < c["tank_att_e"])
                 )
+                target = (
+                    TANK_NUM * jnp.minimum(sum_fifo, 511)
+                ) // TANK_DEN
+                refill = engaged & (c["avail"] < target)
+                usable = jnp.where(engaged, 0, usable)
             bits_per_granule = (slot * 8 + usable) // n_gran
             if options.linbits_tables:
                 # part2_3_length is a 12-bit field; ESC coding can genuinely
@@ -453,34 +500,59 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 max_b = jnp.where(sum_d > 0, prop, bits_per_granule[:, None])
             else:
                 max_b = bits_per_granule[:, None]
+            if strict_entropy and options.reservoir_tank:
+                # Tank refill action (gate above): re-budget each granule
+                # at ONE LESS bit than its selected candidate costs,
+                # forcing the selection one notch coarser and banking the
+                # (real, candidate-sized) difference. A fractional budget
+                # cut was measured toothless — candidate spacing exceeds
+                # any fixed fraction whenever the selection had slack.
+                k_sel0, has_fit0, bits_sel0 = dsp.rate_loop_select(
+                    bits_k, evaluated, k_budget, max_b
+                )
+                max_b = jnp.where(
+                    refill[:, None] & has_fit0 & (bits_sel0 > 0),
+                    jnp.minimum(max_b, bits_sel0 - 1),
+                    max_b,
+                )
             k_sel, has_fit, bits_sel = dsp.rate_loop_select(
                 bits_k, evaluated, k_budget, max_b
             )
+            if strict_entropy and options.reservoir_tank:
+                # tank horizon update (twin of encoder.py): a STARVED
+                # transient (any granule denied the finest candidate:
+                # k_sel > 0 or no fit) arms it and records its energy;
+                # everything else decays it.
+                arm = (~frame_long) & jnp.any(
+                    (k_sel > 0) | (~has_fit), axis=-1
+                )
+                tank_horizon = jnp.where(
+                    arm, TANK_HOR, jnp.maximum(c["tank_horizon"] - 1, 0)
+                )
+                tank_att_e = jnp.where(arm, fe, c["tank_att_e"])
 
             total_used = jnp.sum(bits_sel, axis=-1)
             huffman_bytes = (total_used + 7) // 8
             if aligned:
-                mdb = jnp.clip(
-                    jnp.minimum(c["prev_slot"] - c["stream_len"], huffman_bytes),
-                    0,
-                    511,
+                # depth-general placement law (twin of encoder.py): depth 1
+                # tail-aligns data against its own header (historical
+                # byte-exact law); depth > 1 FRONT-aligns (mdb = full gap,
+                # stuffing only past the 511 horizon) so banked space
+                # survives within the buffered window. Unused space
+                # expires as end-padding when its slot emits (the floor).
+                gap = sum_fifo - c["stream_len"]
+                if options.reservoir_depth > 1:
+                    mdb = jnp.clip(gap, 0, 511)
+                else:
+                    mdb = jnp.clip(jnp.minimum(gap, huffman_bytes), 0, 511)
+                stream_len = jnp.maximum(
+                    c["stream_len"] + (gap - mdb) + huffman_bytes - oldest, 0
                 )
             else:
                 mdb = jnp.where(fin, 0, jnp.minimum(c["stream_len"], 511))
-            stream_len = c["stream_len"] + huffman_bytes
-            # aligned mode floors the unslotted mirror at hb-511: at most
-            # 511 of a frame's bytes precede its header (fill_slot keep-
-            # back — twin of io/framing.py and encoder.py)
-            sl_floor = (
-                jnp.maximum(huffman_bytes - 511, 0)
-                if aligned
-                else jnp.zeros_like(huffman_bytes)
-            )
-            stream_len = jnp.where(
-                c["has_buffered"],
-                jnp.maximum(stream_len - c["prev_slot"], sl_floor),
-                stream_len,
-            )
+                stream_len = jnp.maximum(
+                    c["stream_len"] + huffman_bytes - oldest, 0
+                )
             avail = jnp.clip(c["avail"] + slot - huffman_bytes, 0, 511)
             vbr_ehist = jnp.concatenate([c["vbr_ehist"][:, n_gran:], ge], axis=1)
             vbr_count = jnp.minimum(c["vbr_count"] + n_gran, 10)
@@ -489,11 +561,15 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 "stream_len": stream_len,
                 "avail": avail,
                 "pad_rem": pad_rem,
-                "prev_slot": slot,
-                "has_buffered": jnp.ones_like(c["has_buffered"]),
+                "slot_fifo": jnp.concatenate(
+                    [c["slot_fifo"][:, 1:], slot[:, None]], axis=1
+                ),
                 "vbr_ehist": vbr_ehist,
                 "vbr_count": vbr_count,
             }
+            if options.reservoir_tank:  # implies strict_entropy (options)
+                new_c["tank_horizon"] = tank_horizon
+                new_c["tank_att_e"] = tank_att_e
 
             def keep(new, old):
                 v = val.reshape((B,) + (1,) * (new.ndim - 1))
@@ -514,6 +590,11 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 granule_e,
                 final_t,
                 valid_t,
+                # all-granule-LONG per frame (the reservoir tank's donor
+                # gate; computed anyway for the block decision)
+                jnp.swapaxes(
+                    jnp.all(block_b == dsp.BLOCK_LONG, axis=(1, 3)), 0, 1
+                ),
             ),
         )
         br_idx, padding, mdb, slot, k_sel, has_fit, bits_sel = ys
@@ -536,35 +617,34 @@ def make_chunk_fn(options: MP3EncoderOptions):
 
             carry2 = {
                 "stream_len": carry["stream_len"],
-                "prev_slot": carry["prev_slot"],
-                "has_buffered": carry["has_buffered"],
+                "slot_fifo": carry["slot_fifo"],
             }
 
             def step2(c, x):
                 slot_f, hb_f, fin_f, val_f = x
+                sum_f2 = jnp.sum(c["slot_fifo"], axis=1)
+                oldest2 = c["slot_fifo"][:, 0]
                 if aligned:
-                    mdb_f = jnp.clip(
-                        jnp.minimum(c["prev_slot"] - c["stream_len"], hb_f), 0, 511
+                    # depth-general placement law on the REAL byte counts
+                    # (twin of the selection scan's est-world form)
+                    gap2 = sum_f2 - c["stream_len"]
+                    if options.reservoir_depth > 1:
+                        mdb_f = jnp.clip(gap2, 0, 511)
+                    else:
+                        mdb_f = jnp.clip(jnp.minimum(gap2, hb_f), 0, 511)
+                    sl = jnp.maximum(
+                        c["stream_len"] + (gap2 - mdb_f) + hb_f - oldest2, 0
                     )
                 else:
                     mdb_f = jnp.where(
                         fin_f, 0, jnp.minimum(c["stream_len"], 511)
                     )
-                sl = c["stream_len"] + hb_f
-                sl_floor2 = (
-                    jnp.maximum(hb_f - 511, 0)
-                    if aligned
-                    else jnp.zeros_like(hb_f)
-                )
-                sl = jnp.where(
-                    c["has_buffered"],
-                    jnp.maximum(sl - c["prev_slot"], sl_floor2),
-                    sl,
-                )
+                    sl = jnp.maximum(c["stream_len"] + hb_f - oldest2, 0)
                 new_c = {
                     "stream_len": sl,
-                    "prev_slot": slot_f,
-                    "has_buffered": jnp.ones_like(c["has_buffered"]),
+                    "slot_fifo": jnp.concatenate(
+                        [c["slot_fifo"][:, 1:], slot_f[:, None]], axis=1
+                    ),
                 }
 
                 def keep2(new, old):
@@ -906,13 +986,13 @@ class TPUBackend:
         return results
 
     def notify_flush(self) -> None:
-        hb = np.asarray(self.carry["has_buffered"]).copy()
-        ps = np.asarray(self.carry["prev_slot"]).copy()
+        fifo = np.asarray(self.carry["slot_fifo"]).copy()  # [B, K]
         for key in ("stream_len", "est_stream_len"):
             sl = np.asarray(self.carry[key]).copy()
-            sl = np.where(hb, np.maximum(sl - ps, 0), sl)
+            for k in range(fifo.shape[1]):  # drain oldest-first
+                sl = np.maximum(sl - fifo[:, k], 0)
             self.carry[key] = jnp.asarray(sl)
-        self.carry["has_buffered"] = jnp.zeros_like(self.carry["has_buffered"])
+        self.carry["slot_fifo"] = jnp.zeros_like(self.carry["slot_fifo"])
 
     def state_dict(self) -> dict:
         """The scan-carry pytree IS the checkpoint (SURVEY.md §5)."""
@@ -920,6 +1000,19 @@ class TPUBackend:
 
     def load_state_dict(self, state: dict) -> None:
         self.carry = {k: jnp.asarray(v) for k, v in state.items()}
+        if "slot_fifo" not in self.carry and "prev_slot" in self.carry:
+            # pre-depth checkpoint: one buffered frame at most
+            ps = np.asarray(self.carry.pop("prev_slot"))
+            hb = np.asarray(self.carry.pop("has_buffered"))
+            K = self.options.reservoir_depth
+            fifo = np.zeros((ps.shape[0], K), dtype=np.int32)
+            fifo[:, -1] = np.where(hb, ps, 0)
+            self.carry["slot_fifo"] = jnp.asarray(fifo)
+        if self.options.reservoir_tank and "tank_horizon" not in self.carry:
+            # pre-tank checkpoint
+            B0 = self.carry["stream_len"].shape[0]
+            self.carry["tank_horizon"] = jnp.zeros(B0, dtype=jnp.int32)
+            self.carry["tank_att_e"] = jnp.zeros(B0, dtype=jnp.float32)
         if "seq_prev_short" in self.carry and "seq_prev_want" not in self.carry:
             # pre-hangover checkpoint: no raw-want carry was saved
             self.carry["seq_prev_want"] = jnp.zeros_like(

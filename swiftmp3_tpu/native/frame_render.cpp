@@ -2,8 +2,9 @@
 //
 // Renders fixed-shape device outputs (quantized spectra + side-info integers)
 // into MP3 frame bytes: table-15 Huffman packing, ISO 2.4.1.7 side info,
-// frame headers, CRC-16, bit-reservoir slot splicing and the one-frame
-// delay. Byte-for-byte equivalent to the Python path in
+// frame headers, CRC-16, bit-reservoir slot splicing and the depth-K
+// emission delay (options.reservoir_depth; 1 = the reference's one-frame
+// delay). Byte-for-byte equivalent to the Python path in
 // swiftmp3_tpu/io/framing.py (verified by tests/test_native.py).
 //
 // Behavior parity notes mirror the reference encoder:
@@ -15,6 +16,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <utility>
 #include <vector>
 
 #include "tables_gen.h"
@@ -86,11 +89,13 @@ struct StreamState {
     int iso_short_blocks;  // 1: emit mixed granules as ISO block_type=2 +
                            // mixed_block_flag (the internal enum's 1 would
                            // signal "start"; options.iso_short_blocks)
-    // reservoir + delay
+    // reservoir + delay (options.reservoir_depth frames of emission
+    // delay; 1 = the reference's one-frame delay). `pending_slot_sum`
+    // mirrors the sum of buffered slot sizes for the aligned placement law.
+    int depth = 1;
     std::vector<uint8_t> reservoir;
-    std::vector<uint8_t> buffered_head;
-    int buffered_slot = 0;
-    bool has_buffered = false;
+    std::deque<std::pair<std::vector<uint8_t>, int>> buffered;
+    int64_t pending_slot_sum = 0;
     // counters
     uint32_t frame_count = 0;
     uint32_t total_bytes = 0;
@@ -224,7 +229,8 @@ extern "C" {
 void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
                      int copyright_bit, int original_bit, int mode_bits,
                      int mode_ext, int aligned_mode, int iso_crc,
-                     int scalefac_scale, int iso_short_blocks) {
+                     int scalefac_scale, int iso_short_blocks,
+                     int reservoir_depth) {
     auto* s = new StreamState();
     s->channels = channels;
     s->sample_rate_index = sample_rate_index;
@@ -237,6 +243,7 @@ void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
     s->iso_crc = iso_crc;
     s->scalefac_scale = scalefac_scale;
     s->iso_short_blocks = iso_short_blocks;
+    s->depth = reservoir_depth < 1 ? 1 : reservoir_depth;
     return s;
 }
 
@@ -272,6 +279,44 @@ void mp3_stream_free(void* p) { delete static_cast<StreamState*>(p); }
 uint32_t mp3_frame_count(void* p) { return static_cast<StreamState*>(p)->frame_count; }
 uint32_t mp3_total_bytes(void* p) { return static_cast<StreamState*>(p)->total_bytes; }
 
+
+// Append one frame's main data (aligned: preceded by the placement
+// stuffing — the frame's data is tail-aligned against its own header, so
+// the gap between the previous frame's data and main_data_begin is zeros),
+// buffer its head, and emit the oldest buffered frame once the depth-K
+// delay is full. Twin of io/framing.py FrameAssembler.push.
+static int64_t push_frame(StreamState* s, const uint8_t* data, size_t hb,
+                          int mdb_v, std::vector<uint8_t>&& head_side,
+                          int slot_v, uint8_t* out, int64_t out_capacity,
+                          int64_t* written, int32_t* frame_sizes_out,
+                          int* n_emitted) {
+    if (s->aligned_mode) {
+        int64_t gap = s->pending_slot_sum - static_cast<int64_t>(s->reservoir.size());
+        int64_t stuff = gap - mdb_v;
+        if (stuff > 0)
+            s->reservoir.insert(s->reservoir.end(), static_cast<size_t>(stuff), 0);
+    }
+    s->reservoir.insert(s->reservoir.end(), data, data + hb);
+    s->buffered.emplace_back(std::move(head_side), slot_v);
+    s->pending_slot_sum += slot_v;
+    if (static_cast<int>(s->buffered.size()) > s->depth) {
+        auto& front = s->buffered.front();
+        size_t slot_n = static_cast<size_t>(front.second);
+        int64_t frame_size = static_cast<int64_t>(front.first.size()) + front.second;
+        if (*written + frame_size > out_capacity) return -1;
+        std::memcpy(out + *written, front.first.data(), front.first.size());
+        *written += front.first.size();
+        fill_slot(s, out + *written, slot_n, 0);
+        *written += slot_n;
+        s->frame_count += 1;
+        s->total_bytes += static_cast<uint32_t>(frame_size);
+        s->pending_slot_sum -= front.second;
+        frame_sizes_out[(*n_emitted)++] = static_cast<int32_t>(frame_size);
+        s->buffered.pop_front();
+    }
+    return 0;
+}
+
 // Render F frames; writes emitted bytes to `out` (caller-sized), per-emitted-
 // frame sizes to frame_sizes_out (one entry per emitted frame; count via
 // n_emitted_out). Returns total bytes written, or -1 if out_capacity is too
@@ -302,31 +347,16 @@ int64_t mp3_render_frames(void* p, int F,
                          big_values[f * G + g]);
         }
         md.pad_to_byte();
-        s->reservoir.insert(s->reservoir.end(), md.bytes.begin(), md.bytes.end());
 
         std::vector<uint8_t> head_side = build_head_side(
             s, f, bitrate_index[f], padding[f], mdb[f], part23, big_values,
             gain, block_type, preflag, region0, region1, subblock_gain,
             scalefac_compress, table_select, count1table, nullptr, nullptr);
 
-        // --- emit previous buffered frame with its reservoir slot
-        if (s->has_buffered) {
-            size_t slot_n = static_cast<size_t>(s->buffered_slot);
-            int64_t frame_size =
-                static_cast<int64_t>(s->buffered_head.size()) + s->buffered_slot;
-            if (written + frame_size > out_capacity) return -1;
-            std::memcpy(out + written, s->buffered_head.data(), s->buffered_head.size());
-            written += s->buffered_head.size();
-            fill_slot(s, out + written, slot_n, md.bytes.size());
-            written += slot_n;
-            s->frame_count += 1;
-            s->total_bytes += static_cast<uint32_t>(frame_size);
-            frame_sizes_out[n_emitted++] = static_cast<int32_t>(frame_size);
-        }
-
-        s->buffered_head = std::move(head_side);
-        s->buffered_slot = slot[f];
-        s->has_buffered = true;
+        if (push_frame(s, md.bytes.data(), md.bytes.size(), mdb[f],
+                       std::move(head_side), slot[f], out, out_capacity,
+                       &written, frame_sizes_out, &n_emitted) < 0)
+            return -1;
     }
     *n_emitted_out = n_emitted;
     return written;
@@ -359,53 +389,46 @@ int64_t mp3_render_frames_packed(void* p, int F,
     for (int f = 0; f < F; f++) {
         if (hb[f] > cap) return -2;
         const uint8_t* md = main_data + static_cast<int64_t>(f) * cap;
-        s->reservoir.insert(s->reservoir.end(), md, md + hb[f]);
 
         std::vector<uint8_t> head_side = build_head_side(
             s, f, bitrate_index[f], padding[f], mdb[f], part23, big_values,
             gain, block_type, preflag, region0, region1, subblock_gain,
             scalefac_compress, table_select, count1table, scfsi, mode_ext);
 
-        if (s->has_buffered) {
-            size_t slot_n = static_cast<size_t>(s->buffered_slot);
-            int64_t frame_size =
-                static_cast<int64_t>(s->buffered_head.size()) + s->buffered_slot;
-            if (written + frame_size > out_capacity) return -1;
-            std::memcpy(out + written, s->buffered_head.data(), s->buffered_head.size());
-            written += s->buffered_head.size();
-            fill_slot(s, out + written, slot_n, static_cast<size_t>(hb[f]));
-            written += slot_n;
-            s->frame_count += 1;
-            s->total_bytes += static_cast<uint32_t>(frame_size);
-            frame_sizes_out[n_emitted++] = static_cast<int32_t>(frame_size);
-        }
-
-        s->buffered_head = std::move(head_side);
-        s->buffered_slot = slot[f];
-        s->has_buffered = true;
+        if (push_frame(s, md, static_cast<size_t>(hb[f]), mdb[f],
+                       std::move(head_side), slot[f], out, out_capacity,
+                       &written, frame_sizes_out, &n_emitted) < 0)
+            return -1;
     }
     *n_emitted_out = n_emitted;
     return written;
 }
 
-// Emit the final buffered frame (flush). Returns bytes written (0 if none).
+// Emit every still-buffered frame, oldest first (flush; depth-general).
+// Per-frame sizes go to frame_sizes_out (caller sizes it to the depth);
+// n_emitted_out gets the count. Returns bytes written, -1 on overflow.
 int64_t mp3_flush_buffered(void* p, uint8_t* out, int64_t out_capacity,
-                           int32_t* frame_size_out) {
+                           int32_t* frame_sizes_out, int32_t* n_emitted_out) {
     auto* s = static_cast<StreamState*>(p);
-    *frame_size_out = 0;
-    if (!s->has_buffered) return 0;
-    size_t slot_n = static_cast<size_t>(s->buffered_slot);
-    int64_t frame_size = static_cast<int64_t>(s->buffered_head.size()) + s->buffered_slot;
-    if (frame_size > out_capacity) return -1;
-    std::memcpy(out, s->buffered_head.data(), s->buffered_head.size());
-    fill_slot(s, out + s->buffered_head.size(), slot_n, 0);
-    s->frame_count += 1;
-    s->total_bytes += static_cast<uint32_t>(frame_size);
-    s->has_buffered = false;
-    s->buffered_head.clear();
-    s->buffered_slot = 0;
-    *frame_size_out = static_cast<int32_t>(frame_size);
-    return frame_size;
+    int64_t written = 0;
+    int n_emitted = 0;
+    while (!s->buffered.empty()) {
+        auto& front = s->buffered.front();
+        size_t slot_n = static_cast<size_t>(front.second);
+        int64_t frame_size = static_cast<int64_t>(front.first.size()) + front.second;
+        if (written + frame_size > out_capacity) return -1;
+        std::memcpy(out + written, front.first.data(), front.first.size());
+        written += front.first.size();
+        fill_slot(s, out + written, slot_n, 0);
+        written += slot_n;
+        s->frame_count += 1;
+        s->total_bytes += static_cast<uint32_t>(frame_size);
+        s->pending_slot_sum -= front.second;
+        frame_sizes_out[n_emitted++] = static_cast<int32_t>(frame_size);
+        s->buffered.pop_front();
+    }
+    *n_emitted_out = n_emitted;
+    return written;
 }
 
 }  // extern "C"

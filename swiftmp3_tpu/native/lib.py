@@ -44,7 +44,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
         lib = ctypes.CDLL(_SO)
         lib.mp3_stream_new.restype = ctypes.c_void_p
-        lib.mp3_stream_new.argtypes = [ctypes.c_int] * 11
+        lib.mp3_stream_new.argtypes = [ctypes.c_int] * 12
         lib.mp3_stream_free.argtypes = [ctypes.c_void_p]
         lib.mp3_frame_count.restype = ctypes.c_uint32
         lib.mp3_frame_count.argtypes = [ctypes.c_void_p]
@@ -84,7 +84,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.mp3_flush_buffered.restype = ctypes.c_int64
         lib.mp3_flush_buffered.argtypes = [
-            ctypes.c_void_p, u8p, ctypes.c_int64, i32p
+            ctypes.c_void_p, u8p, ctypes.c_int64, i32p, i32p
         ]
         _lib = lib
         return _lib
@@ -117,6 +117,7 @@ class NativeStreamRenderer:
             1 if options.iso_crc else 0,
             1 if options.real_scalefactors else 0,
             1 if options.iso_short_blocks else 0,
+            int(options.reservoir_depth),
         )
         self.frame_sizes: list[int] = []
 
@@ -274,12 +275,14 @@ class NativeStreamRenderer:
         return out[:n].tobytes()
 
     def flush_buffered(self) -> bytes:
-        cap = 8192
+        """Emit every still-buffered frame (depth-general drain)."""
+        depth = int(self.options.reservoir_depth)
+        cap = 8192 * depth
         out = np.empty(cap, dtype=np.uint8)
-        size = np.zeros(1, dtype=np.int32)
-        n = self._lib.mp3_flush_buffered(self._h, out, cap, size)
+        sizes = np.zeros(depth, dtype=np.int32)
+        n_emitted = np.zeros(1, dtype=np.int32)
+        n = self._lib.mp3_flush_buffered(self._h, out, cap, sizes, n_emitted)
         if n < 0:
             raise RuntimeError("native flush buffer overflow")
-        if n > 0:
-            self.frame_sizes.append(int(size[0]))
+        self.frame_sizes.extend(int(x) for x in sizes[: int(n_emitted[0])])
         return out[:n].tobytes()

@@ -68,6 +68,37 @@ class MP3EncoderOptions:
     #     and main_data_begin is snapshotted after append, which places
     #     main_data exactly where ISO 11172-3 decoders look for it.
     reservoir_mode: str = "compat"
+    # reservoir_depth: frames of BITSTREAM emission delay (aligned mode).
+    #   The default 1 is the reference's one-frame delay, which physically
+    #   caps a frame's main_data back-reach at ONE slot (a frame's bytes
+    #   can only be placed in slots not yet emitted when it is encoded) —
+    #   at 64 kbps that is ~188 bytes of the 511-byte main_data_begin
+    #   reach, so a transient frame can spend at most ~2x its slot no
+    #   matter how much the reservoir banked. depth=K buffers K frames
+    #   before emitting, extending the reach to min(511, K slots) — the
+    #   full ISO reservoir at depth ceil(511/slot). Adds (K-1) frames of
+    #   encoder OUTPUT latency (~26 ms each at 44.1 kHz); PCM timing,
+    #   frame count, Xing, and gapless info are unaffected. Requires
+    #   reservoir_mode="aligned" for K>1 (the compat quirk's placement is
+    #   frozen reference behavior). The budget/mdb/stuffing law is the
+    #   depth-general form (see ARCHITECTURE.md "Reservoir depth"); K=1
+    #   streams are byte-identical to the historical one-frame law.
+    reservoir_depth: int = 1
+    # reservoir_tank: transient-armed reservoir banking (the strategy that
+    #   FILLS the reservoir_depth reach). A transient frame whose gain
+    #   walk was STARVED (a granule denied the finest candidate) arms a
+    #   reference.TANK_HORIZON-frame window; while it is live, all-LONG
+    #   frames are donors: they draw nothing from the reservoir, and
+    #   while the counter sits under reference.TANK_TARGET_FRAC of the
+    #   expressible reach each granule is re-budgeted one candidate
+    #   coarser, banking the difference for the next attack. Transient
+    #   frames always draw. Self-calibrating: content without transients,
+    #   and operating points whose attacks already afford the finest
+    #   candidate (>= ~96 kbps in practice), never engage and stay
+    #   byte-identical to the plain law (the measured dead-end ladder
+    #   that forced each piece of this design is in ops/reference.py).
+    #   Requires the strict entropy layout + aligned reservoir.
+    reservoir_tank: bool = False
     # --- Spec-strict flags (all default OFF = byte-exact reference parity).
     # Each is independent, tested against the decoder oracle, and documented
     # in ARCHITECTURE.md "Parity model".
@@ -299,6 +330,21 @@ class MP3EncoderOptions:
                 "shared_ms_blocks requires iso_quantization (the shared "
                 "decision emits subblock_gain=0, which is only the decode "
                 "law under unit-gain quantization)"
+            )
+        if not (1 <= int(self.reservoir_depth) <= 8):
+            raise ValueError("reservoir_depth must be in 1..8")
+        if self.reservoir_depth > 1 and self.reservoir_mode != "aligned":
+            raise ValueError(
+                "reservoir_depth > 1 requires reservoir_mode='aligned' (the "
+                "compat mode's placement quirk is frozen reference behavior)"
+            )
+        if self.reservoir_tank and not (
+            self.spec_strict_entropy and self.reservoir_mode == "aligned"
+        ):
+            raise ValueError(
+                "reservoir_tank requires the strict entropy layout (its "
+                "demand signals are the sweep's priced grid) and the "
+                "aligned reservoir"
             )
         if self.adaptive_lowpass and self.lowpass_hz is None:
             raise ValueError(
