@@ -77,11 +77,6 @@ class GoldenBackend:
         # equivalence is stream_len' == huffman_bytes - mdb; see
         # ARCHITECTURE.md "Reservoir depth").
         self.slot_fifo = [0] * options.reservoir_depth
-        # reservoir tank (options.reservoir_tank): frames of donor behavior
-        # left since the last starved transient, and that transient's frame
-        # energy (the donor gate's yardstick) — reference.TANK_*
-        self.tank_horizon = 0
-        self.tank_att_e = 0.0
         # window_sequencing: was the previously emitted granule SHORT?
         # (the first granule of a frame needs it to place a STOP window)
         self.seq_prev_short = False
@@ -121,8 +116,6 @@ class GoldenBackend:
             "est_stream_len": self.est_stream_len,
             "available_bytes": self.available_bytes,
             "slot_fifo": list(self.slot_fifo),
-            "tank_horizon": self.tank_horizon,
-            "tank_att_e": self.tank_att_e,
             "seq_prev_short": self.seq_prev_short,
             "seq_prev_want": self.seq_prev_want,
         }
@@ -145,8 +138,6 @@ class GoldenBackend:
         K = self.options.reservoir_depth
         # depth mismatch: keep the newest entries, zero-pad the (older) front
         self.slot_fifo = ([0] * K + fifo)[-K:]
-        self.tank_horizon = int(state.get("tank_horizon", 0))
-        self.tank_att_e = float(state.get("tank_att_e", 0.0))
         self.seq_prev_short = bool(state.get("seq_prev_short", False))
         self.seq_prev_want = bool(state.get("seq_prev_want", False))
 
@@ -383,31 +374,6 @@ class GoldenBackend:
                     gain0=gain0, part2=part2,
                 ))
 
-        # Reservoir tank gate (options.reservoir_tank; full law + measured
-        # dead-ends in ops.reference TANK_*; device twin in
-        # models/pipeline.py): while the horizon armed by a starved
-        # transient is live, all-LONG frames are donors — they draw
-        # NOTHING from the reservoir, and while the counter sits under its
-        # target each granule is re-budgeted at ONE LESS bit than its
-        # selected candidate costs (stage 2 below), banking the
-        # candidate-sized difference for the next attack.
-        tank_refill = False
-        tank_frame_long = False
-        if strict and opts.reservoir_tank:
-            tank_frame_long = all(c["block"] == ref.BLOCK_LONG for c in staged)
-        if (
-            strict and opts.reservoir_tank and not is_final
-            and tank_frame_long and self.tank_horizon > 0
-            and float(energy) * ref.TANK_DONOR_E_RATIO < self.tank_att_e
-        ):
-            usable = 0
-            total_bits = main_data_size * 8
-            bits_per_granule = total_bits // (2 * channels)
-            target = (
-                ref.TANK_TARGET_FRAC_NUM * min(sum(self.slot_fifo), 511)
-            ) // ref.TANK_TARGET_FRAC_DEN
-            tank_refill = self.available_bytes < target
-
         # Budget per granule-channel: equal split (reference law), or the
         # demand-donation law (options.demand_budget — demand is the exact
         # priced bits at the K_DEMAND grid probe; device twin in
@@ -456,7 +422,6 @@ class GoldenBackend:
                 ]
 
         # Stage 2: gain walks + entropy layout + side info, per granule.
-        tank_starved = False  # any granule denied the finest candidate
         for c, granule_budget in zip(staged, budgets):
             gr, ch = c["gr"], c["ch"]
             spectrum, block = c["spectrum"], c["block"]
@@ -485,24 +450,6 @@ class GoldenBackend:
                         )
 
                     gain, q, bits = _walk(granule_budget)
-                    if tank_refill and 0 < bits <= granule_budget:
-                        # tank refill: one candidate coarser than selected
-                        # (budget = selected bits - 1; see the tank comment)
-                        gain, q, bits = _walk(bits - 1)
-                    if (
-                        opts.reservoir_tank
-                        and not tank_frame_long
-                        and gain > ref.walk_gstart(
-                            spectrum,
-                            sfd["mag_scale"] if sfd is not None else None,
-                            gain0, opts.iso_quantization,
-                            linbits=opts.linbits_tables,
-                        )
-                    ):
-                        # transient granule denied the finest candidate:
-                        # arms the tank horizon (device twin: k_sel > 0
-                        # or no fit)
-                        tank_starved = True
                 else:
                     gain, q, bits = ref.quantize_to_fit_budget(
                         spectrum,
@@ -631,19 +578,6 @@ class GoldenBackend:
             max(self.available_bytes + main_data_size - est_hb, 0), 511
         )
         self.slot_fifo = self.slot_fifo[1:] + [main_data_size]
-        if strict and opts.reservoir_tank:
-            # tank horizon (see the gate above): a starved transient arms
-            # it and records its energy (the donor gate's yardstick);
-            # everything else decays it. (An earlier unstarved-transient
-            # DISARM was a measured bug: the STOP frame right after an
-            # attack often fits its finest candidate and killed the
-            # horizon the SHORT frames had just armed.)
-            if not tank_frame_long and tank_starved:
-                self.tank_horizon = ref.TANK_HORIZON
-                self.tank_att_e = float(energy)
-            else:
-                self.tank_horizon = max(self.tank_horizon - 1, 0)
-
         return FrameResult(
             bitrate_index=br_idx,
             padding=pad,

@@ -47,12 +47,6 @@ from ..io.framing import FrameResult
 from ..io.sideinfo import GranuleInfo
 from ..ops.reference import K_DEMAND as LINBITS_K_DEMAND
 from ..ops.reference import LINBITS_Q_TARGET
-from ..ops.reference import (
-    TANK_DONOR_E_RATIO as TANK_E_RATIO,
-    TANK_HORIZON as TANK_HOR,
-    TANK_TARGET_FRAC_DEN as TANK_DEN,
-    TANK_TARGET_FRAC_NUM as TANK_NUM,
-)
 from ..options import (
     MP3EncoderOptions,
     Mode,
@@ -101,17 +95,6 @@ def init_carry(batch: int, options: MP3EncoderOptions):
                 "seq_prev_want": jnp.zeros(batch, dtype=bool),
             }
             if options.window_sequencing
-            else {}
-        ),
-        **(
-            # reservoir tank: frames of donor behavior left since the last
-            # starved transient + that transient's frame energy (the donor
-            # gate's yardstick) — reference.TANK_*
-            {
-                "tank_horizon": jnp.zeros(batch, dtype=jnp.int32),
-                "tank_att_e": jnp.zeros(batch, dtype=jnp.float32),
-            }
-            if options.reservoir_tank
             else {}
         ),
     }
@@ -385,7 +368,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
 
         frame_e = (
             jnp.swapaxes(dsp.mean_square(pcm), 0, 1)  # [B,T] -> [T,B], tiny
-            if is_vbr or options.reservoir_tank  # tank: donor energy gate
+            if is_vbr
             else jnp.zeros((T, B), jnp.float32)
         )
         granule_e = tm(dsp.mean_square(granule_pcm))
@@ -403,11 +386,6 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 "vbr_ehist",
                 "vbr_count",
             )
-            + (
-                ("tank_horizon", "tank_att_e")
-                if options.reservoir_tank
-                else ()
-            )
         }
         if strict_entropy:
             # Walk respec (round 3): this scan selects candidates in the
@@ -417,7 +395,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
             int_carry["stream_len"] = carry["est_stream_len"]
 
         def step(c, x):
-            bits_k, evaluated, k_budget, fe, ge, fin, val, frame_long = x
+            bits_k, evaluated, k_budget, fe, ge, fin, val = x
             if is_vbr:
                 target = dsp.vbr_choose_bitrate(
                     fe, c["vbr_ehist"], c["vbr_count"], base_kbps, quality
@@ -448,24 +426,6 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 # 0.9*511 bytes)
                 gap_b = sum_fifo - c["stream_len"]
                 usable = jnp.minimum(usable, jnp.clip(gap_b, 0, 511) * 8)
-            if strict_entropy and options.reservoir_tank:
-                # Reservoir tank gate (twin of encoder.py; full law +
-                # measured dead-ends in ops.reference TANK_*): while the
-                # horizon armed by a starved transient is live, all-LONG
-                # frames are DONORS — they draw nothing (a drawing donor
-                # leaks the tank as fast as it fills), and under-target
-                # donors get the one-candidate-coarser budget cap below.
-                engaged = (
-                    (c["tank_horizon"] > 0)
-                    & frame_long
-                    & (~fin)
-                    & (fe * jnp.float32(TANK_E_RATIO) < c["tank_att_e"])
-                )
-                target = (
-                    TANK_NUM * jnp.minimum(sum_fifo, 511)
-                ) // TANK_DEN
-                refill = engaged & (c["avail"] < target)
-                usable = jnp.where(engaged, 0, usable)
             bits_per_granule = (slot * 8 + usable) // n_gran
             if options.linbits_tables:
                 # part2_3_length is a 12-bit field; ESC coding can genuinely
@@ -500,37 +460,9 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 max_b = jnp.where(sum_d > 0, prop, bits_per_granule[:, None])
             else:
                 max_b = bits_per_granule[:, None]
-            if strict_entropy and options.reservoir_tank:
-                # Tank refill action (gate above): re-budget each granule
-                # at ONE LESS bit than its selected candidate costs,
-                # forcing the selection one notch coarser and banking the
-                # (real, candidate-sized) difference. A fractional budget
-                # cut was measured toothless — candidate spacing exceeds
-                # any fixed fraction whenever the selection had slack.
-                k_sel0, has_fit0, bits_sel0 = dsp.rate_loop_select(
-                    bits_k, evaluated, k_budget, max_b
-                )
-                max_b = jnp.where(
-                    refill[:, None] & has_fit0 & (bits_sel0 > 0),
-                    jnp.minimum(max_b, bits_sel0 - 1),
-                    max_b,
-                )
             k_sel, has_fit, bits_sel = dsp.rate_loop_select(
                 bits_k, evaluated, k_budget, max_b
             )
-            if strict_entropy and options.reservoir_tank:
-                # tank horizon update (twin of encoder.py): a STARVED
-                # transient (any granule denied the finest candidate:
-                # k_sel > 0 or no fit) arms it and records its energy;
-                # everything else decays it.
-                arm = (~frame_long) & jnp.any(
-                    (k_sel > 0) | (~has_fit), axis=-1
-                )
-                tank_horizon = jnp.where(
-                    arm, TANK_HOR, jnp.maximum(c["tank_horizon"] - 1, 0)
-                )
-                tank_att_e = jnp.where(arm, fe, c["tank_att_e"])
-
             total_used = jnp.sum(bits_sel, axis=-1)
             huffman_bytes = (total_used + 7) // 8
             if aligned:
@@ -567,9 +499,6 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 "vbr_ehist": vbr_ehist,
                 "vbr_count": vbr_count,
             }
-            if options.reservoir_tank:  # implies strict_entropy (options)
-                new_c["tank_horizon"] = tank_horizon
-                new_c["tank_att_e"] = tank_att_e
 
             def keep(new, old):
                 v = val.reshape((B,) + (1,) * (new.ndim - 1))
@@ -590,11 +519,6 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 granule_e,
                 final_t,
                 valid_t,
-                # all-granule-LONG per frame (the reservoir tank's donor
-                # gate; computed anyway for the block decision)
-                jnp.swapaxes(
-                    jnp.all(block_b == dsp.BLOCK_LONG, axis=(1, 3)), 0, 1
-                ),
             ),
         )
         br_idx, padding, mdb, slot, k_sel, has_fit, bits_sel = ys
@@ -1008,11 +932,6 @@ class TPUBackend:
             fifo = np.zeros((ps.shape[0], K), dtype=np.int32)
             fifo[:, -1] = np.where(hb, ps, 0)
             self.carry["slot_fifo"] = jnp.asarray(fifo)
-        if self.options.reservoir_tank and "tank_horizon" not in self.carry:
-            # pre-tank checkpoint
-            B0 = self.carry["stream_len"].shape[0]
-            self.carry["tank_horizon"] = jnp.zeros(B0, dtype=jnp.int32)
-            self.carry["tank_att_e"] = jnp.zeros(B0, dtype=jnp.float32)
         if "seq_prev_short" in self.carry and "seq_prev_want" not in self.carry:
             # pre-hangover checkpoint: no raw-want carry was saved
             self.carry["seq_prev_want"] = jnp.zeros_like(

@@ -855,71 +855,6 @@ STRICT_ANCHORS = tuple(range(20))
 # roughly the table-15 initial gain, a stable mid-coarseness probe.
 K_DEMAND = 10
 
-# Reservoir tank law (options.reservoir_tank; device twin reads the same
-# literals via models/pipeline.py). The tank ENGAGES for TANK_HORIZON
-# frames after any transient frame whose gain walk was STARVED (some
-# granule could not afford the finest candidate — selection k > 0 or
-# overflow); while engaged, every all-LONG frame is a DONOR: it draws
-# nothing from the reservoir and, while the reservoir counter sits under
-# TANK_TARGET_FRAC of the expressible reach (min(511, sum of buffered
-# slots) bytes — reservoir_depth sets the reach), each of its granules
-# is re-budgeted at ONE LESS bit than its selected candidate costs,
-# forcing the walk one candidate coarser and banking the candidate-sized
-# difference for the next attack. Transient frames always draw.
-#
-# The horizon + starvation arming make the law self-calibrating:
-# content without transients, and content whose attacks already afford
-# the finest candidate (>= ~96 kbps in practice), never engage the tank
-# and stay byte-identical to the plain hq law. Variants measured DEAD on
-# the way here: (a) demand-gated refill ("donate when walk-start priced
-# bits fit the slot") never fired — under linbits every frame's k=0
-# demand is 1.7-7x the slot; (b) a fixed fractional budget cut (-1/8)
-# was toothless — candidate spacing exceeds any fixed fraction whenever
-# the selection had slack; (c) donors that still DRAW leak the tank as
-# fast as it fills; (d) an always-on no-draw tank oscillates around its
-# target and taxes steady classes 1.4-5 dB NMR (the horizon fixes this).
-TANK_TARGET_FRAC_NUM = 3
-TANK_TARGET_FRAC_DEN = 4
-TANK_HORIZON = 24
-# Donor energy gate: a frame donates only when it is at least this many
-# times quieter (mean-square) than the attack that armed the horizon.
-# Without it, alternating content (speech: voiced frames vs plosives)
-# donates from frames with real signal and loses more under the mask
-# than the attacks gain — measured +1.9/+3.5 dB NMR at 64/96k on speech
-# with an ungated donor. Quiet beds between real transients pass easily
-# (sparse-transient probe content sits at ~40x).
-TANK_DONOR_E_RATIO = 8.0
-
-
-def walk_gstart(
-    spectral: np.ndarray, mag_scale, initial_gain: int,
-    iso: bool, linbits: bool = False,
-) -> int:
-    """The gain walk's true start gain (the -40 retry law of
-    quantize_to_fit_budget_strict / strict_demand): a granule whose
-    emitted gain exceeds this was STARVED of the finest candidate — the
-    reservoir tank's arming signal (device twin: k_sel > 0 or no fit)."""
-    from ..tables import QCAP_LINBITS
-
-    qcap = QCAP_LINBITS if linbits else 15
-    spectral = np.asarray(spectral, dtype=np.float32)
-    absv = np.maximum(np.abs(spectral), np.float32(1e-10))
-    mag = absv ** np.float32(0.75)
-    if mag_scale is not None:
-        mag = mag * mag_scale.astype(np.float32)
-    g0 = min(max(int(initial_gain), 0), 255)
-    if linbits:
-        inv = ISO_INV_STEP34_NOFLOOR[g0]
-    elif iso or mag_scale is not None:
-        inv = ISO_INV_STEP34[g0]
-    else:
-        step = np.float32(max(2.0 ** ((g0 - 210) / 4.0), 0.0001))
-        inv = np.float32(1.0) / step
-    q = np.minimum(np.floor(mag * inv + np.float32(0.5)).astype(np.int64), qcap)
-    allzero0 = _last_nonzero_count(q.astype(np.int32)) == 0
-    return max(g0 - 40, 0) if allzero0 else g0
-
-
 def strict_demand(
     spectral: np.ndarray,
     mag_scale,
@@ -936,11 +871,10 @@ def strict_demand(
 ) -> int:
     """Priced bits (part2 + strict layout) at the walk grid's candidate k
     (default K_DEMAND) — the complexity signal of the demand-proportional
-    budget split (options.demand_budget, k=K_DEMAND) and the reservoir
-    tank law (options.reservoir_tank, k=0 for NEED and k=TANK_REFILL_K
-    for the refill cap). Mirrors quantize_to_fit_budget_strict's gstart
-    law exactly (-40 retry on an all-zero initial quantization); the
-    device twin reads pre["bits"][..., k] directly."""
+    budget split (options.demand_budget). Mirrors
+    quantize_to_fit_budget_strict's gstart law exactly (-40 retry on an
+    all-zero initial quantization); the device twin reads
+    pre["bits"][..., k] directly."""
     from ..tables import QCAP_LINBITS
 
     qcap = QCAP_LINBITS if linbits else 15

@@ -84,21 +84,6 @@ class MP3EncoderOptions:
     #   depth-general form (see ARCHITECTURE.md "Reservoir depth"); K=1
     #   streams are byte-identical to the historical one-frame law.
     reservoir_depth: int = 1
-    # reservoir_tank: transient-armed reservoir banking (the strategy that
-    #   FILLS the reservoir_depth reach). A transient frame whose gain
-    #   walk was STARVED (a granule denied the finest candidate) arms a
-    #   reference.TANK_HORIZON-frame window; while it is live, all-LONG
-    #   frames are donors: they draw nothing from the reservoir, and
-    #   while the counter sits under reference.TANK_TARGET_FRAC of the
-    #   expressible reach each granule is re-budgeted one candidate
-    #   coarser, banking the difference for the next attack. Transient
-    #   frames always draw. Self-calibrating: content without transients,
-    #   and operating points whose attacks already afford the finest
-    #   candidate (>= ~96 kbps in practice), never engage and stay
-    #   byte-identical to the plain law (the measured dead-end ladder
-    #   that forced each piece of this design is in ops/reference.py).
-    #   Requires the strict entropy layout + aligned reservoir.
-    reservoir_tank: bool = False
     # --- Spec-strict flags (all default OFF = byte-exact reference parity).
     # Each is independent, tested against the decoder oracle, and documented
     # in ARCHITECTURE.md "Parity model".
@@ -337,14 +322,6 @@ class MP3EncoderOptions:
             raise ValueError(
                 "reservoir_depth > 1 requires reservoir_mode='aligned' (the "
                 "compat mode's placement quirk is frozen reference behavior)"
-            )
-        if self.reservoir_tank and not (
-            self.spec_strict_entropy and self.reservoir_mode == "aligned"
-        ):
-            raise ValueError(
-                "reservoir_tank requires the strict entropy layout (its "
-                "demand signals are the sweep's priced grid) and the "
-                "aligned reservoir"
             )
         if self.adaptive_lowpass and self.lowpass_hz is None:
             raise ValueError(
