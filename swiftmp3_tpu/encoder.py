@@ -152,25 +152,32 @@ class GoldenBackend:
         sr = opts.sample_rate
 
         energy = ref.frame_energy(samples)
-        if opts.vbr:
-            target = self.vbr.choose_bitrate(opts.bitrate_kbps, energy, opts.quality)
-        else:
-            target = opts.bitrate_kbps
-        br_idx = bitrate_index(target, sr)
-        br_val = bitrate_value(br_idx)
-
         side_size = 17 if channels == 1 else 32
         crc_size = 2 if opts.crc_protected else 0
-        numerator = 144 * br_val * 1000
-        base_size = numerator // sr
-        remainder = numerator % sr
-        self.padding_remainder += remainder
-        pad = 0
-        if self.padding_remainder >= sr:
-            self.padding_remainder -= sr
-            pad = 1
-        frame_size = base_size + pad
-        main_data_size = frame_size - 4 - crc_size - side_size
+
+        def _apply_bitrate(tgt):
+            """Commit to a bitrate: index/value + Bresenham padding (the
+            accumulator mutates exactly once per frame)."""
+            bi = bitrate_index(tgt, sr)
+            bv = bitrate_value(bi)
+            numerator = 144 * bv * 1000
+            base_size = numerator // sr
+            self.padding_remainder += numerator % sr
+            p = 0
+            if self.padding_remainder >= sr:
+                self.padding_remainder -= sr
+                p = 1
+            return bi, bv, base_size + p, p
+
+        if opts.vbr and not opts.vbr_demand:
+            target = self.vbr.choose_bitrate(opts.bitrate_kbps, energy, opts.quality)
+        elif not opts.vbr:
+            target = opts.bitrate_kbps
+        else:
+            target = None  # vbr_demand: chosen from priced demand below
+        if target is not None:
+            br_idx, br_val, frame_size, pad = _apply_bitrate(target)
+            main_data_size = frame_size - 4 - crc_size - side_size
 
         aligned = opts.reservoir_mode == "aligned"
         res_bits = 0 if is_final else self.available_bytes * 8
@@ -191,8 +198,9 @@ class GoldenBackend:
             mdb = None  # computed after the frame's byte count is known
         else:
             mdb = 0 if is_final else min(self.stream_len, 511)
-        total_bits = main_data_size * 8 + usable
-        bits_per_granule = total_bits // (2 * channels)
+        if target is not None:
+            total_bits = main_data_size * 8 + usable
+            bits_per_granule = total_bits // (2 * channels)
 
         frame_mode_ext = None  # per-frame header override (iso_mode_ext)
         # Deinterleave + per-frame stereo decision
@@ -373,6 +381,44 @@ class GoldenBackend:
                     sb_gain=sb_gain, perm=perm, sfd=sfd, sf_write=sf_write,
                     gain0=gain0, part2=part2,
                 ))
+
+        if target is None:
+            # Demand-driven VBR (options.vbr_demand; device twin in
+            # models/pipeline.py): the smallest bitrate in the reference's
+            # quality band whose slot covers the frame's exact priced
+            # demand at the quality-mapped walk candidate (k = quality on
+            # the sweep's 4-gain grid). Staging is bitrate-independent, so
+            # the demand is known before the bitrate commits; the
+            # reservoir absorbs the slot-granularity remainder.
+            demand = sum(
+                ref.strict_demand(
+                    c["spectrum"],
+                    c["sfd"]["mag_scale"] if c["sfd"] is not None else None,
+                    c["gain0"], sr, c["block"],
+                    opts.count1_coding, opts.region_table_select,
+                    c["part2"], c["perm"], opts.iso_quantization,
+                    linbits=opts.linbits_tables, k=opts.quality,
+                )
+                for c in staged
+            )
+            # full downward freedom (the point of demand VBR is cheap
+            # frames going cheap); the UPPER cap keeps the reference band
+            # so main_data_cap and Xing contracts are unchanged
+            min_b = 32
+            max_b = min(320, opts.bitrate_kbps + 64 - opts.quality * 4)
+            cands = [b for b in ref.MPEG1_L3_BITRATES if min_b <= b <= max_b]
+            if not cands:  # band above 320 (base 320, high quality)
+                cands = [bitrate_value(bitrate_index(max_b, sr))]
+            target = cands[-1]  # nothing fits: the band's largest value
+            for b in cands:
+                slot_bits = ((144 * b * 1000) // sr - 4 - crc_size - side_size) * 8
+                if slot_bits >= demand:
+                    target = b
+                    break
+            br_idx, br_val, frame_size, pad = _apply_bitrate(target)
+            main_data_size = frame_size - 4 - crc_size - side_size
+            total_bits = main_data_size * 8 + usable
+            bits_per_granule = total_bits // (2 * channels)
 
         # Budget per granule-channel: equal split (reference law), or the
         # demand-donation law (options.demand_budget — demand is the exact

@@ -47,6 +47,7 @@ from ..io.framing import FrameResult
 from ..io.sideinfo import GranuleInfo
 from ..ops.reference import K_DEMAND as LINBITS_K_DEMAND
 from ..ops.reference import LINBITS_Q_TARGET
+from ..ops.reference import MPEG1_L3_BITRATES as VBR_BITRATES
 from ..options import (
     MP3EncoderOptions,
     Mode,
@@ -396,7 +397,42 @@ def make_chunk_fn(options: MP3EncoderOptions):
 
         def step(c, x):
             bits_k, evaluated, k_budget, fe, ge, fin, val = x
-            if is_vbr:
+            if is_vbr and options.vbr_demand:
+                # Demand-driven VBR (twin of encoder.py; law note in
+                # options.vbr_demand): smallest in-band bitrate whose slot
+                # covers the frame's priced demand at the quality-mapped
+                # candidate — the priced grid is already computed, so the
+                # choice is a tiny static where-select.
+                d = jnp.sum(bits_k[..., min(quality, 19)], axis=-1)  # [B]
+                min_b = 32  # full downward freedom (twin of encoder.py)
+                max_b = min(320, base_kbps + 64 - quality * 4)
+                cands = [
+                    b for b in VBR_BITRATES if min_b <= b <= max_b
+                ]
+                if not cands:  # band above 320 (base 320, high quality)
+                    cands = [bitrate_value(bitrate_index(max_b, sr))]
+                slots_b = np.array(
+                    [
+                        ((144 * b * 1000) // sr - 4 - crc_size - side_size) * 8
+                        for b in cands
+                    ],
+                    dtype=np.int32,
+                )
+                fits = d[:, None] <= jnp.asarray(slots_b)[None, :]  # [B, n]
+                first = jnp.argmax(fits, axis=1)
+                vals = jnp.asarray(np.array(cands, dtype=np.int32))
+                sel = jnp.sum(
+                    jnp.where(
+                        jnp.arange(len(cands)) == first[:, None],
+                        vals[None, :],
+                        0,
+                    ),
+                    axis=1,
+                )
+                target = jnp.where(jnp.any(fits, axis=1), sel, cands[-1])
+                br_idx = dsp.bitrate_index_device(target, sr)
+                br_val = dsp.bitrate_value_device(br_idx)
+            elif is_vbr:
                 target = dsp.vbr_choose_bitrate(
                     fe, c["vbr_ehist"], c["vbr_count"], base_kbps, quality
                 )

@@ -849,6 +849,12 @@ def quantize_to_fit_budget_scaled(
 # any future pricing law whose priced bits differ from the emitted bits.
 STRICT_ANCHORS = tuple(range(20))
 
+# MPEG-1 Layer III bitrates, ascending (ISO 11172-3 table; the valid
+# entries of tables.BITRATE_TABLE_V1). The demand-driven VBR law
+# (options.vbr_demand) walks this list smallest-first.
+MPEG1_L3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+
 # Demand probe for options.demand_budget: candidate k whose priced bits
 # serve as a granule's budget-independent complexity signal. k=10 sits
 # ~40 gain units above the walk start — under the linbits law that is

@@ -84,6 +84,21 @@ class MP3EncoderOptions:
     #   depth-general form (see ARCHITECTURE.md "Reservoir depth"); K=1
     #   streams are byte-identical to the historical one-frame law.
     reservoir_depth: int = 1
+    # vbr_demand: demand-driven VBR (requires vbr=True + the strict
+    #   entropy layout). The reference's VBR law wobbles the bitrate by a
+    #   frame-energy ratio against a rolling average
+    #   (MP3Encoder.swift:1144-1180) — energy is a poor proxy for coding
+    #   cost (a loud pure tone is cheap, quiet broadband noise is
+    #   expensive). This law instead picks, per frame, the SMALLEST
+    #   bitrate whose slot covers the frame's exact priced demand at the
+    #   quality-mapped walk candidate (k = quality on the sweep's 4-gain
+    #   grid; 0 = finest = biggest frames), within [32, base+64-4q] —
+    #   full downward freedom (the point of demand VBR is cheap frames
+    #   going cheap) under the reference VBR law's upper cap, so the
+    #   Xing/main_data_cap contracts are unchanged. The demand signal is
+    #   the same priced grid the rate sweep already computes — free on
+    #   device. The reference-law VBR stays byte-exact with the flag off.
+    vbr_demand: bool = False
     # --- Spec-strict flags (all default OFF = byte-exact reference parity).
     # Each is independent, tested against the decoder oracle, and documented
     # in ARCHITECTURE.md "Parity model".
@@ -322,6 +337,11 @@ class MP3EncoderOptions:
             raise ValueError(
                 "reservoir_depth > 1 requires reservoir_mode='aligned' (the "
                 "compat mode's placement quirk is frozen reference behavior)"
+            )
+        if self.vbr_demand and not (self.vbr and self.spec_strict_entropy):
+            raise ValueError(
+                "vbr_demand requires vbr=True and the strict entropy layout "
+                "(its demand signal is the sweep's priced grid)"
             )
         if self.adaptive_lowpass and self.lowpass_hz is None:
             raise ValueError(
