@@ -821,25 +821,37 @@ def decode_mp3(
                     # the w::3 stride). The tail above the last short band
                     # bound rides band 11's position. Pure short blocks
                     # carry no alias butterflies, so no deferral is needed.
-                    # Requires BOTH channels pure short (the intensity
-                    # source is the left spectrum; mixing window layouts
-                    # has no defined reading — see shared_ms_blocks).
-                    both_pure_short = all(
-                        g2.window_switching
-                        and g2.block_type == 2
-                        and not g2.mixed_block_flag
-                        for g2 in (fi.granules[gr][0], fi.granules[gr][1])
+                    # Requires BOTH channels the same switching layout (the
+                    # intensity source is the left spectrum; mixing window
+                    # layouts has no defined reading — see shared_ms_blocks).
+                    # MIXED granules use the same per-(band, window) law on
+                    # the short region only (lines >= 12 per window; short
+                    # sfbs 3-11). The long head (natural 0..35) stays in its
+                    # M/S or L/R reading: its only alias butterfly (subband
+                    # 0/1 boundary, lines 10..26) sits entirely below line
+                    # 36, so the pre-stereo head alias reduction commutes
+                    # with the short-region intensity gains. A bound inside
+                    # the head itself has no externally validated reading
+                    # and is deliberately not taken (mpg123-validated
+                    # surface: bound at a short-band boundary >= sfb 3).
+                    g2l, g2r = fi.granules[gr][0], fi.granules[gr][1]
+                    both_short = all(
+                        g2.window_switching and g2.block_type == 2
+                        for g2 in (g2l, g2r)
                     )
-                    if both_pure_short:
+                    if both_short and g2l.mixed_block_flag == g2r.mixed_block_flag:
+                        mixed = bool(g2r.mixed_block_flag)
+                        base = 12 if mixed else 0
+                        first_sfb = 3 if mixed else 0
                         sb = np.concatenate(
                             [[0], np.cumsum(short_band_table(sr))]
                         ).astype(int)
                         spos = gr_sfs[gr][1]
                         lines = 192
                         for w in range(3):
-                            nzw = np.nonzero(s_[w::3])[0]
-                            rzw = int(nzw[-1]) + 1 if nzw.size else 0
-                            for s in range(13):
+                            nzw = np.nonzero(s_[3 * base + w :: 3])[0]
+                            rzw = base + (int(nzw[-1]) + 1 if nzw.size else 0)
+                            for s in range(first_sfb, 13):
                                 lo = int(sb[s]) if s < 12 else int(sb[12])
                                 hi = int(sb[s + 1]) if s < 12 else lines
                                 if lo < rzw or lo >= hi:

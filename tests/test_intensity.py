@@ -11,11 +11,14 @@ the right channel's scalefactor slots. The oracle's IS reading is then
 A/B'd against the system libmpg123 — the same neutral-referee standard as
 every other conformance claim in this repo.
 
-Both window layouts are covered: long granules (per-band positions, sfb21
-tail) and pure short granules (per-(band, window) positions with
-per-window zero-part bounds, sfb12 tail). Mixed-block intensity remains
-unimplemented — both-channel mixed IS granules are exotic enough that no
-decoder pair agrees on a canonical reading to validate against.
+All three window layouts are covered: long granules (per-band positions,
+sfb21 tail), pure short granules (per-(band, window) positions with
+per-window zero-part bounds, sfb12 tail), and MIXED granules (the same
+short law restricted to the short region, lines >= 12 per window, short
+sfbs 3-11; the long head keeps its M/S or L/R reading). The mixed reading
+is pinned to the surface mpg123 actually arbitrates: intensity bounds at
+a short-band boundary >= sfb 3 — a bound inside the long head has no
+validated reading and the oracle leaves such frames unprocessed.
 """
 
 from __future__ import annotations
@@ -258,6 +261,140 @@ def build_short_is_stream(
 @pytest.mark.parametrize("mode_ext", [0b01, 0b11])
 def test_short_is_decode_agrees_with_mpg123(mode_ext):
     blob = build_short_is_stream(mode_ext=mode_ext)
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert dec.frame_count == 3 and np.all(np.isfinite(dec.pcm))
+    ext, _ = mpg123_decode(blob)
+    m = min(ext.shape[0], dec.pcm.shape[0])
+    assert m >= 2 * 1152
+    for c in range(2):
+        agree = decode_agreement_snr(ext[:m, c], dec.pcm[:m, c])
+        assert agree > 60.0, (mode_ext, c, agree)
+
+
+# --- mixed-block intensity ------------------------------------------------------
+
+MIXED_BOUND = 6  # right channel zero from this short band upward (all windows)
+# per (short sfb 6..11, window) positions; bands below MIXED_BOUND hold 0
+# (real scalefactors of the coded region), bands 6..11 hold intensity
+# positions in the right channel's slots.
+IS_POS_MIXED = [[2, 4, 6], [5, 1, 0], [3, 3, 3], [0, 6, 2], [1, 5, 4], [6, 0, 2]]
+
+
+def _mixed_granule(q_stream: np.ndarray, sf_slots: np.ndarray, gain: int):
+    """(GranuleInfo, chunks, nbits) for one MIXED granule; q_stream is in
+    the ISO 2.4.3.4.8 transmission order (long head in place, short lines
+    >= 12 reordered sfb-major)."""
+    layout = ref.strict_entropy_layout(q_stream, SR, ref.BLOCK_MIXED, True, True)
+    fin = ref._finish_slots(np.asarray(sf_slots, dtype=np.int64), 17, 18)
+    sfd = {
+        "sf": np.zeros(21, dtype=np.int32),
+        "sf_slots": np.asarray(sf_slots, dtype=np.int64),
+        **fin,
+    }
+    sf_chunks, sf_nbits = ref.scalefactor_chunks_masked(
+        sfd, np.ones(21, dtype=bool)
+    )
+    gi = GranuleInfo(
+        part23_length=int(sf_nbits.sum()) + int(layout["part23_bits"]),
+        big_values=int(layout["big_values"]),
+        global_gain=gain,
+        scalefac_compress=int(sfd["compress"]),
+        window_switching=1,
+        block_type=2,
+        mixed_block_flag=1,
+        table_select=tuple(layout["table_select"]),
+        count1table_select=int(layout["count1table_select"]),
+        scalefac_scale=0,
+    )
+    return gi, [sf_chunks, layout["chunks"]], [sf_nbits, layout["nbits"]]
+
+
+def build_mixed_is_stream(
+    n_frames: int = 3, mode_ext: int = 0b01, gain: int = 170, seed: int = 11
+) -> bytes:
+    """Joint-stereo stream of MIXED granules with intensity-coded upper
+    short bands. The long head (natural 0..35) and short bands 3..5 are
+    real on both channels; the right channel is zero from short band
+    MIXED_BOUND upward in EVERY window (last line of each window pinned
+    nonzero, so every decoder's per-window bound reading lands exactly on
+    the band boundary)."""
+    from swiftmp3_tpu.decoder.tables import short_reorder_dest
+    from swiftmp3_tpu.io.bitwriter import BitstreamWriter
+
+    sb = _short_bounds()
+    rz_line = int(sb[MIXED_BOUND])  # right zero from this line, all windows
+    hi_line = int(sb[10])  # left extent (below the sfb11 tail)
+    dest = short_reorder_dest(SR, True)
+    rng = np.random.default_rng(seed)
+    frame_size = (144 * KBPS * 1000) // SR
+    slot = frame_size - 4 - 32
+    out = bytearray()
+    for _ in range(n_frames):
+        granules = [[None, None], [None, None]]
+        chunks, nbits = [], []
+        for gr in range(2):
+            # natural order: natural index of (line, w) is 3*line + w, and
+            # the long head occupies natural 0..35 — so "zero from line L
+            # upward in every window" is "zero from natural 3*L upward"
+            ql = np.zeros(576, dtype=np.int64)
+            ql[: 3 * hi_line] = rng.integers(-4, 5, 3 * hi_line)
+            qr = np.zeros(576, dtype=np.int64)
+            qr[: 3 * rz_line] = rng.integers(-4, 5, 3 * rz_line)
+            for w in range(3):  # pin every window's last coded line
+                ql[3 * (hi_line - 1) + w] = 3
+                qr[3 * (rz_line - 1) + w] = 2
+            sfl = np.zeros(36, dtype=np.int64)
+            sfr = np.zeros(36, dtype=np.int64)
+            # mixed slots: 8 long, then (sfb 3..11) x 3 windows
+            for s in range(6, 12):
+                for w in range(3):
+                    sfr[8 + (s - 3) * 3 + w] = IS_POS_MIXED[s - 6][w]
+            for ch, (q, sf) in enumerate(((ql, sfl), (qr, sfr))):
+                gi, c, nb = _mixed_granule(q[dest], sf, gain)
+                granules[gr][ch] = gi
+                chunks += c
+                nbits += nb
+        h = BitstreamWriter()
+        h.write(0x7FF, 11)
+        h.write(0b11, 2)
+        h.write(0b01, 2)
+        h.write(1, 1)
+        h.write(bitrate_index(KBPS, SR), 4)
+        h.write(sample_rate_index(SR), 2)
+        h.write(0, 1)
+        h.write(0, 1)
+        h.write(0b01, 2)  # joint stereo
+        h.write(mode_ext, 2)
+        h.write(0, 1)
+        h.write(1, 1)
+        h.write(0, 2)
+        side = build_side_info(2, granules, [[0, 0, 0, 0]] * 2, 0)
+        md, _bits = pack_chunks(np.concatenate(chunks), np.concatenate(nbits))
+        assert len(md) <= slot, (len(md), slot)
+        out += h.data + side + md + bytes(slot - len(md))
+    return bytes(out)
+
+
+def test_mixed_is_stream_is_wellformed_and_is_fires():
+    blob = build_mixed_is_stream(mode_ext=0b01)
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert dec.frame_count == 3
+    assert np.all(np.isfinite(dec.pcm))
+    # the intensity law must reconstruct real right-channel signal in the
+    # zero-coded upper short bands (vs the no-stereo-processing rebuild)
+    plain = decode_mp3(build_mixed_is_stream(mode_ext=0b00), iso_conventions=True)
+    assert not np.allclose(dec.pcm[:, 1], plain.pcm[:, 1])
+    el = float(np.sum(dec.pcm[:, 0] ** 2))
+    er = float(np.sum(dec.pcm[:, 1] ** 2))
+    assert 0 < er < el
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+@pytest.mark.parametrize("mode_ext", [0b01, 0b11])
+def test_mixed_is_decode_agrees_with_mpg123(mode_ext):
+    """The conformance claim for the mixed reading: our per-(band, window)
+    short-region law == libmpg123 on both-channel mixed IS granules."""
+    blob = build_mixed_is_stream(mode_ext=mode_ext)
     dec = decode_mp3(blob, iso_conventions=True)
     assert dec.frame_count == 3 and np.all(np.isfinite(dec.pcm))
     ext, _ = mpg123_decode(blob)
