@@ -1,4 +1,4 @@
-"""MPEG-1 Layer III decoder (numpy, test oracle).
+"""MPEG-1/2/2.5 Layer III decoder (numpy, test oracle).
 
 Decodes general MPEG-1 Layer III per ISO 11172-3: the complete B.7 Huffman
 set (including the linbits/ESC families 16-31 and the REAL tables 10-13 —
@@ -8,6 +8,16 @@ types (long, start, short, stop; mixed blocks), preflag/pretab, scfsi, and
 full scalefactor parsing. This lets the oracle decode third-party streams
 (e.g. libmp3lame's) — validated behaviorally against the system libmpg123
 in tests/test_external.py — in addition to this framework's own output.
+
+MPEG-2/2.5 LSF streams (ISO 13818-3: half/quarter sample rates, one
+576-sample granule per frame, 9-bit scalefac_compress with the 6-case slen
+decomposition, implicit preflag, no scfsi) decode too — decode-side
+third-party coverage only (the encoder family is MPEG-1-only, matching the
+reference, MP3Encoder.swift header parse). LSF band tables come from
+libavcodec (`_lsf_data.py`, tools/extract_lsf_tables.py); validation is
+libmp3lame-produced low-rate streams A/B'd against libmpg123
+(tests/test_lsf.py). LSF intensity stereo is parsed but not applied (its
+position law differs from MPEG-1's and no producer on this rig emits it).
 """
 
 from __future__ import annotations
@@ -35,6 +45,12 @@ from .tables import (
 
 BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
 SAMPLE_RATES = [44100, 48000, 32000, 0]
+
+# MPEG-2/2.5 (LSF, ISO 13818-3) Layer III: decode-side third-party stream
+# coverage only — the encoder family is MPEG-1-only (reference parity).
+BITRATES_LSF = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0]
+SAMPLE_RATES_V2 = [22050, 24000, 16000, 0]
+SAMPLE_RATES_V25 = [11025, 12000, 8000, 0]
 
 # slen1/slen2 per scalefac_compress (ISO 2.4.2.7)
 SLEN = [
@@ -154,6 +170,7 @@ class FrameInfo:
     granules: list  # [2][ch] GranuleSide
     main_data: bytes
     scfsi: list = None  # [ch][4] bits: granule 1 reuses gr0's sf per group
+    lsf: int = 0  # 0 MPEG-1, 1 MPEG-2, 2 MPEG-2.5 (one granule per frame)
 
 
 def _crc16(data: bytes) -> int:
@@ -188,7 +205,10 @@ def verify_frame_crcs(data: bytes) -> list:
         if i + fi.size > len(data):
             break  # truncated final frame
         if fi.crc:
-            side_len = 17 if fi.channels == 1 else 32
+            if fi.lsf:
+                side_len = 9 if fi.channels == 1 else 17
+            else:
+                side_len = 17 if fi.channels == 1 else 32
             if i + 6 + side_len > len(data):
                 break
             stored = (data[i + 4] << 8) | data[i + 5]
@@ -202,29 +222,49 @@ def parse_frame(data: bytes, offset: int) -> FrameInfo:
     b = data[offset : offset + 4]
     if not (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
         raise ValueError(f"bad sync at {offset}")
+    version = (b[1] >> 3) & 3  # 3 MPEG-1, 2 MPEG-2, 0 MPEG-2.5, 1 reserved
+    layer = (b[1] >> 1) & 3  # 1 = Layer III
+    if version == 1 or layer != 0b01:
+        raise ValueError(f"not Layer III at {offset}")
+    lsf = 0 if version == 3 else (1 if version == 2 else 2)
     crc = (b[1] & 1) == 0
-    bitrate = BITRATES[(b[2] >> 4) & 0xF]
-    sr = SAMPLE_RATES[(b[2] >> 2) & 0x3]
+    if lsf:
+        bitrate = BITRATES_LSF[(b[2] >> 4) & 0xF]
+        sr = (SAMPLE_RATES_V2 if lsf == 1 else SAMPLE_RATES_V25)[(b[2] >> 2) & 0x3]
+    else:
+        bitrate = BITRATES[(b[2] >> 4) & 0xF]
+        sr = SAMPLE_RATES[(b[2] >> 2) & 0x3]
     padding = (b[2] >> 1) & 1
     mode = (b[3] >> 6) & 3
     mode_ext = (b[3] >> 4) & 3
     channels = 1 if mode == 0b11 else 2
-    size = (144 * bitrate * 1000) // sr + padding
+    # LSF frames carry ONE granule (576 samples): 72 slots per kbps
+    size = ((72 if lsf else 144) * bitrate * 1000) // sr + padding
 
     side_off = offset + 4 + (2 if crc else 0)
-    side_len = 17 if channels == 1 else 32
+    if lsf:
+        side_len = 9 if channels == 1 else 17
+    else:
+        side_len = 17 if channels == 1 else 32
     r = BitReader(data[side_off : side_off + side_len])
-    mdb = r.read(9)
-    r.read(5 if channels == 1 else 3)
-    scfsi = [[r.read(1) for _ in range(4)] for _ in range(channels)]
-    granules = [[None] * channels for _ in range(2)]
-    for gr in range(2):
+    mdb = r.read(8 if lsf else 9)
+    if lsf:
+        r.read(1 if channels == 1 else 2)
+        scfsi = None  # LSF has no scfsi
+    else:
+        r.read(5 if channels == 1 else 3)
+        scfsi = [[r.read(1) for _ in range(4)] for _ in range(channels)]
+    n_gr = 1 if lsf else 2
+    granules = [[None] * channels for _ in range(n_gr)]
+    for gr in range(n_gr):
         for ch in range(channels):
             g = GranuleSide()
             g.part23_length = r.read(12)
             g.big_values = r.read(9)
             g.global_gain = r.read(8)
-            g.scalefac_compress = r.read(4)
+            # LSF: 9-bit scalefac_compress, decomposed into 4 slens by the
+            # ISO 13818-3 law at scalefactor-read time (preflag implicit)
+            g.scalefac_compress = r.read(9 if lsf else 4)
             g.window_switching = r.read(1)
             if g.window_switching:
                 g.block_type = r.read(2)
@@ -238,7 +278,8 @@ def parse_frame(data: bytes, offset: int) -> FrameInfo:
                 g.table_select = (r.read(5), r.read(5), r.read(5))
                 g.region0_count = r.read(4)
                 g.region1_count = r.read(3)
-            g.preflag = r.read(1)
+            if not lsf:
+                g.preflag = r.read(1)
             g.scalefac_scale = r.read(1)
             g.count1table_select = r.read(1)
             granules[gr][ch] = g
@@ -258,6 +299,7 @@ def parse_frame(data: bytes, offset: int) -> FrameInfo:
         granules=granules,
         main_data=bytes(data[main_off : offset + size]),
         scfsi=scfsi,
+        lsf=lsf,
     )
 
 
@@ -269,13 +311,21 @@ def _decode_granule_spectrum(
     bands = np.cumsum(band_table(sample_rate))
 
     if g.window_switching:
-        # ISO 2.4.2.7 implicit regions under window switching: region2 is
-        # empty; the region0/1 boundary is 36 lines (region0_count=8 for
-        # pure short blocks -> 9 (sfb,window) units of width 4 = 36;
-        # region0_count=7 for start/stop/mixed -> long bands 0-7 = 36 at
-        # all three MPEG-1 rates). Validated behaviorally against
-        # libmpg123 on libmp3lame streams carrying start/stop granules.
-        region1_start = 36
+        # ISO implicit regions under window switching: region2 is empty;
+        # the region0/1 boundary is BAND-DERIVED, not a fixed line count —
+        # region0_count=8 for pure short blocks -> 9 (sfb,window) units =
+        # 3x the first three short bands; region0_count=7 for
+        # start/stop/mixed -> long bands 0-7. Both are 36 lines at every
+        # MPEG-1 rate, but at LSF rates the wider bands move the boundary
+        # (start/stop: 54 at 22.05/24/16 kHz, 108 at 8 kHz; short: 72 at
+        # 8 kHz) — ffmpeg's init_short_region encodes the same law.
+        # Validated behaviorally against libmpg123 on libmp3lame streams
+        # carrying start/stop granules at MPEG-1 AND LSF rates.
+        if g.block_type == 2 and not g.mixed_block_flag:
+            sw = short_band_table(sample_rate)
+            region1_start = 3 * int(sw[0] + sw[1] + sw[2])
+        else:
+            region1_start = int(bands[7])
         region2_start = 576
     else:
         region1_start = int(bands[g.region0_count]) if g.region0_count < 21 else 576
@@ -331,6 +381,75 @@ def _decode_count1_a(r: BitReader) -> list[int]:
         if hit is not None:
             return [(hit >> 3) & 1, (hit >> 2) & 1, (hit >> 1) & 1, hit & 1]
     raise ValueError("invalid count1 code")
+
+
+def _lsf_sf_expand(sf: int, n1: int, n2: int, n3: int) -> list[int]:
+    """ISO 13818-3 scalefac_compress decomposition into 4 slen values."""
+    slen = [0, 0, 0, 0]
+    if n3:
+        slen[3] = sf % n3
+        sf //= n3
+    if n2:
+        slen[2] = sf % n2
+        sf //= n2
+    slen[1] = sf % n1
+    slen[0] = sf // n1
+    return slen
+
+
+def _read_lsf_scalefactors(r: BitReader, g: GranuleSide, intensity_ch: bool):
+    """LSF (MPEG-2/2.5) scalefactor read per ISO 13818-3: the 9-bit
+    scalefac_compress selects one of six decompositions into 4 slens, and
+    LSF_NSF_TABLE gives each slen group's band count for the granule's
+    window class. Sets g.preflag (implicit in the >=500 case — LSF side
+    info carries no preflag bit). intensity_ch = the right channel of an
+    intensity-stereo frame (cases 3-5; parsed for bit-exactness, but LSF
+    intensity reconstruction is not applied — see decode_mp3 notes).
+
+    Returns (scalefacs[21] | None, sf_short[12][3] | None,
+    sf_mixed_long[8] | None) in the shapes _requantize consumes; LSF mixed
+    granules have 6 long head bands (the head is still exactly 36 lines at
+    every LSF rate), padded with two zero bands."""
+    from ._lsf_data import LSF_NSF_TABLE
+
+    sf = g.scalefac_compress
+    g.preflag = 0
+    if intensity_ch:
+        sf >>= 1
+        if sf < 180:
+            slen, case = _lsf_sf_expand(sf, 6, 6, 0), 3
+        elif sf < 244:
+            slen, case = _lsf_sf_expand(sf - 180, 4, 4, 0), 4
+        else:
+            slen, case = _lsf_sf_expand(sf - 244, 3, 0, 0), 5
+    else:
+        if sf < 400:
+            slen, case = _lsf_sf_expand(sf, 5, 4, 4), 0
+        elif sf < 500:
+            slen, case = _lsf_sf_expand(sf - 400, 5, 4, 0), 1
+        else:
+            slen, case = _lsf_sf_expand(sf - 500, 3, 0, 0), 2
+            g.preflag = 1
+    is_short = g.window_switching and g.block_type == 2
+    wclass = (2 if g.mixed_block_flag else 1) if is_short else 0
+    ns = LSF_NSF_TABLE[case][wclass]
+    vals = []
+    for k in range(4):
+        width = slen[k]
+        vals += [r.read(width) if width else 0 for _ in range(ns[k])]
+    if not is_short:
+        return vals[:21], None, None  # all six long cases total 21 bands
+    sf_short = [[0, 0, 0] for _ in range(12)]
+    if g.mixed_block_flag:
+        sf_mixed_long = vals[:6] + [0, 0]
+        for sfb in range(3, 12):
+            for w in range(3):
+                sf_short[sfb][w] = vals[6 + (sfb - 3) * 3 + w]
+        return None, sf_short, sf_mixed_long
+    for sfb in range(12):
+        for w in range(3):
+            sf_short[sfb][w] = vals[sfb * 3 + w]
+    return None, sf_short, None
 
 
 def _requantize(
@@ -651,17 +770,24 @@ def decode_mp3(
             # reservoir underrun (stream cut): skip frame, keep bytes
             continue
         r = BitReader(bytes(store), start_bit)
-        granule_pcm = np.zeros((2, channels, 576), dtype=np.float64)
-        gr_xr = [[None] * channels for _ in range(2)]  # requantized spectra
+        n_gr = len(fi.granules)  # 1 for LSF frames, 2 for MPEG-1
+        granule_pcm = np.zeros((n_gr, channels, 576), dtype=np.float64)
+        gr_xr = [[None] * channels for _ in range(n_gr)]  # requantized spectra
         gr0_sf = [None] * channels  # granule 0 scalefactors for scfsi reuse
-        gr_sf = [[None] * channels for _ in range(2)]  # long sf (intensity pos)
-        gr_sfs = [[None] * channels for _ in range(2)]  # short sf [12][3]
-        gr_rzero = [[0] * channels for _ in range(2)]  # decoded nonzero extent
+        gr_sf = [[None] * channels for _ in range(n_gr)]  # long sf (intensity pos)
+        gr_sfs = [[None] * channels for _ in range(n_gr)]  # short sf [12][3]
+        gr_rzero = [[0] * channels for _ in range(n_gr)]  # decoded nonzero extent
         ok = True
+        # LSF intensity stereo uses a different position law (ISO 13818-3:
+        # positions 2^(0.25*...) with per-slen illegal values) that no
+        # producer on this rig emits — not applied (M/S is; see docstring).
         frame_is_mode = (
-            channels == 2 and fi.mode == 0b01 and (fi.mode_extension & 0b01)
+            channels == 2
+            and fi.mode == 0b01
+            and (fi.mode_extension & 0b01)
+            and not fi.lsf
         )
-        for gr in range(2):
+        for gr in range(n_gr):
             # Intensity frames defer alias reduction until AFTER stereo
             # processing (the ISO 2.4.3.4 order). M/S commutes with the
             # alias butterflies (one scalar mix for every line), so the
@@ -681,14 +807,21 @@ def decode_mp3(
             for ch in range(channels):
                 g = fi.granules[gr][ch]
                 part_start = r.pos
-                # scalefactors (slen bits; zero for scalefac_compress=0)
-                slen1, slen2 = SLEN[g.scalefac_compress]
                 scalefacs = None
                 sf_short = None  # [12][3] per (short sfb, window)
                 sf_mixed_long = None  # [8] long head bands of a mixed block
-                if g.window_switching and g.block_type == 2 and not g.mixed_block_flag:
+                if fi.lsf:
+                    # ISO 13818-3 LSF law (9-bit compress, implicit preflag)
+                    intensity_ch = (
+                        ch == 1 and fi.mode == 0b01 and (fi.mode_extension & 0b01)
+                    )
+                    scalefacs, sf_short, sf_mixed_long = _read_lsf_scalefactors(
+                        r, g, bool(intensity_ch)
+                    )
+                elif g.window_switching and g.block_type == 2 and not g.mixed_block_flag:
                     # pure short: sfb-major, windows consecutive
                     # (ISO 2.4.2.7: sfbs 0-5 at slen1, 6-11 at slen2)
+                    slen1, slen2 = SLEN[g.scalefac_compress]
                     sf_short = [[0, 0, 0] for _ in range(12)]
                     for sfb in range(12):
                         slen = slen1 if sfb < 6 else slen2
@@ -697,6 +830,7 @@ def decode_mp3(
                 elif g.window_switching and g.block_type == 2 and g.mixed_block_flag:
                     # mixed: 8 long bands at slen1, short sfbs 3-5 at slen1,
                     # 6-11 at slen2 (per window)
+                    slen1, slen2 = SLEN[g.scalefac_compress]
                     sf_mixed_long = [r.read(slen1) if slen1 else 0 for _ in range(8)]
                     sf_short = [[0, 0, 0] for _ in range(12)]
                     for sfb in range(3, 12):
@@ -704,6 +838,7 @@ def decode_mp3(
                         for w in range(3):
                             sf_short[sfb][w] = r.read(slen) if slen else 0
                 else:
+                    slen1, slen2 = SLEN[g.scalefac_compress]
                     # scfsi (ISO 2.4.2.7): granule 1 reuses gr0's values for
                     # flagged groups (0-5, 6-10, 11-15, 16-20) — no bits read
                     share = (
@@ -769,7 +904,10 @@ def decode_mp3(
             # decode failure still lets earlier granules advance the
             # overlap state, like a streaming decoder.
             ms_mode = fi.mode == 0b01 and (fi.mode_extension & 0b10)
-            is_mode = fi.mode == 0b01 and (fi.mode_extension & 0b01)
+            # intensity processing below implements the MPEG-1 position law
+            # only; LSF intensity (different law, no producer to validate
+            # against) is parsed but not applied — see frame_is_mode note
+            is_mode = fi.mode == 0b01 and (fi.mode_extension & 0b01) and not fi.lsf
             if channels == 2 and (ms_mode or is_mode):
                 m, s_ = gr_xr[gr][0], gr_xr[gr][1]
                 if ms_mode:
@@ -879,8 +1017,8 @@ def decode_mp3(
                 granule_pcm[gr, ch] = sub.T.reshape(-1)  # time-major [18*32]
         if not ok:
             continue
-        frame_pcm = np.zeros((1152, channels), dtype=np.float64)
-        for gr in range(2):
+        frame_pcm = np.zeros((576 * n_gr, channels), dtype=np.float64)
+        for gr in range(n_gr):
             sub_t = granule_pcm[gr].reshape(channels, 18, 32)  # [ch, t, sb]
             for ch in range(channels):
                 synth = synths[ch]

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ._lsf_data import LSF_BAND_LONG as _LSF_LONG
+from ._lsf_data import LSF_BAND_SHORT as _LSF_SHORT
 from ._spec_data import ISO_ANALYSIS_WINDOW, TABLE15_CODES, TABLE15_LENGTHS
 
 # --- Scalefactor bands (ISO Table B.8, long blocks, 21 bands) ----------------
@@ -46,7 +48,12 @@ _LONG_BANDS = {
 
 def band_table(sample_rate: int) -> np.ndarray:
     """Long-block band widths; unknown rates fall back to 44100 (matching
-    the encoder's dispatch quirk so both sides parse the same stream)."""
+    the encoder's dispatch quirk so both sides parse the same stream).
+    MPEG-2/2.5 LSF rates (ISO 13818-3, <= 24000 Hz) dispatch by the same
+    key — the rate sets are disjoint — from the libavcodec-extracted rows
+    (_lsf_data.py, decode-side third-party stream coverage only)."""
+    if sample_rate in _LSF_LONG:
+        return np.asarray(_LSF_LONG[sample_rate], dtype=np.int32)
     return np.asarray(_LONG_BANDS.get(sample_rate, _LONG_BANDS[44100]), dtype=np.int32)
 
 
@@ -63,7 +70,9 @@ _SHORT_BANDS = {
 
 
 def short_band_table(sample_rate: int) -> np.ndarray:
-    """Short-block band widths (44100 fallback, like band_table)."""
+    """Short-block band widths (44100 fallback; LSF rates like band_table)."""
+    if sample_rate in _LSF_SHORT:
+        return np.asarray(_LSF_SHORT[sample_rate], dtype=np.int32)
     return np.asarray(
         _SHORT_BANDS.get(sample_rate, _SHORT_BANDS[44100]), dtype=np.int32
     )

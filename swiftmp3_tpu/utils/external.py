@@ -131,7 +131,7 @@ def mpg123_decode(
         # Force float32 output for every rate/channel combination so the
         # first NEW_FORMAT negotiation can only pick float32.
         lib.mpg123_format_none(h)
-        for rate in (32000, 44100, 48000, 16000, 22050, 24000):
+        for rate in (32000, 44100, 48000, 16000, 22050, 24000, 8000, 11025, 12000):
             lib.mpg123_format(
                 h, rate, _MPG123_MONO | _MPG123_STEREO, _MPG123_ENC_FLOAT_32
             )

@@ -1,0 +1,134 @@
+"""MPEG-2/2.5 (LSF) Layer III decode — third-party stream coverage.
+
+The encoder family is MPEG-1-only (reference parity: the reference's
+header writer hardcodes MPEG-1, MP3Encoder.swift), so LSF support is
+decode-side only and the validation loop is fully external: libmp3lame
+produces real low-sample-rate streams (it switches to MPEG-2 below 32 kHz
+input and MPEG-2.5 below 16 kHz), libmpg123 arbitrates the reading.
+Content includes hard transients so every stream carries start/stop/short
+granules — the case that caught both LSF-specific traps:
+
+- the window-switching big_values region boundary is BAND-DERIVED, not a
+  fixed 36 lines (start/stop: 54 lines at MPEG-2 rates, 108 at 8 kHz;
+  pure short: 72 at 8 kHz);
+- ffmpeg's 24 kHz long band table puts the band 17/18 boundary at line
+  330 where lame and mpg123 use 332 (the ISO 13818-3 corrigendum
+  reading) — decoding lame streams with the 330 reading mis-scales lines
+  330-331 on every frame where bands 17/18 carry different scalefactors
+  (~40-55 dB granule errors, post-transient frames only). The shipped
+  tables use the lame/mpg123 reading (tools/extract_lsf_tables.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from swiftmp3_tpu.decoder import decode_mp3
+from swiftmp3_tpu.utils.external import have_lame, have_mpg123, lame_encode, mpg123_decode
+from swiftmp3_tpu.utils.quality import decode_agreement_snr
+
+external = pytest.mark.skipif(
+    not (have_mpg123() and have_lame()), reason="system codecs not available"
+)
+
+
+def _content(sr: int, seconds: float = 2.0) -> np.ndarray:
+    """Tonal bed + hard clicks: forces start/stop/short granules and real
+    scalefactor allocation around every transient."""
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    base = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.15 * np.sin(2 * np.pi * 997 * t)
+    for c in range(4000, n - 400, sr // 2):
+        base[c : c + 200] += 0.4 * np.sign(np.sin(2 * np.pi * 1500 * t[c : c + 200]))
+    return base.astype(np.float32)
+
+
+@external
+@pytest.mark.parametrize(
+    "sr,kbps",
+    [(22050, 64), (24000, 128), (16000, 96), (11025, 32), (12000, 48), (8000, 24)],
+)
+def test_lsf_mono_decode_agrees_with_mpg123(sr, kbps):
+    pcm = _content(sr)
+    blob = lame_encode(pcm, sample_rate=sr, bitrate_kbps=kbps, mode="mono")
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert dec.sample_rate == sr and dec.channels == 1
+    assert dec.frame_count * 576 >= len(pcm)  # one granule per LSF frame
+    ext, xsr = mpg123_decode(blob)
+    assert xsr == sr
+    m = min(len(ext), len(dec.pcm))
+    assert m >= len(pcm) - 2 * 576
+    agree = decode_agreement_snr(ext[:m, 0], dec.pcm[:m, 0])
+    assert agree > 60.0, (sr, kbps, agree)
+
+
+@external
+@pytest.mark.parametrize(
+    "sr,kbps,mode", [(24000, 128, "stereo"), (22050, 96, "joint"), (16000, 64, "joint")]
+)
+def test_lsf_stereo_decode_agrees_with_mpg123(sr, kbps, mode):
+    """Stereo/joint LSF: per-channel side info, M/S on joint frames, and —
+    at 24 kHz — the corrigendum band row under real scalefactors (this is
+    the exact case the ffmpeg 330/332 divergence corrupted)."""
+    base = _content(sr)
+    pcm = np.stack([base, np.roll(base, 7) * 0.8], axis=1).astype(np.float32)
+    blob = lame_encode(pcm, sample_rate=sr, bitrate_kbps=kbps, mode=mode)
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert dec.sample_rate == sr and dec.channels == 2
+    ext, xsr = mpg123_decode(blob)
+    assert xsr == sr
+    m = min(len(ext), len(dec.pcm))
+    for c in range(2):
+        agree = decode_agreement_snr(ext[:m, c], dec.pcm[:m, c])
+        assert agree > 60.0, (sr, kbps, mode, c, agree)
+
+
+def test_lsf_band_tables_invariants():
+    """Generated-table sanity: every LSF row covers the spectrum (21 long
+    bands + remainder = 576; 12 short bands + remainder = 192 per window)
+    and the 24 kHz row carries the lame/mpg123 corrigendum boundary."""
+    from swiftmp3_tpu.decoder._lsf_data import LSF_BAND_LONG, LSF_BAND_SHORT
+
+    assert sorted(LSF_BAND_LONG) == [8000, 11025, 12000, 16000, 22050, 24000]
+    for sr, row in LSF_BAND_LONG.items():
+        assert len(row) == 21 and sum(row) <= 576, sr
+    for sr, row in LSF_BAND_SHORT.items():
+        assert len(row) == 12 and sum(row) <= 192, sr
+    bounds24 = np.cumsum((0,) + LSF_BAND_LONG[24000])
+    assert bounds24[18] == 332 and bounds24[19] == 394  # not ffmpeg's 330
+
+
+def test_lsf_sf_expand_cases():
+    """The six scalefac_compress decompositions cover every band exactly
+    once: each (case, window-class) group vector sums to the full band
+    count (21 long, 36 pure-short, 33 mixed = 6 long + 9x3 short)."""
+    from swiftmp3_tpu.decoder._lsf_data import LSF_NSF_TABLE
+    from swiftmp3_tpu.decoder.decoder import _lsf_sf_expand
+
+    for case in range(6):
+        long_n, short_n, mixed_n = (sum(LSF_NSF_TABLE[case][w]) for w in range(3))
+        assert (long_n, short_n, mixed_n) == (21, 36, 33), case
+    # decomposition is a bijection onto slen tuples within each range
+    seen = set()
+    for sf in range(400):
+        seen.add(tuple(_lsf_sf_expand(sf, 5, 4, 4)))
+    assert len(seen) == 400  # 5*5*4*4 = 400 distinct tuples
+    assert _lsf_sf_expand(399, 5, 4, 4) == [4, 4, 3, 3]
+    assert _lsf_sf_expand(0, 5, 4, 4) == [0, 0, 0, 0]
+
+
+@external
+def test_mpeg1_streams_unchanged_by_lsf_support():
+    """Guard: the band-derived region boundary and version dispatch are
+    byte-neutral for MPEG-1 (boundary evaluates to 36 at every MPEG-1
+    rate) — a 44.1 kHz lame stream still decodes conformance-grade."""
+    sr = 44100
+    pcm = _content(sr, seconds=1.5)
+    blob = lame_encode(pcm, sample_rate=sr, bitrate_kbps=128, mode="mono")
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert dec.sample_rate == sr
+    ext, _ = mpg123_decode(blob)
+    m = min(len(ext), len(dec.pcm))
+    agree = decode_agreement_snr(ext[:m, 0], dec.pcm[:m, 0])
+    assert agree > 60.0, agree
