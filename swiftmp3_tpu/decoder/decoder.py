@@ -218,7 +218,30 @@ def verify_frame_crcs(data: bytes) -> list:
     return results
 
 
-def parse_frame(data: bytes, offset: int) -> FrameInfo:
+def _free_format_size(data: bytes, offset: int) -> int:
+    """Infer a free-format stream's base frame size (without padding) from
+    sync spacing. ISO 2.4.2.3: bitrate index 0 means free format — any
+    constant rate, frame size NOT derivable from the header; decoders
+    measure the distance to the next frame whose header matches in
+    version/layer/protection/sample-rate and is also free-format."""
+    b = data[offset : offset + 4]
+    padding = (b[2] >> 1) & 1
+    for dist in range(24, 8193):
+        i = offset + dist
+        if i + 4 > len(data):
+            break
+        c = data[i : i + 4]
+        if (
+            c[0] == 0xFF
+            and c[1] == b[1]
+            and (c[2] & 0x0C) == (b[2] & 0x0C)
+            and ((c[2] >> 4) & 0xF) == 0
+        ):
+            return dist - padding
+    raise ValueError(f"cannot infer free-format frame size at {offset}")
+
+
+def parse_frame(data: bytes, offset: int, free_size: int = 0) -> FrameInfo:
     b = data[offset : offset + 4]
     if not (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
         raise ValueError(f"bad sync at {offset}")
@@ -228,18 +251,28 @@ def parse_frame(data: bytes, offset: int) -> FrameInfo:
         raise ValueError(f"not Layer III at {offset}")
     lsf = 0 if version == 3 else (1 if version == 2 else 2)
     crc = (b[1] & 1) == 0
+    bidx = (b[2] >> 4) & 0xF
+    if bidx == 15:
+        raise ValueError(f"bad bitrate index at {offset}")
     if lsf:
-        bitrate = BITRATES_LSF[(b[2] >> 4) & 0xF]
+        bitrate = BITRATES_LSF[bidx]
         sr = (SAMPLE_RATES_V2 if lsf == 1 else SAMPLE_RATES_V25)[(b[2] >> 2) & 0x3]
     else:
-        bitrate = BITRATES[(b[2] >> 4) & 0xF]
+        bitrate = BITRATES[bidx]
         sr = SAMPLE_RATES[(b[2] >> 2) & 0x3]
     padding = (b[2] >> 1) & 1
     mode = (b[3] >> 6) & 3
     mode_ext = (b[3] >> 4) & 3
     channels = 1 if mode == 0b11 else 2
-    # LSF frames carry ONE granule (576 samples): 72 slots per kbps
-    size = ((72 if lsf else 144) * bitrate * 1000) // sr + padding
+    if bidx == 0:
+        # free format: size measured from sync spacing (see above), the
+        # padding bit still modulates per frame
+        if not free_size:
+            raise ValueError(f"free-format frame at {offset} without a size")
+        size = free_size + padding
+    else:
+        # LSF frames carry ONE granule (576 samples): 72 slots per kbps
+        size = ((72 if lsf else 144) * bitrate * 1000) // sr + padding
 
     side_off = offset + 4 + (2 if crc else 0)
     if lsf:
@@ -649,11 +682,21 @@ class DecodedStream:
 
 def _iter_frames(data: bytes, strict: bool = True):
     """Walk frames; with strict=False, stop at the first malformed or
-    truncated frame instead of raising (real-world decoder behavior)."""
+    truncated frame instead of raising (real-world decoder behavior).
+    Free-format streams (bitrate index 0) get their constant frame size
+    inferred once from the first frame's sync spacing."""
     i = 0
+    free_size = 0
     while i + 4 <= len(data):
         try:
-            fi = parse_frame(data, i)
+            if (
+                data[i] == 0xFF
+                and (data[i + 1] & 0xE0) == 0xE0
+                and ((data[i + 2] >> 4) & 0xF) == 0
+                and not free_size
+            ):
+                free_size = _free_format_size(data, i)
+            fi = parse_frame(data, i, free_size)
         except (ValueError, IndexError, ZeroDivisionError):
             if strict:
                 raise

@@ -200,6 +200,7 @@ def _load_lame():
         "lame_set_bWriteVbrTag",
         "lame_set_quality",
         "lame_set_VBR",
+        "lame_set_free_format",
     ):
         fn = getattr(lib, name)
         fn.restype = c.c_int
@@ -234,12 +235,15 @@ def lame_encode(
     bitrate_kbps: int = 128,
     mode: Optional[str] = None,
     quality: int = 2,
+    free_format: bool = False,
 ) -> bytes:
     """Encode PCM with the system libmp3lame (CBR, no VBR tag).
 
     `pcm`: float in [-1, 1], shape [n] (mono) or [n, 2] (stereo).
     `mode`: None (lame default for channel count), "stereo", "joint",
-    or "mono". Returns the MP3 byte stream. Used exclusively as
+    or "mono". `free_format=True` emits ISO free-format framing (bitrate
+    index 0, any `bitrate_kbps` 8-640; frame size inferred by decoders
+    from sync spacing). Returns the MP3 byte stream. Used exclusively as
     independent stimulus for the in-repo decoder oracle.
     """
     lib = _load_lame()
@@ -260,6 +264,8 @@ def lame_encode(
         lib.lame_set_out_samplerate(g, sample_rate)
         lib.lame_set_num_channels(g, ch)
         lib.lame_set_brate(g, bitrate_kbps)
+        if free_format:
+            lib.lame_set_free_format(g, 1)
         lib.lame_set_VBR(g, 0)  # vbr_off -> CBR
         lib.lame_set_bWriteVbrTag(g, 0)
         lib.lame_set_quality(g, quality)
