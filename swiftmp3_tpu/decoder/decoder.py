@@ -190,21 +190,16 @@ def verify_frame_crcs(data: bytes) -> list:
     (header-only CRC) verify as False — that is the point: real decoders
     reject them. Unprotected frames are skipped (not in the list).
 
-    Accepts the same inputs decode_mp3 does: an ID3v2 prefix is skipped and
-    the walk stops at a truncated or malformed tail."""
+    Accepts the same inputs decode_mp3 does: an ID3v2 prefix is skipped,
+    free-format streams get their size inferred (shared frame walk with
+    decode_mp3), and the walk stops at a truncated or malformed tail."""
     if data[:3] == b"ID3" and len(data) >= 10:
         size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
         data = data[10 + size :]
     results = []
-    i = 0
-    while i + 4 <= len(data):
-        try:
-            fi = parse_frame(data, i)
-        except (ValueError, IndexError):
-            break
-        if i + fi.size > len(data):
-            break  # truncated final frame
+    for fi in _iter_frames(data, strict=False):
         if fi.crc:
+            i = fi.offset
             if fi.lsf:
                 side_len = 9 if fi.channels == 1 else 17
             else:
@@ -214,7 +209,6 @@ def verify_frame_crcs(data: bytes) -> list:
             stored = (data[i + 4] << 8) | data[i + 5]
             covered = data[i + 2 : i + 4] + data[i + 6 : i + 6 + side_len]
             results.append(stored == _crc16(bytes(covered)))
-        i += fi.size
     return results
 
 
@@ -223,21 +217,47 @@ def _free_format_size(data: bytes, offset: int) -> int:
     sync spacing. ISO 2.4.2.3: bitrate index 0 means free format — any
     constant rate, frame size NOT derivable from the header; decoders
     measure the distance to the next frame whose header matches in
-    version/layer/protection/sample-rate and is also free-format."""
+    version/layer/protection/sample-rate and is also free-format.
+
+    A coincidental sync-like pattern inside main_data would yield a
+    too-small size and corrupt the whole walk (free format gives no
+    per-frame size check to recover), so a candidate is committed only if
+    the next two frames' headers also land at the padding-modulated
+    spacing the candidate implies (or the stream ends first)."""
     b = data[offset : offset + 4]
     padding = (b[2] >> 1) & 1
-    for dist in range(24, 8193):
-        i = offset + dist
+
+    def _match(i):
+        """True/False header match at i; None when past the data end."""
         if i + 4 > len(data):
-            break
+            return None
         c = data[i : i + 4]
-        if (
+        return (
             c[0] == 0xFF
             and c[1] == b[1]
             and (c[2] & 0x0C) == (b[2] & 0x0C)
             and ((c[2] >> 4) & 0xF) == 0
-        ):
-            return dist - padding
+        )
+
+    for dist in range(24, 8193):
+        if _match(offset + dist) is None:
+            break
+        if not _match(offset + dist):
+            continue
+        base = dist - padding
+        pos, ok = offset + dist, True
+        for _ in range(2):  # confirm two more padding-modulated spacings
+            pad = (data[pos + 2] >> 1) & 1
+            nxt = pos + base + pad
+            m = _match(nxt)
+            if m is None:
+                break  # stream ends before a counterexample: accept
+            if not m:
+                ok = False
+                break
+            pos = nxt
+        if ok:
+            return base
     raise ValueError(f"cannot infer free-format frame size at {offset}")
 
 
@@ -441,8 +461,11 @@ def _read_lsf_scalefactors(r: BitReader, g: GranuleSide, intensity_ch: bool):
 
     Returns (scalefacs[21] | None, sf_short[12][3] | None,
     sf_mixed_long[8] | None) in the shapes _requantize consumes; LSF mixed
-    granules have 6 long head bands (the head is still exactly 36 lines at
-    every LSF rate), padded with two zero bands."""
+    granules have 6 long head bands, padded with two zero bands. NOTE the
+    head is 36 lines at 11.025-24 kHz but 72 lines at 8 kHz (6 bands x 12);
+    _imdct_granule/reorder hardcode the 2-subband (36-line) head, so the
+    8 kHz mixed case is outside the validated surface (no producer exists
+    to arbitrate a reading — see CLAUDE.md's exotics list)."""
     from ._lsf_data import LSF_NSF_TABLE
 
     sf = g.scalefac_compress
