@@ -22,7 +22,6 @@ from .io.sideinfo import GranuleInfo
 from .io.xing import build_xing_header
 from .options import (
     MP3EncoderOptions,
-    SAMPLES_PER_FRAME,
     SAMPLES_PER_GRANULE,
     SUBBANDS,
 )
@@ -30,6 +29,7 @@ from .ops import reference as ref
 from .tables import (
     bitrate_index,
     bitrate_value,
+    bitrate_value_lsf,
     mixed_reorder_src,
     short_reorder_src,
 )
@@ -150,17 +150,24 @@ class GoldenBackend:
         opts = self.options
         channels = opts.channels
         sr = opts.sample_rate
+        lsf = opts.lsf  # 0 MPEG-1, 1 MPEG-2, 2 MPEG-2.5 (ISO 13818-3)
+        n_gr = opts.n_granules  # 2 (MPEG-1) or 1 (LSF)
+        res_cap = opts.reservoir_cap  # 511 (9-bit mdb) or 255 (LSF, 8-bit)
 
         energy = ref.frame_energy(samples)
-        side_size = 17 if channels == 1 else 32
+        if lsf:
+            side_size = 9 if channels == 1 else 17
+        else:
+            side_size = 17 if channels == 1 else 32
         crc_size = 2 if opts.crc_protected else 0
 
         def _apply_bitrate(tgt):
             """Commit to a bitrate: index/value + Bresenham padding (the
             accumulator mutates exactly once per frame)."""
             bi = bitrate_index(tgt, sr)
-            bv = bitrate_value(bi)
-            numerator = 144 * bv * 1000
+            bv = bitrate_value_lsf(bi) if lsf else bitrate_value(bi)
+            # LSF frames carry ONE 576-sample granule: 72 slots per kbps
+            numerator = (72 if lsf else 144) * bv * 1000
             base_size = numerator // sr
             self.padding_remainder += numerator % sr
             p = 0
@@ -194,13 +201,13 @@ class GoldenBackend:
             # world (walk respec).
             budget_sl = self.est_stream_len if strict else self.stream_len
             gap_budget = sum(self.slot_fifo) - budget_sl
-            usable = min(usable, max(min(gap_budget, 511), 0) * 8)
+            usable = min(usable, max(min(gap_budget, res_cap), 0) * 8)
             mdb = None  # computed after the frame's byte count is known
         else:
-            mdb = 0 if is_final else min(self.stream_len, 511)
+            mdb = 0 if is_final else min(self.stream_len, res_cap)
         if target is not None:
             total_bits = main_data_size * 8 + usable
-            bits_per_granule = total_bits // (2 * channels)
+            bits_per_granule = total_bits // (n_gr * channels)
 
         frame_mode_ext = None  # per-frame header override (iso_mode_ext)
         # Deinterleave + per-frame stereo decision
@@ -234,13 +241,15 @@ class GoldenBackend:
                     return [seg]
                 return [seg[0::2], seg[1::2]]
 
-            want0 = ref.wants_short(_granule_channels(raw, 0))
-            want1 = ref.wants_short(_granule_channels(raw, 1))
+            wants = [
+                ref.wants_short(_granule_channels(raw, j)) for j in range(n_gr)
+            ]
             if lookahead is None:
-                want2 = False  # flush: trailing zeros never attack
+                want_next = False  # flush: trailing zeros never attack
             else:
                 la = np.asarray(lookahead, dtype=np.float32)
-                want2 = ref.wants_short(_granule_channels(la, 0))
+                want_next = ref.wants_short(_granule_channels(la, 0))
+            wants_all = wants + [want_next]
             # Post-transient hangover (part of the sequencing law): the
             # effective want is the raw want OR the PREVIOUS granule's raw
             # want, extending every short run one granule past the last
@@ -254,14 +263,19 @@ class GoldenBackend:
             # at 128k; the hangover wins -5.8/-8.1/-7.7 dB NMR at
             # 64/128/256k through mpg123 and is a byte no-op on
             # non-transient content). Device twin: dsp.sequence_blocks_chunk.
-            w0 = want0 or self.seq_prev_want
-            w1 = want1 or want0
-            w2 = want2 or want1
-            self.seq_prev_want = want1
-            bt0 = ref.sequence_block_type(w0, self.seq_prev_short, w1)
-            bt1 = ref.sequence_block_type(w1, bt0 == ref.BLOCK_SHORT, w2)
-            self.seq_prev_short = bt1 == ref.BLOCK_SHORT
-            seq_blocks = (bt0, bt1)
+            # n_gr-general recurrence (byte-identical to the historical
+            # two-granule unroll at n_gr=2; LSF frames carry one granule).
+            seq_blocks = []
+            prev_short, prev_want = self.seq_prev_short, self.seq_prev_want
+            for j in range(n_gr):
+                w_cur = wants_all[j] or prev_want
+                w_next = wants_all[j + 1] or wants_all[j]
+                bt = ref.sequence_block_type(w_cur, prev_short, w_next)
+                seq_blocks.append(bt)
+                prev_short = bt == ref.BLOCK_SHORT
+                prev_want = wants_all[j]
+            self.seq_prev_short, self.seq_prev_want = prev_short, prev_want
+            seq_blocks = tuple(seq_blocks)
 
         shared_blocks = None
         if (
@@ -275,15 +289,15 @@ class GoldenBackend:
             # (matrixing can cancel a one-channel transient out of mid) and
             # let the more-transient verdict win (LONG < MIXED < SHORT).
             shared_blocks = []
-            for gr in range(2):
+            for gr in range(n_gr):
                 sl = slice(gr * SAMPLES_PER_GRANULE, (gr + 1) * SAMPLES_PER_GRANULE)
                 bl, _ = ref.transient_detect(left[sl])
                 br, _ = ref.transient_detect(right[sl])
                 shared_blocks.append(max(bl, br))
 
-        granules = [[None] * channels for _ in range(2)]
-        quantized = np.zeros((2 * channels, SAMPLES_PER_GRANULE), dtype=np.int32)
-        big_values = np.zeros(2 * channels, dtype=np.int32)
+        granules = [[None] * channels for _ in range(n_gr)]
+        quantized = np.zeros((n_gr * channels, SAMPLES_PER_GRANULE), dtype=np.int32)
+        big_values = np.zeros(n_gr * channels, dtype=np.int32)
         total_part_bits = 0  # ACTUAL emitted bits (part2_3_length sum)
         total_priced_bits = 0  # walk-law priced bits (est reservoir world)
         strict_chunks: list = []
@@ -296,7 +310,7 @@ class GoldenBackend:
         # staged so the budget law can see every granule's demand before
         # the first walk runs (options.demand_budget).
         staged = []
-        for gr in range(2):
+        for gr in range(n_gr):
             for ch in range(channels):
                 gsamples = chans[ch][gr * SAMPLES_PER_GRANULE : (gr + 1) * SAMPLES_PER_GRANULE]
                 S, self.fb_buffers[ch] = ref.analyze_subbands(gsamples, self.fb_buffers[ch])
@@ -309,6 +323,11 @@ class GoldenBackend:
                     block, sb_gain = shared_blocks[gr], [0, 0, 0]
                 else:
                     block, sb_gain = ref.transient_detect(gsamples)
+                if lsf and block == ref.BLOCK_MIXED:
+                    # the LSF encoder never emits mixed blocks (the 6-band
+                    # head layout has no validated external reading and
+                    # lame never emits mixed either) — demote to SHORT
+                    block = ref.BLOCK_SHORT
                 if opts.iso_quantization:
                     # unit-gain law: the quantizer applies no per-window
                     # gains, so emit zeros (see pipeline twin)
@@ -356,6 +375,7 @@ class GoldenBackend:
                         spectrum, sr, sf_block,
                         psy=opts.psy_scalefactors,
                         iso_short=opts.iso_short_blocks,
+                        lsf=bool(lsf),
                     )
                     sf_write = np.ones(21, dtype=bool)
                     if opts.scfsi:
@@ -404,14 +424,19 @@ class GoldenBackend:
             # full downward freedom (the point of demand VBR is cheap
             # frames going cheap); the UPPER cap keeps the reference band
             # so main_data_cap and Xing contracts are unchanged
-            min_b = 32
-            max_b = min(320, opts.bitrate_kbps + 64 - opts.quality * 4)
-            cands = [b for b in ref.MPEG1_L3_BITRATES if min_b <= b <= max_b]
-            if not cands:  # band above 320 (base 320, high quality)
-                cands = [bitrate_value(bitrate_index(max_b, sr))]
+            table = ref.LSF_L3_BITRATES if lsf else ref.MPEG1_L3_BITRATES
+            min_b = 8 if lsf else 32
+            max_b = min(table[-1], opts.bitrate_kbps + 64 - opts.quality * 4)
+            cands = [b for b in table if min_b <= b <= max_b]
+            if not cands:  # band above the table top (base at top, high q)
+                bi = bitrate_index(max_b, sr)
+                cands = [bitrate_value_lsf(bi) if lsf else bitrate_value(bi)]
             target = cands[-1]  # nothing fits: the band's largest value
             for b in cands:
-                slot_bits = ((144 * b * 1000) // sr - 4 - crc_size - side_size) * 8
+                slot_bits = (
+                    ((72 if lsf else 144) * b * 1000) // sr
+                    - 4 - crc_size - side_size
+                ) * 8
                 if slot_bits >= demand:
                     target = b
                     break
@@ -604,13 +629,13 @@ class GoldenBackend:
                 # to 400+ bytes while the physical reach stayed pinned at
                 # one slot, making depth a byte no-op. Unused space still
                 # expires as end-padding when its slot emits (the floor).
-                mdb = max(0, min(gap_real, 511))
-                est_mdb = max(0, min(gap_est, 511))
+                mdb = max(0, min(gap_real, res_cap))
+                est_mdb = max(0, min(gap_est, res_cap))
             else:
                 # tail-aligned (historical byte-exact K=1 law): data ends
                 # flush against its own header
-                mdb = max(0, min(gap_real, huffman_bytes, 511))
-                est_mdb = max(0, min(gap_est, est_hb, 511))
+                mdb = max(0, min(gap_real, huffman_bytes, res_cap))
+                est_mdb = max(0, min(gap_est, est_hb, res_cap))
             self.stream_len = max(
                 self.stream_len + (gap_real - mdb) + huffman_bytes - oldest, 0
             )
@@ -621,7 +646,7 @@ class GoldenBackend:
             self.stream_len = max(self.stream_len + huffman_bytes - oldest, 0)
             self.est_stream_len = max(self.est_stream_len + est_hb - oldest, 0)
         self.available_bytes = min(
-            max(self.available_bytes + main_data_size - est_hb, 0), 511
+            max(self.available_bytes + main_data_size - est_hb, 0), res_cap
         )
         self.slot_fifo = self.slot_fifo[1:] + [main_data_size]
         return FrameResult(
@@ -677,7 +702,8 @@ class EncoderSession:
         return self.assembler.total_bytes
 
     def encode(self, samples) -> bytes:
-        """Buffer interleaved PCM and encode all complete 1152-sample frames.
+        """Buffer interleaved PCM and encode all complete frames (1152
+        samples each for MPEG-1; 576 at LSF rates — one granule per frame).
 
         Accepts float PCM in [-1, 1] or int16 PCM (normalized by 1/32768).
         Non-finite samples are zeroed (the reference would trap on them;
@@ -693,7 +719,7 @@ class EncoderSession:
             self._fed = True
             self._fed_samples += int(samples.size)
         self._pcm = np.concatenate([self._pcm, samples]) if self._pcm.size else samples
-        n = SAMPLES_PER_FRAME * self.options.channels
+        n = self.options.samples_per_frame * self.options.channels
         # with window_sequencing, a frame is emitted only once its
         # lookahead granule has arrived (encode_frames needs it)
         n_frames = max(len(self._pcm) - self._la_n, 0) // n
@@ -721,7 +747,7 @@ class EncoderSession:
         """Encode any partial frame (zero-padded, reservoir borrowing off) and
         emit the delayed buffered frame."""
         out = bytearray()
-        n = SAMPLES_PER_FRAME * self.options.channels
+        n = self.options.samples_per_frame * self.options.channels
         if self._la_n and not self._fed:
             # nothing was ever encoded; don't emit the delay preroll alone
             self._pcm = np.zeros(0, dtype=np.float32)
@@ -820,7 +846,9 @@ class EncoderSession:
             )
             per_ch = self._fed_samples // self.options.channels
             padding = (
-                self.assembler.frame_count * SAMPLES_PER_FRAME - delay - per_ch
+                self.assembler.frame_count * self.options.samples_per_frame
+                - delay
+                - per_ch
             )
             gapless = (delay, max(padding, 0))
         return build_xing_header(

@@ -24,7 +24,7 @@ from ..tables import mode_bits, sample_rate_index
 from .bitwriter import BitstreamWriter
 from .crc import crc16_mpeg
 from .huffman_pack import pack_chunks, pack_frame_main_data
-from .sideinfo import build_side_info
+from .sideinfo import build_side_info, build_side_info_lsf
 
 
 @dataclass
@@ -52,15 +52,17 @@ class FrameResult:
 
 class BitReservoir:
     """Contiguous Huffman byte stream + borrowing counter
-    (MP3Encoder.swift:2087-2128)."""
+    (MP3Encoder.swift:2087-2128). `cap` is the main_data_begin field reach:
+    511 bytes (9 bits, MPEG-1) or 255 (8 bits, LSF)."""
 
-    def __init__(self) -> None:
+    def __init__(self, cap: int = 511) -> None:
         self.stream = bytearray()
         self.available_bytes = 0
+        self.cap = cap
 
     @property
     def main_data_begin(self) -> int:
-        return min(len(self.stream), 511)
+        return min(len(self.stream), self.cap)
 
     def append(self, data: bytes) -> None:
         self.stream += data
@@ -73,22 +75,22 @@ class BitReservoir:
         lands between frames' data, where ISO permits ancillary bytes.
         tail_bytes=0 reproduces the reference's end-padding (compat mode).
 
-        At most 511 of the newest frame's bytes may precede its header
-        (main_data_begin is a 9-bit field); when tail_bytes > 511 the
+        At most `cap` (511/255) of the newest frame's bytes may precede its
+        header (main_data_begin field width); when tail_bytes > cap the
         remainder is KEPT in the stream and spills into the frame's own
         slot — stuffing still lands before the frame's data start, never
         inside it. (Without this, high-bitrate linbits frames with > 511
         data bytes tail-aligned deeper than mdb can express — silent
         corruption at >= 192 kbps; mirrored in encoder.py/pipeline.py
         stream_len floors and the C++ renderer.)"""
-        keep = max(tail_bytes - 511, 0)
+        keep = max(tail_bytes - self.cap, 0)
         avail = len(self.stream) - keep
         if avail >= slot_size:
             slot = bytes(self.stream[:slot_size])
             del self.stream[:slot_size]
             return slot
         pad = slot_size - avail
-        tail_in = min(tail_bytes, 511, avail)
+        tail_in = min(tail_bytes, self.cap, avail)
         cut = avail - tail_in
         slot = (
             bytes(self.stream[:cut]) + bytes(pad) + bytes(self.stream[cut:avail])
@@ -97,7 +99,9 @@ class BitReservoir:
         return slot
 
     def update(self, huffman_bytes: int, slot_size: int) -> None:
-        self.available_bytes = min(max(self.available_bytes + slot_size - huffman_bytes, 0), 511)
+        self.available_bytes = min(
+            max(self.available_bytes + slot_size - huffman_bytes, 0), self.cap
+        )
 
 
 class FrameAssembler:
@@ -105,7 +109,10 @@ class FrameAssembler:
 
     def __init__(self, options: MP3EncoderOptions, reservoir: Optional[BitReservoir] = None):
         self.options = options
-        self.reservoir = reservoir if reservoir is not None else BitReservoir()
+        self.reservoir = (
+            reservoir if reservoir is not None
+            else BitReservoir(cap=options.reservoir_cap)
+        )
         # FIFO of (header+sideinfo, slot) pairs awaiting emission; length
         # bounded by options.reservoir_depth (1 = the reference's one-frame
         # delay). Deeper delays extend a frame's main_data back-reach to
@@ -124,7 +131,8 @@ class FrameAssembler:
             mode_ext = const_ext
         h = BitstreamWriter()
         h.write(0x7FF, 11)
-        h.write(0b11, 2)  # MPEG-1
+        # version bits: 0b11 MPEG-1, 0b10 MPEG-2 (LSF), 0b00 MPEG-2.5
+        h.write((0b11, 0b10, 0b00)[opts.lsf], 2)
         h.write(0b01, 2)  # Layer III
         h.write(0 if opts.crc_protected else 1, 1)
         h.write(bitrate_index, 4)
@@ -166,8 +174,16 @@ class FrameAssembler:
                 self.reservoir.append(bytes(stuff))
         self.reservoir.append(main_data)
 
-        scfsi = fr.scfsi if fr.scfsi is not None else [[0, 0, 0, 0]] * channels
-        side_info = build_side_info(channels, fr.granules, scfsi, fr.main_data_begin)
+        if self.options.lsf:
+            # LSF: one granule, 8-bit mdb, no scfsi, no preflag bit
+            side_info = build_side_info_lsf(
+                channels, fr.granules, fr.main_data_begin
+            )
+        else:
+            scfsi = fr.scfsi if fr.scfsi is not None else [[0, 0, 0, 0]] * channels
+            side_info = build_side_info(
+                channels, fr.granules, scfsi, fr.main_data_begin
+            )
 
         header = self._build_header(fr.bitrate_index, fr.padding, fr.mode_ext)
         head = bytearray(header)

@@ -11,7 +11,13 @@ frame size. Header hardcodes copyright=0/original=1 regardless of options.
 from __future__ import annotations
 
 from ..options import MP3EncoderOptions
-from ..tables import bitrate_index, bitrate_value, mode_bits, sample_rate_index
+from ..tables import (
+    bitrate_index,
+    bitrate_value,
+    bitrate_value_lsf,
+    mode_bits,
+    sample_rate_index,
+)
 from .bitwriter import BitstreamWriter
 
 
@@ -52,18 +58,22 @@ def build_xing_header(
     populated. The reference writes no such extension (its header ends at
     the TOC, MP3Encoder.swift:415-417)."""
     channels = options.channels
-    side_info_size = 17 if channels == 1 else 32
+    lsf = options.lsf
+    if lsf:
+        side_info_size = 9 if channels == 1 else 17
+    else:
+        side_info_size = 17 if channels == 1 else 32
 
     br_index = bitrate_index(options.bitrate_kbps, options.sample_rate)
     sr_index = sample_rate_index(options.sample_rate)
-    br_value = bitrate_value(br_index)
-    frame_size = (144 * br_value * 1000) // options.sample_rate
+    br_value = bitrate_value_lsf(br_index) if lsf else bitrate_value(br_index)
+    frame_size = ((72 if lsf else 144) * br_value * 1000) // options.sample_rate
 
     mode, mode_ext = mode_bits(options.mode.value)
 
     h = BitstreamWriter()
     h.write(0x7FF, 11)  # sync
-    h.write(0b11, 2)  # MPEG-1
+    h.write((0b11, 0b10, 0b00)[lsf], 2)  # MPEG-1 / MPEG-2 / MPEG-2.5
     h.write(0b01, 2)  # Layer III
     h.write(1, 1)  # no CRC
     h.write(br_index, 4)

@@ -26,6 +26,7 @@ from ..tables import (
     STOP_WINDOW,
     TABLE15_LEN,
     band_table,
+    switch_bound,
 )
 
 BLOCK_LONG = 0
@@ -523,8 +524,45 @@ def _finish_slots(sf_slots: np.ndarray, n1_slots: int, n2_slots: int) -> dict:
     }
 
 
+# LSF (ISO 13818-3 2.4.3.2) scalefactor coding: the 9-bit scalefac_compress
+# selects a decomposition of the band set into 4 slen groups. This encoder
+# always emits decomposition case 0 (sf < 400, slen caps (4,4,3,3)): its
+# group value caps — first two groups <= 15, last two <= 7 — exactly match
+# the MPEG-1 family's band caps at the same slot positions (long: bands
+# 0-10 @ 15 via groups 6+5, 11-20 @ 7 via 5+5; short: sfbs 0-5 @ 15 via
+# 9+9 window-consecutive slots, 6-11 @ 7), so every existing scalefactor
+# LAW (peak-share, psy, short) works unchanged — only the compress/slen
+# finisher differs. Case 2 (implicit preflag) is never emitted: the
+# unit-gain law applies no pre-emphasis (mirrors preflag suppression).
+LSF_NSF_LONG = (6, 5, 5, 5)
+LSF_NSF_SHORT = (9, 9, 9, 9)
+
+
+def _finish_slots_lsf(sf_slots: np.ndarray, ns: tuple) -> dict:
+    """compress/slen/part2/slot widths for the LSF case-0 decomposition:
+    4 groups of ns[k] slots at slen_k = bit_length(group max)."""
+    bounds = np.concatenate([[0], np.cumsum(ns)]).astype(np.int64)
+    slens = []
+    for k in range(4):
+        g = sf_slots[bounds[k] : bounds[k + 1]]
+        slens.append(int(g.max()).bit_length() if g.size else 0)
+    assert slens[0] <= 4 and slens[1] <= 4 and slens[2] <= 3 and slens[3] <= 3
+    # case-0 composition (decoder: _lsf_sf_expand(sf, 5, 4, 4))
+    compress = ((slens[0] * 5 + slens[1]) * 4 + slens[2]) * 4 + slens[3]
+    slot_nbits = np.zeros(SF_SLOTS, dtype=np.int64)
+    for k in range(4):
+        slot_nbits[bounds[k] : bounds[k + 1]] = slens[k]
+    return {
+        "compress": compress,
+        "slen1": slens[0],  # dict-shape compat with _finish_slots (unused
+        "slen2": slens[1],  # by LSF emission; slot_nbits carries the law)
+        "slot_nbits": slot_nbits,
+        "part2_bits": int(sum(n * s for n, s in zip(ns, slens))),
+    }
+
+
 def strict_scalefactors(
-    spectrum: np.ndarray, sample_rate: int, block_type: int
+    spectrum: np.ndarray, sample_rate: int, block_type: int, lsf: bool = False
 ) -> dict:
     """Per-granule scalefactors + compression for the real_scalefactors flag.
 
@@ -559,14 +597,18 @@ def strict_scalefactors(
             pe = np.frexp(pb)[1]
             cap = 15 if b < 11 else 7
             sf[b] = min(max((int(ge) - int(pe)) // 3, 0), cap)
-    return _long_sfd(sf, bounds)
+    return _long_sfd(sf, bounds, lsf=lsf)
 
 
-def _long_sfd(sf: np.ndarray, bounds: np.ndarray) -> dict:
+def _long_sfd(sf: np.ndarray, bounds: np.ndarray, lsf: bool = False) -> dict:
     """Shared long-layout tail: slots 0-20 carry the 21 band scalefactors."""
     sf_slots = np.zeros(SF_SLOTS, dtype=np.int64)
     sf_slots[:21] = sf
-    fin = _finish_slots(sf_slots, 11, 10)
+    fin = (
+        _finish_slots_lsf(sf_slots, LSF_NSF_LONG)
+        if lsf
+        else _finish_slots(sf_slots, 11, 10)
+    )
     mag_scale = np.ones(576, dtype=np.float32)
     for b in range(21):
         if sf[b]:
@@ -600,13 +642,13 @@ PSY_ALPHA_NUM, PSY_ALPHA_DEN = 1, 2
 
 
 def psy_scalefactors(
-    spectrum: np.ndarray, sample_rate: int, block_type: int
+    spectrum: np.ndarray, sample_rate: int, block_type: int, lsf: bool = False
 ) -> dict:
     """Masking-driven scalefactors (options.psy_scalefactors): same return
     contract and emission machinery as strict_scalefactors, different sf
     law. Long-block granules only; switching granules emit zeros."""
     if block_type != BLOCK_LONG:
-        return strict_scalefactors(spectrum, sample_rate, block_type)
+        return strict_scalefactors(spectrum, sample_rate, block_type, lsf=lsf)
     absx = np.abs(np.asarray(spectrum, dtype=np.float32))
     bands = band_table(sample_rate)
     bounds = np.concatenate([[0], np.cumsum(bands)]).astype(np.int64)
@@ -635,7 +677,7 @@ def psy_scalefactors(
             v = min(v, max(0, ge - int(pe[b])))  # don't pass the global peak
             cap = 15 if b < 11 else 7
             sf[b] = min(max(v, 0), cap)
-    return _long_sfd(sf, bounds)
+    return _long_sfd(sf, bounds, lsf=lsf)
 
 
 # Short-granule sf compensation share: sf = (ge - pe) // SHORT_SF_DIV per
@@ -649,7 +691,7 @@ SHORT_SF_DIV = 3
 
 
 def short_scalefactors(
-    spectrum: np.ndarray, sample_rate: int, block_type: int
+    spectrum: np.ndarray, sample_rate: int, block_type: int, lsf: bool = False
 ) -> dict:
     """Per-(sfb, window) scalefactors for switching granules
     (options.iso_short_blocks). Same peak-exponent law as the long bands —
@@ -662,7 +704,11 @@ def short_scalefactors(
     from ..tables import short_band_bounds
 
     if block_type == BLOCK_LONG:
-        return strict_scalefactors(spectrum, sample_rate, block_type)
+        return strict_scalefactors(spectrum, sample_rate, block_type, lsf=lsf)
+    if lsf and block_type == BLOCK_MIXED:
+        # the LSF mixed layout (6-band head, ns (6,9,9,9)) is never
+        # emitted: the LSF encoder demotes MIXED to SHORT (lame does too)
+        raise ValueError("LSF encoding does not emit mixed blocks")
     absx = np.abs(np.asarray(spectrum, dtype=np.float32))
     sbounds = short_band_bounds(sample_rate)
     lbounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))]).astype(np.int64)
@@ -703,8 +749,11 @@ def short_scalefactors(
                 slot += 1
                 if v:
                     mag_scale[nat] = _SF_MULT34[v]
-    n1, n2 = (17, 18) if mixed else (18, 18)
-    fin = _finish_slots(sf_slots, n1, n2)
+    if lsf:
+        fin = _finish_slots_lsf(sf_slots, LSF_NSF_SHORT)
+    else:
+        n1, n2 = (17, 18) if mixed else (18, 18)
+        fin = _finish_slots(sf_slots, n1, n2)
     return {
         "sf": np.zeros(21, dtype=np.int32),  # long-band array (scfsi only)
         "sf_slots": sf_slots,
@@ -719,6 +768,7 @@ def granule_scalefactors(
     block_type: int,
     psy: bool = False,
     iso_short: bool = False,
+    lsf: bool = False,
 ) -> dict:
     """Dispatch the scalefactor law for one granule: long granules use the
     peak-share law (or the psy spreading law); switching granules use the
@@ -726,10 +776,10 @@ def granule_scalefactors(
     (reference behavior, scalefac_compress=0)."""
     if block_type != BLOCK_LONG:
         if iso_short:
-            return short_scalefactors(spectrum, sample_rate, block_type)
-        return strict_scalefactors(spectrum, sample_rate, block_type)
+            return short_scalefactors(spectrum, sample_rate, block_type, lsf=lsf)
+        return strict_scalefactors(spectrum, sample_rate, block_type, lsf=lsf)
     law = psy_scalefactors if psy else strict_scalefactors
-    return law(spectrum, sample_rate, block_type)
+    return law(spectrum, sample_rate, block_type, lsf=lsf)
 
 
 def scalefactor_chunks(sfd: dict) -> tuple[np.ndarray, np.ndarray]:
@@ -853,6 +903,10 @@ STRICT_ANCHORS = tuple(range(20))
 # entries of tables.BITRATE_TABLE_V1). The demand-driven VBR law
 # (options.vbr_demand) walks this list smallest-first.
 MPEG1_L3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+# LSF (MPEG-2/2.5) Layer III bitrates, ascending (ISO 13818-3; the valid
+# entries of tables.BITRATE_TABLE_V2).
+LSF_L3_BITRATES = (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
 
 
 # Demand probe for options.demand_budget: candidate k whose priced bits
@@ -1130,7 +1184,10 @@ def strict_entropy_layout(
 
     r0, r1 = region_counts(bv, sample_rate)
     if block_type != BLOCK_LONG:
-        b0, b1 = 36, 576
+        # Band-derived switching boundary (tables.switch_bound): exactly 36
+        # at every MPEG-1 rate (the constant earlier rounds hardcoded is a
+        # rate coincidence); 54/72/108 in the LSF family.
+        b0, b1 = switch_bound(sample_rate, block_type == BLOCK_SHORT), 576
     else:
         bounds = np.cumsum(band_table(sample_rate))
         b0 = int(bounds[r0])

@@ -353,10 +353,51 @@ class MP3EncoderOptions:
                 "demand_budget requires the strict entropy layout (the "
                 "demand signal is the strict sweep's priced candidate grid)"
             )
+        if self.lsf and not (
+            self.iso_quantization and self.reservoir_mode == "aligned"
+        ):
+            raise ValueError(
+                "LSF sample rates (8-24 kHz) require iso_quantization and "
+                "reservoir_mode='aligned': low-rate encoding is a "
+                "beyond-reference capability with no parity surface, so "
+                "only conforming streams are emitted (use "
+                "MP3EncoderOptions.spec_strict(sample_rate=...) or .hq())"
+            )
 
     @property
     def channels(self) -> int:
         return self.mode.channels
+
+    # --- MPEG-2/2.5 LSF (ISO 13818-3) derived structure -----------------------
+    # Low-sample-rate encoding is a beyond-reference capability: the
+    # reference's header writer is MPEG-1-only (MP3Encoder.swift:2533-2544
+    # maps unknown rates to the 44.1 kHz index, mislabeling the stream), so
+    # there is no parity surface at these rates — LSF streams are only
+    # emitted CONFORMING (validation in __post_init__ requires the
+    # unit-gain quantization law and the aligned reservoir).
+
+    @property
+    def lsf(self) -> int:
+        """0 = MPEG-1, 1 = MPEG-2, 2 = MPEG-2.5 (from the sample rate)."""
+        from .tables import lsf_version
+
+        return lsf_version(self.sample_rate)
+
+    @property
+    def n_granules(self) -> int:
+        """Granules per frame: 2 (MPEG-1) or 1 (LSF, ISO 13818-3 2.4.1.7)."""
+        return 1 if self.lsf else 2
+
+    @property
+    def samples_per_frame(self) -> int:
+        return SAMPLES_PER_GRANULE * self.n_granules
+
+    @property
+    def reservoir_cap(self) -> int:
+        """main_data_begin field reach: 9 bits (511 bytes) in MPEG-1,
+        8 bits (255) in LSF — caps the reservoir counter, the budget draw,
+        and every mdb clamp."""
+        return 255 if self.lsf else 511
 
     @property
     def spec_strict_entropy(self) -> bool:

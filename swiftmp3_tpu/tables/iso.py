@@ -38,10 +38,67 @@ SHORT_BANDS = {
 # Reference-parity alias (12 bands, applied 3 times). MP3Encoder.swift:1823.
 SHORT_BANDS_44100 = SHORT_BANDS[44100]
 
+# --- MPEG-2/2.5 (LSF, ISO/IEC 13818-3) scalefactor bands ----------------------
+# Encode-side capability beyond the reference (its header writer is
+# MPEG-1-only, MP3Encoder.swift:2533-2544). Transcribed from ISO 13818-3
+# Table B.2 as read by lame/mpg123; the 24 kHz long row carries the
+# corrigendum band 17/18 boundary at line 332 (ffmpeg reads 330 — lame and
+# mpg123 disagree with it, see decoder/_lsf_data.py). A test pins these
+# rows equal to the decoder's machine-extracted libavcodec copy
+# (tests/test_lsf_encode.py), keeping the two independent spec copies in
+# lockstep.
+LSF_LONG_BANDS = {
+    22050: np.array(
+        [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46, 52, 60, 68, 58],
+        dtype=np.int32,
+    ),
+    24000: np.array(
+        [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22, 26, 32, 38, 46, 54, 62, 70, 76],
+        dtype=np.int32,
+    ),
+    16000: np.array(
+        [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46, 52, 60, 68, 58],
+        dtype=np.int32,
+    ),
+    11025: np.array(
+        [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46, 52, 60, 68, 58],
+        dtype=np.int32,
+    ),
+    12000: np.array(
+        [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46, 52, 60, 68, 58],
+        dtype=np.int32,
+    ),
+    8000: np.array(
+        [12, 12, 12, 12, 12, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64, 76, 90, 2, 2, 2, 2],
+        dtype=np.int32,
+    ),
+}
+
+LSF_SHORT_BANDS = {
+    22050: np.array([4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42], dtype=np.int32),
+    24000: np.array([4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 32, 44], dtype=np.int32),
+    16000: np.array([4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40], dtype=np.int32),
+    11025: np.array([4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40], dtype=np.int32),
+    12000: np.array([4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40], dtype=np.int32),
+    8000: np.array([8, 8, 8, 12, 16, 20, 24, 28, 36, 2, 2, 2], dtype=np.int32),
+}
+
+
+def lsf_version(sample_rate: int) -> int:
+    """0 = MPEG-1, 1 = MPEG-2 (ISO 13818-3 LSF), 2 = MPEG-2.5 — derived
+    from the sample rate (each rate belongs to exactly one version)."""
+    return {22050: 1, 24000: 1, 16000: 1, 11025: 2, 12000: 2, 8000: 2}.get(
+        sample_rate, 0
+    )
+
 
 def short_band_table(sample_rate: int) -> np.ndarray:
-    """Short-block band width table; unknown rates fall back to 44100
-    (mirroring band_table's dispatch quirk)."""
+    """Short-block band width table. LSF rates (8-24 kHz) get their real
+    ISO 13818-3 rows (beyond-reference capability — the reference would
+    mislabel such streams as 44.1 kHz MPEG-1); truly unknown rates fall
+    back to 44100 (mirroring band_table's dispatch quirk)."""
+    if sample_rate in LSF_SHORT_BANDS:
+        return LSF_SHORT_BANDS[sample_rate]
     return SHORT_BANDS.get(sample_rate, SHORT_BANDS[44100])
 
 
@@ -89,11 +146,31 @@ def mixed_reorder_src(sample_rate: int) -> np.ndarray:
 
 
 def band_table(sample_rate: int) -> np.ndarray:
-    """Long-block band width table; any unknown rate falls back to 44100.
+    """Long-block band width table. LSF rates get their real ISO 13818-3
+    rows (see LSF_LONG_BANDS); any truly unknown rate falls back to 44100.
 
-    Matches MP3Encoder.swift:1879-1888 (default branch -> 44100 table).
+    Matches MP3Encoder.swift:1879-1888 (default branch -> 44100 table) for
+    the MPEG-1 family; the reference has no LSF behavior to be parity with
+    (its band dispatch would silently use 44.1 kHz bands at these rates).
     """
+    if sample_rate in LSF_LONG_BANDS:
+        return LSF_LONG_BANDS[sample_rate]
     return LONG_BANDS.get(sample_rate, LONG_BANDS[44100])
+
+
+def switch_bound(sample_rate: int, pure_short: bool) -> int:
+    """Line boundary of entropy region 0 for window-switching granules
+    (block_type != 0): BAND-DERIVED, not a fixed 36 — the first 8 long
+    bands for start/stop/mixed granules, 3x the first 3 short bands for
+    pure short granules (ISO 2.4.2.7 region_address semantics as read by
+    lame/mpg123/ffmpeg; validated externally in tests/test_lsf.py). At
+    every MPEG-1 rate both expressions evaluate to exactly 36 — the
+    constant the reference (and rounds 1-2 here) hardcoded is a
+    MPEG-1-rate coincidence. LSF: 54 at 11.025-24 kHz (108 at 8 kHz) for
+    start/stop/mixed; 72 at 8 kHz for pure short."""
+    if pure_short:
+        return 3 * int(np.sum(short_band_table(sample_rate)[:3]))
+    return int(np.sum(band_table(sample_rate)[:8]))
 
 
 def band_count(sample_rate: int, is_short: bool) -> int:
@@ -138,10 +215,24 @@ def bitrate_value(index: int) -> int:
     return 128
 
 
+def bitrate_value_lsf(index: int) -> int:
+    """Bitrate in kbps for an LSF (MPEG-2/2.5) index. Same fallback shape
+    as bitrate_value; the LSF table tops out at 160 kbps."""
+    if 0 <= index < len(BITRATE_TABLE_V2):
+        return int(BITRATE_TABLE_V2[index])
+    return 64
+
+
 def sample_rate_index(sample_rate: int) -> int:
-    """MPEG-1 sample rate index; unknown rates map to 44100's index 0
-    (MP3Encoder.swift:2533-2544)."""
-    return {44100: 0, 48000: 1, 32000: 2}.get(sample_rate, 0)
+    """Header sample-rate index bits. MPEG-1 rates per the reference
+    (MP3Encoder.swift:2533-2544, unknown rates map to 44100's index 0);
+    LSF rates per ISO 13818-3 (index within their own version's table:
+    22050/11025 -> 0, 24000/12000 -> 1, 16000/8000 -> 2)."""
+    return {
+        44100: 0, 48000: 1, 32000: 2,
+        22050: 0, 24000: 1, 16000: 2,
+        11025: 0, 12000: 1, 8000: 2,
+    }.get(sample_rate, 0)
 
 
 def mode_bits(mode: str) -> tuple[int, int]:
