@@ -443,7 +443,7 @@ class GoldenBackend:
             br_idx, br_val, frame_size, pad = _apply_bitrate(target)
             main_data_size = frame_size - 4 - crc_size - side_size
             total_bits = main_data_size * 8 + usable
-            bits_per_granule = total_bits // (2 * channels)
+            bits_per_granule = total_bits // (n_gr * channels)
 
         # Budget per granule-channel: equal split (reference law), or the
         # demand-donation law (options.demand_budget — demand is the exact

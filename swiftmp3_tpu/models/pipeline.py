@@ -47,6 +47,7 @@ from ..io.framing import FrameResult
 from ..io.sideinfo import GranuleInfo
 from ..ops.reference import K_DEMAND as LINBITS_K_DEMAND
 from ..ops.reference import LINBITS_Q_TARGET
+from ..ops.reference import LSF_L3_BITRATES as LSF_VBR_BITRATES
 from ..ops.reference import MPEG1_L3_BITRATES as VBR_BITRATES
 from ..options import (
     MP3EncoderOptions,
@@ -54,7 +55,7 @@ from ..options import (
     SAMPLES_PER_FRAME,
     SAMPLES_PER_GRANULE,
 )
-from ..tables import bitrate_index, bitrate_value, mode_bits
+from ..tables import bitrate_index, bitrate_value, bitrate_value_lsf, mode_bits, switch_bound
 from ..ops import dsp
 # Import eagerly: importing inside a traced function would create the
 # kernel module's jnp constants under the tracer (leaked-tracer errors on
@@ -113,15 +114,22 @@ def main_data_cap(options: MP3EncoderOptions) -> int:
     from ..ops.dsp import MAX_FRAME_MAIN_BITS
 
     sr = options.sample_rate
+    lsf = options.lsf
+    top = 160 if lsf else 320
     if options.vbr:
-        max_kbps = min(320, options.bitrate_kbps + 64 - options.quality * 4)
+        max_kbps = min(top, options.bitrate_kbps + 64 - options.quality * 4)
     else:
         max_kbps = options.bitrate_kbps
-    br_val = bitrate_value(bitrate_index(max_kbps, sr))
-    side = 17 if options.channels == 1 else 32
+    bi = bitrate_index(max_kbps, sr)
+    br_val = bitrate_value_lsf(bi) if lsf else bitrate_value(bi)
+    if lsf:
+        side = 9 if options.channels == 1 else 17
+    else:
+        side = 17 if options.channels == 1 else 32
     crc = 2 if options.crc_protected else 0
-    slot_max = (144 * br_val * 1000) // sr + 1 - 4 - crc - side
-    cap = min(MAX_FRAME_MAIN_BITS // 8, slot_max + 512)
+    slots_per_kbps = 72 if lsf else 144
+    slot_max = (slots_per_kbps * br_val * 1000) // sr + 1 - 4 - crc - side
+    cap = min(MAX_FRAME_MAIN_BITS // 8, slot_max + options.reservoir_cap + 1)
     return cap + (cap & 1)  # even (halfword-aligned)
 
 
@@ -141,15 +149,23 @@ def make_chunk_fn(options: MP3EncoderOptions):
     """
     sr = options.sample_rate
     ch = options.channels
-    n_gran = 2 * ch
-    side_size = 17 if ch == 1 else 32
+    lsf = options.lsf  # 0 MPEG-1, 1 MPEG-2, 2 MPEG-2.5 (one granule/frame)
+    n_gr = options.n_granules
+    spf = options.samples_per_frame  # 1152 (MPEG-1) or 576 (LSF)
+    res_cap = options.reservoir_cap  # 511 (9-bit mdb) or 255 (LSF, 8-bit)
+    n_gran = n_gr * ch
+    if lsf:
+        side_size = 9 if ch == 1 else 17
+    else:
+        side_size = 17 if ch == 1 else 32
     crc_size = 2 if options.crc_protected else 0
     is_vbr = options.vbr
     base_kbps = options.bitrate_kbps
     quality = options.quality
     mode = options.mode
     cbr_index = bitrate_index(base_kbps, sr)
-    cbr_value = bitrate_value(cbr_index)
+    cbr_value = bitrate_value_lsf(cbr_index) if lsf else bitrate_value(cbr_index)
+    slots_per_kbps = 72 if lsf else 144  # LSF frames carry ONE granule
     cap_bytes = main_data_cap(options)
     aligned = options.reservoir_mode == "aligned"
     iso_quant = options.iso_quantization
@@ -186,22 +202,22 @@ def make_chunk_fn(options: MP3EncoderOptions):
         use_ms = None  # per-frame M/S decision (joint stereo only)
         if "ingest" in _ABLATE:
             s = jnp.sum(pcm_bt, dtype=jnp.float32) * jnp.float32(1e-30)
-            ramp = jnp.arange(T * 1152, dtype=jnp.float32) * jnp.float32(1e-7)
-            pcm_chunk = jnp.zeros((B, ch, T * 1152), jnp.float32) + s + ramp
+            ramp = jnp.arange(T * spf, dtype=jnp.float32) * jnp.float32(1e-7)
+            pcm_chunk = jnp.zeros((B, ch, T * spf), jnp.float32) + s + ramp
         elif ch == 1:
-            pcm_chunk = pcm_bt[:, None, :]  # [B, 1, T*1152]
+            pcm_chunk = pcm_bt[:, None, :]  # [B, 1, T*spf]
         else:
-            left = pcm_bt[:, 0::2].reshape(B, T, 1152)
-            right = pcm_bt[:, 1::2].reshape(B, T, 1152)
+            left = pcm_bt[:, 0::2].reshape(B, T, spf)
+            right = pcm_bt[:, 1::2].reshape(B, T, spf)
             if mode is Mode.JOINT_STEREO:
                 use_ms, c0, c1 = dsp.stereo_decide(
                     left, right, iso_matrix=options.iso_ms_matrix
                 )  # [B, T]
             else:
                 c0, c1 = left, right
-            pcm_chunk = jnp.stack([c0, c1], axis=1).reshape(B, ch, T * 1152)
+            pcm_chunk = jnp.stack([c0, c1], axis=1).reshape(B, ch, T * spf)
 
-        granule_pcm = pcm_chunk.reshape(B, ch, T, 2, 576)  # free view
+        granule_pcm = pcm_chunk.reshape(B, ch, T, n_gr, 576)  # free view
 
         # Filterbank: folded five-matmul form (full-width MXU; see
         # dsp.polyphase_chunk_matmul) on every platform — measured faster
@@ -224,39 +240,50 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     "lookahead input la [B, T, 576*ch]"
                 )
             if ch == 1:
-                raw_g = pcm_bt.reshape(B, 1, T, 2, 576)
+                raw_g = pcm_bt.reshape(B, 1, T, n_gr, 576)
                 la_g = la.reshape(B, 1, T, 576)
             else:
                 raw_g = jnp.stack([left, right], axis=1).reshape(
-                    B, 2, T, 2, 576
+                    B, 2, T, n_gr, 576
                 )
                 la_g = jnp.stack(
                     [la[..., 0::2], la[..., 1::2]], axis=1
                 )  # [B, 2, T, 576]
-            rb, _ = dsp.transient_frame(raw_g)  # [B, chs, T, 2]
+            rb, _ = dsp.transient_frame(raw_g)  # [B, chs, T, n_gr]
             want_b = jnp.any(
                 (rb != dsp.BLOCK_LONG) | dsp.onset_wants(raw_g), axis=1
-            )  # [B, T, 2]
+            )  # [B, T, n_gr]
             lb, _ = dsp.transient_frame(la_g[..., None, :])  # [B, chs, T, 1]
             want_la = jnp.any(
                 (lb[..., 0] != dsp.BLOCK_LONG) | dsp.onset_wants(la_g),
                 axis=1,
             )  # [B, T]
-            want_next = jnp.stack([want_b[..., 1], want_la], axis=-1)
-            valid_g = jnp.repeat(valid, 2, axis=1)  # [B, 2T]
+            # next-granule wants: within the frame for granules 0..n_gr-2,
+            # the lookahead granule for the frame's last (only, at LSF)
+            want_next = jnp.concatenate(
+                [want_b[..., 1:], want_la[..., None]], axis=-1
+            )
+            valid_g = jnp.repeat(valid, n_gr, axis=1)  # [B, n_gr*T]
             bts, seq_ps, seq_pw = dsp.sequence_blocks_chunk(
-                want_b.reshape(B, 2 * T),
-                want_next.reshape(B, 2 * T),
+                want_b.reshape(B, n_gr * T),
+                want_next.reshape(B, n_gr * T),
                 valid_g,
                 carry["seq_prev_short"],
                 carry["seq_prev_want"],
             )
             block_b = jnp.broadcast_to(
-                bts.reshape(B, 1, T, 2), (B, ch, T, 2)
+                bts.reshape(B, 1, T, n_gr), (B, ch, T, n_gr)
             )
-            sb_gain_b = jnp.zeros((B, ch, T, 2, 3), jnp.int32)
+            sb_gain_b = jnp.zeros((B, ch, T, n_gr, 3), jnp.int32)
         else:
-            block_b, sb_gain_b = dsp.transient_frame(granule_pcm)  # [B,ch,T,2],[B,ch,T,2,3]
+            block_b, sb_gain_b = dsp.transient_frame(granule_pcm)  # [B,ch,T,n_gr],[..,3]
+            if lsf:
+                # the LSF encoder never emits mixed blocks (no validated
+                # external reading for the 6-band head; lame never emits
+                # mixed either) — demote to SHORT (golden twin does the same)
+                block_b = jnp.where(
+                    block_b == dsp.BLOCK_MIXED, dsp.BLOCK_SHORT, block_b
+                )
             if options.shared_ms_blocks and use_ms is not None:
                 # M/S frames must carry ONE window layout across both
                 # channels (options.shared_ms_blocks; twin of
@@ -264,10 +291,12 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 # the more-transient verdict win (LONG < MIXED < SHORT).
                 # L/R frames keep the per-channel post-matrix decision.
                 raw_g = jnp.stack([left, right], axis=1).reshape(
-                    B, 2, T, 2, 576
+                    B, 2, T, n_gr, 576
                 )
-                rb, _ = dsp.transient_frame(raw_g)  # [B, 2, T, 2]
-                shared = jnp.max(rb, axis=1, keepdims=True)  # [B, 1, T, 2]
+                rb, _ = dsp.transient_frame(raw_g)  # [B, 2, T, n_gr]
+                if lsf:
+                    rb = jnp.where(rb == dsp.BLOCK_MIXED, dsp.BLOCK_SHORT, rb)
+                shared = jnp.max(rb, axis=1, keepdims=True)  # [B, 1, T, n_gr]
                 block_b = jnp.where(use_ms[:, None, :, None], shared, block_b)
             if iso_quant:
                 # The quantizer never applies per-window gains, so the
@@ -275,13 +304,13 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 # decoders attenuate short windows by 2^(-2*sbg) spuriously;
                 # the unit-gain law emits zeros (mirrors preflag suppression).
                 sb_gain_b = jnp.zeros_like(sb_gain_b)
-        block_seq = block_b.reshape(B, ch, 2 * T)  # granule-sequence order
+        block_seq = block_b.reshape(B, ch, n_gr * T)  # granule-sequence order
         spectra, cur = dsp.mdct_chunk(
             S, carry["overlap"], block_seq,
             iso_mixed_alias=options.iso_short_blocks,
             window_seq=win_seq,
         )
-        spectra = spectra.reshape(B, ch, T, 2, 576)  # [B,ch,T,gr,576]
+        spectra = spectra.reshape(B, ch, T, n_gr, 576)  # [B,ch,T,gr,576]
         if options.lowpass_hz is not None:
             # subband-granularity lowpass (options.lowpass_hz; twin of
             # GoldenBackend) — static mask, fuses into the MDCT epilogue.
@@ -319,13 +348,14 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     spectra, sr, sf_block_b,
                     psy=options.psy_scalefactors,
                     iso_short=options.iso_short_blocks,
+                    lsf=bool(lsf),
                 )
                 g0 = dsp.initial_gain_scaled(
                     spectra, sfd["mag_scale"],
                     target=LINBITS_Q_TARGET if options.linbits_tables else 15.0,
                 )
                 mag_scale, part2 = sfd["mag_scale"], sfd["part2"]
-                if options.scfsi:
+                if options.scfsi and not lsf:
                     # granule 1 skips retransmitting groups equal to granule
                     # 0's; the saved part2 bits return to the rate budget
                     scfsi_nib, sf_write = dsp.scfsi_device(
@@ -338,6 +368,17 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 sfd = None
                 g0 = dsp.initial_gain(spectra, iso=iso_quant)
                 mag_scale = part2 = scfsi_nib = sf_write = None
+            if lsf:
+                # band-derived switching region-0 boundary (LSF only; at
+                # MPEG-1 rates both expressions are exactly 36 and the
+                # device keeps the historical literal — see tables.switch_bound)
+                b0_sw = jnp.where(
+                    block_b == dsp.BLOCK_SHORT,
+                    switch_bound(sr, True),
+                    switch_bound(sr, False),
+                ).astype(jnp.int32)
+            else:
+                b0_sw = None
             pre = dsp.rate_loop_precompute_strict(
                 spectra,
                 g0,
@@ -351,6 +392,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 block=block_b,
                 iso_short=options.iso_short_blocks,
                 linbits=options.linbits_tables,
+                b0_switch=b0_sw,
             )
         else:
             sfd = scfsi_nib = sf_write = None
@@ -404,16 +446,18 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 # candidate — the priced grid is already computed, so the
                 # choice is a tiny static where-select.
                 d = jnp.sum(bits_k[..., min(quality, 19)], axis=-1)  # [B]
-                min_b = 32  # full downward freedom (twin of encoder.py)
-                max_b = min(320, base_kbps + 64 - quality * 4)
-                cands = [
-                    b for b in VBR_BITRATES if min_b <= b <= max_b
-                ]
-                if not cands:  # band above 320 (base 320, high quality)
-                    cands = [bitrate_value(bitrate_index(max_b, sr))]
+                table = LSF_VBR_BITRATES if lsf else VBR_BITRATES
+                min_b = 8 if lsf else 32  # full downward freedom (twin of encoder.py)
+                max_b = min(table[-1], base_kbps + 64 - quality * 4)
+                cands = [b for b in table if min_b <= b <= max_b]
+                if not cands:  # band above the table top (base at top, high q)
+                    bi = bitrate_index(max_b, sr)
+                    cands = [
+                        bitrate_value_lsf(bi) if lsf else bitrate_value(bi)
+                    ]
                 slots_b = np.array(
                     [
-                        ((144 * b * 1000) // sr - 4 - crc_size - side_size) * 8
+                        ((slots_per_kbps * b * 1000) // sr - 4 - crc_size - side_size) * 8
                         for b in cands
                     ],
                     dtype=np.int32,
@@ -431,18 +475,18 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 )
                 target = jnp.where(jnp.any(fits, axis=1), sel, cands[-1])
                 br_idx = dsp.bitrate_index_device(target, sr)
-                br_val = dsp.bitrate_value_device(br_idx)
+                br_val = dsp.bitrate_value_device(br_idx, lsf=bool(lsf))
             elif is_vbr:
                 target = dsp.vbr_choose_bitrate(
                     fe, c["vbr_ehist"], c["vbr_count"], base_kbps, quality
                 )
                 br_idx = dsp.bitrate_index_device(target, sr)
-                br_val = dsp.bitrate_value_device(br_idx)
+                br_val = dsp.bitrate_value_device(br_idx, lsf=bool(lsf))
             else:
                 br_idx = jnp.full(B, cbr_index, dtype=jnp.int32)
                 br_val = jnp.full(B, cbr_value, dtype=jnp.int32)
 
-            numerator = 144 * br_val * 1000
+            numerator = slots_per_kbps * br_val * 1000
             base_size = numerator // sr
             remainder = numerator % sr
             pad_acc = c["pad_rem"] + remainder
@@ -461,7 +505,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 # the min(.,511) never binds — the 90% rule caps usable at
                 # 0.9*511 bytes)
                 gap_b = sum_fifo - c["stream_len"]
-                usable = jnp.minimum(usable, jnp.clip(gap_b, 0, 511) * 8)
+                usable = jnp.minimum(usable, jnp.clip(gap_b, 0, res_cap) * 8)
             bits_per_granule = (slot * 8 + usable) // n_gran
             if options.linbits_tables:
                 # part2_3_length is a 12-bit field; ESC coding can genuinely
@@ -510,18 +554,18 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 # expires as end-padding when its slot emits (the floor).
                 gap = sum_fifo - c["stream_len"]
                 if options.reservoir_depth > 1:
-                    mdb = jnp.clip(gap, 0, 511)
+                    mdb = jnp.clip(gap, 0, res_cap)
                 else:
-                    mdb = jnp.clip(jnp.minimum(gap, huffman_bytes), 0, 511)
+                    mdb = jnp.clip(jnp.minimum(gap, huffman_bytes), 0, res_cap)
                 stream_len = jnp.maximum(
                     c["stream_len"] + (gap - mdb) + huffman_bytes - oldest, 0
                 )
             else:
-                mdb = jnp.where(fin, 0, jnp.minimum(c["stream_len"], 511))
+                mdb = jnp.where(fin, 0, jnp.minimum(c["stream_len"], res_cap))
                 stream_len = jnp.maximum(
                     c["stream_len"] + huffman_bytes - oldest, 0
                 )
-            avail = jnp.clip(c["avail"] + slot - huffman_bytes, 0, 511)
+            avail = jnp.clip(c["avail"] + slot - huffman_bytes, 0, res_cap)
             vbr_ehist = jnp.concatenate([c["vbr_ehist"][:, n_gran:], ge], axis=1)
             vbr_count = jnp.minimum(c["vbr_count"] + n_gran, 10)
 
@@ -560,7 +604,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
         br_idx, padding, mdb, slot, k_sel, has_fit, bits_sel = ys
 
         def bm(x):  # inverse of tm: [T, B, G, ...] -> [B, ch, T, gr, ...]
-            y = x.reshape((T, B, 2, ch) + x.shape[3:])
+            y = x.reshape((T, B, n_gr, ch) + x.shape[3:])
             return jnp.transpose(y, (1, 3, 0, 2) + tuple(range(4, y.ndim)))
 
         # ---------------- Phase 3: parallel finalize (batch-major) --------
@@ -589,15 +633,15 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     # (twin of the selection scan's est-world form)
                     gap2 = sum_f2 - c["stream_len"]
                     if options.reservoir_depth > 1:
-                        mdb_f = jnp.clip(gap2, 0, 511)
+                        mdb_f = jnp.clip(gap2, 0, res_cap)
                     else:
-                        mdb_f = jnp.clip(jnp.minimum(gap2, hb_f), 0, 511)
+                        mdb_f = jnp.clip(jnp.minimum(gap2, hb_f), 0, res_cap)
                     sl = jnp.maximum(
                         c["stream_len"] + (gap2 - mdb_f) + hb_f - oldest2, 0
                     )
                 else:
                     mdb_f = jnp.where(
-                        fin_f, 0, jnp.minimum(c["stream_len"], 511)
+                        fin_f, 0, jnp.minimum(c["stream_len"], res_cap)
                     )
                     sl = jnp.maximum(c["stream_len"] + hb_f - oldest2, 0)
                 new_c = {
@@ -737,11 +781,11 @@ def make_chunk_fn(options: MP3EncoderOptions):
         # ~10 ns/element (~2.5 ms for these two), while the one-hot
         # contractions ride the MXU over data that is already materialized.
         count_valid = jnp.sum(valid.astype(jnp.int32), axis=1)  # [B]
-        # trailing-480 slab t lives at full_x[1152t : 1152t+480]: pad to
-        # (T+1)*1152 so slab t is the head of padded row t.
-        pad_to = (T + 1) * 1152 - full_x.shape[-1]
+        # trailing-480 slab t lives at full_x[spf*t : spf*t+480]: pad to
+        # (T+1)*spf so slab t is the head of padded row t.
+        pad_to = (T + 1) * spf - full_x.shape[-1]
         slabs = jnp.pad(full_x, ((0, 0), (0, 0), (0, pad_to))).reshape(
-            B, ch, T + 1, 1152
+            B, ch, T + 1, spf
         )[..., :480]
         sel_t = (count_valid[:, None] == jnp.arange(T + 1)).astype(jnp.float32)
         fb_hist = jnp.einsum(
@@ -749,7 +793,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
         )
         all_ov = jnp.concatenate([carry["overlap"][:, :, None, :], cur], axis=2)
         sel_g = (
-            (2 * count_valid)[:, None] == jnp.arange(2 * T + 1)
+            (n_gr * count_valid)[:, None] == jnp.arange(n_gr * T + 1)
         ).astype(jnp.float32)
         overlap = jnp.einsum(
             "bg,bcgj->bcj", sel_g, all_ov, precision=jax.lax.Precision.HIGHEST
@@ -800,7 +844,7 @@ _GRANULE_FIELDS = (
 def fetch_outputs(outs, options: MP3EncoderOptions) -> dict:
     """Transfer the packed chunk output to host and unpack to named arrays
     (all BATCH-MAJOR, [B, T, ...], matching the device layout)."""
-    n_gran = 2 * options.channels
+    n_gran = options.n_granules * options.channels
     packed = np.asarray(outs["packed"])
     cap = main_data_cap(options)
     main_data = packed[..., :cap]
@@ -840,8 +884,9 @@ def frame_results_from_outputs(
     """Convert one (stream, time) slice of stacked chunk outputs to a
     FrameResult for the host assembler (outputs are batch-major)."""
     ch = options.channels
-    n_gran = 2 * ch
-    granules = [[None] * ch for _ in range(2)]
+    n_gr = options.n_granules
+    n_gran = n_gr * ch
+    granules = [[None] * ch for _ in range(n_gr)]
     for g in range(n_gran):
         gr, c = divmod(g, ch)
         block = int(outs["block_type"][b, t, g])
@@ -921,7 +966,7 @@ class TPUBackend:
         is_final: np.ndarray,
         lookahead: np.ndarray = None,
     ) -> List[FrameResult]:
-        n = SAMPLES_PER_FRAME * self.options.channels
+        n = self.options.samples_per_frame * self.options.channels
         F = len(frames)
         results: List[FrameResult] = []
         la_n = SAMPLES_PER_GRANULE * self.options.channels

@@ -102,6 +102,11 @@ class NativeStreamRenderer:
         lib = _load()
         if lib is None:
             raise RuntimeError("native renderer unavailable (g++ build failed)")
+        if options.lsf:
+            raise NotImplementedError(
+                "NativeStreamRenderer writes MPEG-1 headers/side info only; "
+                "LSF (8-24 kHz) streams use the Python FrameAssembler"
+            )
         self._lib = lib
         self.options = options
         mb, me = mode_bits(options.mode.value)

@@ -68,7 +68,12 @@ BLOCK_STOP = 4
 N_GAIN_CANDIDATES = 20  # the reference's maxIterations (MP3Encoder.swift:745)
 
 # Strict walk respec anchors: law + rationale in ops.reference (the spec).
-from .reference import STRICT_ANCHORS, _anchor_segment  # noqa: E402
+from .reference import (  # noqa: E402
+    LSF_NSF_LONG,
+    LSF_NSF_SHORT,
+    STRICT_ANCHORS,
+    _anchor_segment,
+)
 
 
 def _quantizer_step_tables() -> tuple[np.ndarray, np.ndarray]:
@@ -307,9 +312,19 @@ def polyphase_chunk_matmul(
     x_full = jnp.concatenate([hist, pcm], axis=-1)
     L = x_full.shape[-1]
     T36 = (L - 480) // 32
-    assert T36 % 4 == 0
-    R_out = T36 // 4
-    x = jnp.pad(x_full, [(0, 0)] * (x_full.ndim - 1) + [(0, 32)])
+    # LSF chunks have 18 windows/frame, so T36 % 4 can be 2 (odd T): pad
+    # the signal with zero windows to the 4-per-row packing and slice the
+    # extra rows off the output (the padded windows are never consumed).
+    n_pad = (-T36) % 4
+    if n_pad:
+        x_full_p = jnp.pad(
+            x_full, [(0, 0)] * (x_full.ndim - 1) + [(0, 32 * n_pad)]
+        )
+        L += 32 * n_pad
+    else:
+        x_full_p = x_full
+    R_out = (T36 + n_pad) // 4
+    x = jnp.pad(x_full_p, [(0, 0)] * (x_full_p.ndim - 1) + [(0, 32)])
     A = x.reshape(*x.shape[:-1], (L + 32) // 128, 128)
     S4 = None
     for d in range(5):
@@ -319,7 +334,9 @@ def polyphase_chunk_matmul(
             precision=_HIGHEST,
         )
         S4 = term if S4 is None else S4 + term
-    S = S4.reshape(*S4.shape[:-2], T36, 32)
+    S = S4.reshape(*S4.shape[:-2], T36 + n_pad, 32)
+    if n_pad:
+        S = jax.lax.slice_in_dim(S, 0, T36, axis=-2)
     return S.astype(_F32), x_full
 
 
@@ -1191,10 +1208,11 @@ def bitrate_index_device(bitrate: jax.Array, sample_rate: int) -> jax.Array:
 
 
 _BITRATE_VALUES = jnp.asarray(BITRATE_TABLE_V1)
+_BITRATE_VALUES_V2 = jnp.asarray(BITRATE_TABLE_V2)
 
 
-def bitrate_value_device(index: jax.Array) -> jax.Array:
-    return jnp.take(_BITRATE_VALUES, index, axis=0)
+def bitrate_value_device(index: jax.Array, lsf: bool = False) -> jax.Array:
+    return jnp.take(_BITRATE_VALUES_V2 if lsf else _BITRATE_VALUES, index, axis=0)
 
 
 # --- Spec-strict entropy layout (device twin of reference.strict_entropy_layout)
@@ -1340,7 +1358,8 @@ def _pair_code_by_tid(tid: jax.Array, idx: jax.Array, linbits: bool = False) -> 
 
 
 _BOUNDS_BY_SR = {
-    sr: np.cumsum(band_table(sr)).astype(np.int32) for sr in (44100, 48000, 32000)
+    sr: np.cumsum(band_table(sr)).astype(np.int32)
+    for sr in (44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000)
 }
 
 
@@ -1379,6 +1398,7 @@ def strict_layout_device(
     region_table_select: bool,
     assume_abs: bool = False,
     linbits: bool = False,
+    b0_switch: jax.Array | None = None,
 ) -> dict:
     """Layout integers for quantized spectra [..., 576] (leading dims free).
 
@@ -1390,6 +1410,8 @@ def strict_layout_device(
     the sweep skips applying and re-stripping signs). linbits: |values|
     above 15 select 24-family ESC tables; per-pair bits gain the region's
     linbits width per escaped member (requires region_table_select).
+    b0_switch: per-granule switching-granule region-0 line boundary
+    (LSF rates only; None keeps the MPEG-1 constant 36).
     """
     cap = QCAP_LINBITS if linbits else 15
     av = q if assume_abs else jnp.minimum(jnp.abs(q), cap)
@@ -1409,7 +1431,11 @@ def strict_layout_device(
 
     r0, r1 = region_counts(bv, sample_rate)
     b0l, b1l = _region_bounds(r0, r1, sample_rate)
-    b0 = jnp.where(is_long, b0l, 36)
+    # Switching-granule region-0 boundary: BAND-DERIVED (tables.switch_bound
+    # — 36 at every MPEG-1 rate, so the literal is kept there for the
+    # historical HLO; 54/72/108 in the LSF family, varying by pure-short
+    # vs start/stop, so LSF callers pass the per-granule b0_switch).
+    b0 = jnp.where(is_long, b0l, 36 if b0_switch is None else b0_switch)
     b1 = jnp.where(is_long, b1l, 576)
 
     x = av[..., 0::2]
@@ -1501,6 +1527,7 @@ def rate_loop_precompute_strict(
     iso_short: bool = False,
     use_pallas: bool = False,
     linbits: bool = False,
+    b0_switch: jax.Array | None = None,
 ) -> dict:
     """Strict-entropy sweep: candidates priced EXACTLY at every grid gain
     (lax.map over strict_layout_device; STRICT_ANCHORS = all 20).
@@ -1536,9 +1563,16 @@ def rate_loop_precompute_strict(
         # START/STOP granules are long-layout: no 2.4.3.4.8 reordering
         is_long_x = ((block == BLOCK_LONG) | (block > BLOCK_SHORT))[..., None]
         is_mixed_x = (block == BLOCK_MIXED)[..., None]
+        # LSF (b0_switch passed): MIXED is demoted to SHORT upstream —
+        # never reaches here — and the 8 kHz mixed permutation is
+        # malformed anyway (line 12 is mid-band; no validated reading),
+        # so the mixed reorder is skipped entirely.
+        lsf_rate = b0_switch is not None
 
         def reorder_by_block(x):
             x_s = reorder_natural_to_stream(x, sample_rate, mixed=False)
+            if lsf_rate:
+                return jnp.where(is_long_x, x, x_s)
             x_m = reorder_natural_to_stream(x, sample_rate, mixed=True)
             return jnp.where(is_long_x, x, jnp.where(is_mixed_x, x_m, x_s))
 
@@ -1582,7 +1616,7 @@ def rate_loop_precompute_strict(
         )
         lay_a = strict_layout_device(
             q_abs, sample_rate, is_long, count1_coding, region_table_select,
-            assume_abs=True, linbits=linbits,
+            assume_abs=True, linbits=linbits, b0_switch=b0_switch,
         )
         return lay_a["bits"]
 
@@ -1617,6 +1651,7 @@ def rate_loop_precompute_strict(
         "strict": (sample_rate, count1_coding, region_table_select),
         "is_long": is_long,
         "linbits": linbits,
+        **({"b0_switch": b0_switch} if b0_switch is not None else {}),
     }
 
 
@@ -1634,7 +1669,7 @@ def strict_finalize(
     )[..., 0, :]
     lay = strict_layout_device(
         q_sel, sample_rate, pre["is_long"], count1_coding, region_table_select,
-        linbits=linbits,
+        linbits=linbits, b0_switch=pre.get("b0_switch"),
     )
     gain_out = jnp.where(has_fit, gains_sel, jnp.minimum(gains_sel + 4, 255))
     return gain_out.astype(jnp.int32), q_sel, lay
@@ -1779,7 +1814,10 @@ def _band_members(sample_rate: int) -> np.ndarray:
     )  # [21, 576] bool
 
 
-_BAND_MEMBERS = {sr: _band_members(sr) for sr in (44100, 48000, 32000)}
+_BAND_MEMBERS = {
+    sr: _band_members(sr)
+    for sr in (44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000)
+}
 _SLEN1_NP = np.array([s[0] for s in _SLEN_TABLE], dtype=np.uint32)
 _SLEN2_NP = np.array([s[1] for s in _SLEN_TABLE], dtype=np.uint32)
 
@@ -2034,7 +2072,46 @@ def _finish_slots_device(
     }
 
 
-def _switching_sfd_device(spectrum: jax.Array, sample_rate: int, mixed: bool) -> dict:
+def _finish_slots_lsf_device(sf_slots: jax.Array, ns: tuple) -> dict:
+    """LSF (ISO 13818-3 2.4.3.2) case-0 finisher (twin of
+    reference._finish_slots_lsf): 4 slot groups of ns[k] slots at
+    slen_k = bit_length(group max); compress = the case-0 composition
+    ((s1*5+s2)*4+s3)*4+s4 (decoder reading: _lsf_sf_expand(sf, 5, 4, 4)).
+    The band caps (15/15/7/7 at the group positions) bound the slens at
+    (4,4,3,3), so compress < 400 always — case 0 by construction."""
+
+    def bitlen(m):
+        return jnp.where(
+            m == 0, 0, jnp.where(m <= 1, 1, jnp.where(m <= 3, 2, jnp.where(m <= 7, 3, 4)))
+        )
+
+    bounds = np.concatenate([[0], np.cumsum(ns)]).astype(np.int64)
+    slens = [
+        bitlen(jnp.max(sf_slots[..., bounds[k] : bounds[k + 1]], axis=-1))
+        for k in range(4)
+    ]
+    compress = ((slens[0] * 5 + slens[1]) * 4 + slens[2]) * 4 + slens[3]
+    slot_nbits = 0
+    part2 = 0
+    for k in range(4):
+        w = np.zeros(SF_SLOTS, dtype=np.int32)
+        w[bounds[k] : bounds[k + 1]] = 1
+        slot_nbits = slot_nbits + slens[k][..., None] * jnp.asarray(w)
+        part2 = part2 + int(ns[k]) * slens[k]
+    return {
+        "compress": compress.astype(jnp.int32),
+        # dict-shape compat with _finish_slots_device (scfsi is never on
+        # at LSF; slot_nbits carries the emission law)
+        "slen1": slens[0].astype(jnp.int32),
+        "slen2": slens[1].astype(jnp.int32),
+        "slot_nbits": slot_nbits.astype(jnp.int32),
+        "part2": part2.astype(jnp.int32),
+    }
+
+
+def _switching_sfd_device(
+    spectrum: jax.Array, sample_rate: int, mixed: bool, lsf: bool = False
+) -> dict:
     """Short/mixed scalefactor law over every granule (selection by block
     type happens in granule_scalefactors_device). Twin of
     reference.short_scalefactors: sf = clip((ge - pe) // 3, 0, cap) per
@@ -2086,7 +2163,11 @@ def _switching_sfd_device(spectrum: jax.Array, sample_rate: int, mixed: bool) ->
     if n_slots < SF_SLOTS:
         pad = jnp.zeros((*lead, SF_SLOTS - n_slots), jnp.int32)
         sf_slots = jnp.concatenate([sf_slots, pad], axis=-1)
-    fin = _finish_slots_device(sf_slots, n1_slots, n2_slots)
+    fin = (
+        _finish_slots_lsf_device(sf_slots, LSF_NSF_SHORT)
+        if lsf
+        else _finish_slots_device(sf_slots, n1_slots, n2_slots)
+    )
 
     mult = sf_mult34_lookup(sf_slots)  # [..., 36], 1.0 at sf=0 exactly
     # mag_scale by broadcast+concat over the static spans (line, window)
@@ -2124,6 +2205,7 @@ def granule_scalefactors_device(
     block: jax.Array,
     psy: bool = False,
     iso_short: bool = False,
+    lsf: bool = False,
 ) -> dict:
     """Unified per-granule scalefactor dispatch (twin of
     reference.granule_scalefactors). spectrum [..., 576] natural order;
@@ -2134,7 +2216,10 @@ def granule_scalefactors_device(
 
     Without iso_short, switching granules emit all-zero scalefactors
     (reference behavior: scalefac_compress=0); the long laws are the
-    existing strict/psy peak-exponent laws either way."""
+    existing strict/psy peak-exponent laws either way. lsf: the 9-bit
+    case-0 scalefac_compress finisher replaces the MPEG-1 4-bit one (the
+    sf LAWS are unchanged — the LSF group caps coincide with the MPEG-1
+    band caps at every slot position; see reference._finish_slots_lsf)."""
     is_long = block == BLOCK_LONG
     law = psy_scalefactors_device if psy else strict_scalefactors_device
     lsfd = law(spectrum, sample_rate, is_long)
@@ -2142,13 +2227,18 @@ def granule_scalefactors_device(
     sf = lsfd["sf"]
     pad = jnp.zeros(sf.shape[:-1] + (SF_SLOTS - 21,), jnp.int32)
     sf_slots = jnp.concatenate([sf, pad], axis=-1)
-    slot_w1 = jnp.asarray(
-        np.concatenate([np.ones(11), np.zeros(SF_SLOTS - 11)]).astype(np.int32)
-    )
-    slot_w2 = jnp.asarray(
-        np.concatenate([np.zeros(11), np.ones(10), np.zeros(SF_SLOTS - 21)]).astype(np.int32)
-    )
-    slot_nbits = lsfd["slen1"][..., None] * slot_w1 + lsfd["slen2"][..., None] * slot_w2
+    if lsf:
+        fin_l = _finish_slots_lsf_device(sf_slots, LSF_NSF_LONG)
+        slot_nbits = fin_l["slot_nbits"]
+        lsfd = {**lsfd, **fin_l}
+    else:
+        slot_w1 = jnp.asarray(
+            np.concatenate([np.ones(11), np.zeros(SF_SLOTS - 11)]).astype(np.int32)
+        )
+        slot_w2 = jnp.asarray(
+            np.concatenate([np.zeros(11), np.ones(10), np.zeros(SF_SLOTS - 21)]).astype(np.int32)
+        )
+        slot_nbits = lsfd["slen1"][..., None] * slot_w1 + lsfd["slen2"][..., None] * slot_w2
     out = {
         "sf": sf,
         "sf_slots": sf_slots,
@@ -2161,8 +2251,12 @@ def granule_scalefactors_device(
     }
     if not iso_short:
         return out
-    ssfd = _switching_sfd_device(spectrum, sample_rate, mixed=False)
-    msfd = _switching_sfd_device(spectrum, sample_rate, mixed=True)
+    ssfd = _switching_sfd_device(spectrum, sample_rate, mixed=False, lsf=lsf)
+    # LSF granules are never MIXED (the encoder demotes; lame never emits
+    # mixed either) — skip the mixed variant's work and let pure-short win.
+    msfd = (
+        ssfd if lsf else _switching_sfd_device(spectrum, sample_rate, mixed=True)
+    )
     is_mixed = block == BLOCK_MIXED
 
     def sel(name, long_v):

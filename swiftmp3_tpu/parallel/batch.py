@@ -26,7 +26,7 @@ from ..models.pipeline import (
     init_carry,
     make_chunk_encoder,
 )
-from ..options import MP3EncoderOptions, SAMPLES_PER_FRAME
+from ..options import MP3EncoderOptions, SAMPLES_PER_GRANULE
 from .mesh import carry_sharding, make_mesh
 
 
@@ -68,7 +68,9 @@ class BatchEncoder:
         if use_native is None:
             from ..native import native_available
 
-            use_native = native_available()
+            # The C++ renderer writes MPEG-1 headers/side info only (for
+            # now); LSF streams fall back to the Python assembler.
+            use_native = native_available() and not options.lsf
         self.use_native = use_native
         if use_native:
             from ..native import NativeStreamRenderer
@@ -248,7 +250,7 @@ def encode_batch(
         mesh = make_mesh()
     n_streams = len(streams)
     ch = options.channels
-    frame_len = SAMPLES_PER_FRAME * ch
+    frame_len = options.samples_per_frame * ch  # 1152 (MPEG-1) / 576 (LSF)
     if options.gapless_info:
         # EncoderSession.flush parity: extend each non-empty stream's tail
         # by delay+529 zeros so every real sample lands inside an emitted
@@ -264,7 +266,7 @@ def encode_batch(
             else np.asarray(s)
             for s in streams
         ]
-    la_len = (SAMPLES_PER_FRAME // 2) * ch if options.window_sequencing else 0
+    la_len = SAMPLES_PER_GRANULE * ch if options.window_sequencing else 0
     if la_len:
         # window_sequencing: one granule of encoder delay, identical to
         # EncoderSession (byte parity with per-stream sessions); the
@@ -407,8 +409,8 @@ def encode_batch_multihost(
     n_dev = mesh.devices.size
     local_dev = n_dev // n_proc
     ch = options.channels
-    frame_len = SAMPLES_PER_FRAME * ch
-    la_len = (SAMPLES_PER_FRAME // 2) * ch if options.window_sequencing else 0
+    frame_len = options.samples_per_frame * ch  # 1152 (MPEG-1) / 576 (LSF)
+    la_len = SAMPLES_PER_GRANULE * ch if options.window_sequencing else 0
     if la_len:
         # window_sequencing: one granule of encoder delay (see encode_batch)
         local_streams = [
@@ -453,7 +455,7 @@ def encode_batch_multihost(
 
     from ..native import native_available
 
-    if native_available():
+    if native_available() and not options.lsf:
         from ..native import NativeStreamRenderer
 
         renderers = [NativeStreamRenderer(options) for _ in range(n_local)]

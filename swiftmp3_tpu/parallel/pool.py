@@ -51,7 +51,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..options import MP3EncoderOptions, SAMPLES_PER_FRAME
+from ..options import MP3EncoderOptions, SAMPLES_PER_GRANULE
 from .batch import BatchEncoder
 
 
@@ -155,11 +155,13 @@ class StreamPool:
         self._lane_owner: List[Optional[int]] = [None] * lanes
         self._waiting: List[int] = []  # sids with no lane yet (FIFO)
         self._next_sid = 0
-        self._n = SAMPLES_PER_FRAME * self.options.channels
+        self._n = self.options.samples_per_frame * self.options.channels
         # window_sequencing: one granule of encoder delay per stream
         # (preroll zeros on first feed) + per-frame lookahead in the chunk
         self._la_n = (
-            self._n // 2 if self.options.window_sequencing else 0
+            SAMPLES_PER_GRANULE * self.options.channels
+            if self.options.window_sequencing
+            else 0
         )
         # in-flight chunk awaiting drain: (outs, valid, active, finishing)
         self._pending = None
@@ -247,15 +249,13 @@ class StreamPool:
         gapless = None
         if self.options.gapless_info:
             from ..encoder import GAPLESS_ENCODER_DELAY
-            from ..options import SAMPLES_PER_GRANULE
-
             delay = GAPLESS_ENCODER_DELAY + (
                 SAMPLES_PER_GRANULE if self._la_n else 0
             )
             per_ch = s.fed_samples // self.options.channels
             gapless = (
                 delay,
-                max(len(sizes) * SAMPLES_PER_FRAME - delay - per_ch, 0),
+                max(len(sizes) * self.options.samples_per_frame - delay - per_ch, 0),
             )
         return build_xing_header(
             self.options, len(sizes), sum(sizes), sizes, gapless=gapless

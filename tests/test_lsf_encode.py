@@ -276,3 +276,100 @@ def test_lsf_chunking_invariance():
         out += sess.encode(pcm[i : i + 1000])
     out += sess.flush()
     assert out == whole
+
+
+# --- device (JAX pipeline) backend at n_gr=1 -----------------------------------
+
+
+def _both_backends(opts: MP3EncoderOptions, pcm: np.ndarray) -> tuple[bytes, bytes]:
+    outs = []
+    for be in ("numpy", "tpu"):
+        sess = EncoderSession(opts, backend=be)
+        outs.append(sess.encode(pcm) + sess.flush())
+    return outs[0], outs[1]
+
+
+@pytest.mark.parametrize(
+    "sr,kbps,mode,preset",
+    [
+        (22050, 64, Mode.JOINT_STEREO, "spec_strict"),
+        (16000, 48, Mode.MONO, "hq"),  # linbits + sequencing at n_gr=1
+    ],
+)
+def test_lsf_device_backend_byte_equality(sr, kbps, mode, preset):
+    """The JAX chunk pipeline at LSF rates (1 granule/frame, 72-slot size
+    law, 255-byte reservoir reach, 9-bit case-0 scalefac_compress,
+    band-derived switching region boundary) is byte-identical to golden.
+    Burst content exercises short blocks and (hq) the START/STOP ladder."""
+    rng = np.random.default_rng(11)
+    n = (576 * 13 + 200) * (2 if mode is not Mode.MONO else 1)
+    pcm = (0.02 * rng.standard_normal(n)).astype(np.float32)
+    for c in range(1500, n - 600, 4000):
+        pcm[c : c + 350] += (0.5 * rng.standard_normal(350)).astype(np.float32)
+    pcm = np.clip(pcm, -1, 1)
+    opts = getattr(MP3EncoderOptions, preset)(
+        sample_rate=sr, bitrate_kbps=kbps, mode=mode
+    )
+    a, b = _both_backends(opts, pcm)
+    assert a == b
+
+
+def test_lsf_device_vbr_demand_byte_equality():
+    """Demand-driven VBR over the LSF bitrate table (8..160) on device ==
+    golden (incl. the Xing frame both write from the same frame sizes)."""
+    sr = 22050
+    pcm = _content(sr, seconds=1.1, stereo=True)
+    opts = MP3EncoderOptions.spec_strict(
+        sample_rate=sr, bitrate_kbps=64, vbr=True, vbr_demand=True, quality=3
+    )
+    a, b = _both_backends(opts, pcm)
+    assert a == b
+
+
+def test_lsf_device_checkpoint_resume():
+    """TPUBackend state_dict/resume mid-stream at an LSF rate (the carry
+    pytree holds the 255-cap counters and the n_gr=1 sequencer state)."""
+    sr = 16000
+    pcm = _content(sr, seconds=1.0)
+    opts = MP3EncoderOptions.hq(sample_rate=sr, bitrate_kbps=48, mode=Mode.MONO)
+    whole_sess = EncoderSession(opts, backend="tpu")
+    whole = whole_sess.encode(pcm) + whole_sess.flush()
+    cut = 576 * 9 + 77
+    a = EncoderSession(opts, backend="tpu")
+    out1 = a.encode(pcm[:cut])
+    state = a.state_dict()
+    b = EncoderSession(opts, backend="tpu")
+    b.load_state_dict(state)
+    out2 = b.encode(pcm[cut:]) + b.flush()
+    assert out1 + out2 == whole
+
+
+def test_lsf_encode_batch_matches_sessions():
+    """encode_batch at an LSF rate (uneven lengths, hq sequencing
+    lookahead = the NEXT FRAME's granule at n_gr=1) equals per-stream
+    sessions byte for byte; the native renderer is auto-bypassed (the C++
+    side-info writer is MPEG-1-only)."""
+    from swiftmp3_tpu.parallel.batch import encode_batch
+
+    rng = np.random.default_rng(3)
+    opts = MP3EncoderOptions.hq(sample_rate=16000, bitrate_kbps=48, mode=Mode.MONO)
+    streams = [
+        (0.3 * rng.standard_normal(576 * k + j)).astype(np.float32)
+        for k, j in ((9, 100), (13, 0), (4, 17))
+    ]
+    batch_out = encode_batch(opts, streams, frames_per_step=6)
+    for i, s in enumerate(streams):
+        assert batch_out[i] == _encode(opts, s)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("sr", LSF_RATES)
+def test_lsf_device_backend_all_rates(sr):
+    """Cross-backend byte equality at every LSF rate (slow tier: six
+    distinct compiles). 8 kHz also covers the odd-window polyphase pad
+    (18T subband windows per chunk is not a multiple of 4 at odd T)."""
+    kbps = {22050: 64, 24000: 64, 16000: 48, 11025: 32, 12000: 32, 8000: 16}[sr]
+    pcm = _content(sr, seconds=1.0, stereo=True, seed=sr % 97)
+    opts = MP3EncoderOptions.spec_strict(sample_rate=sr, bitrate_kbps=kbps)
+    a, b = _both_backends(opts, pcm)
+    assert a == b
