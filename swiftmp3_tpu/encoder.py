@@ -343,8 +343,11 @@ class GoldenBackend:
                     # adaptive_lowpass gates it per granule-channel on the
                     # negligible-or-noise-like decision (reference.ALP_*).
                     cut_sb = int(opts.lowpass_hz * 64 // opts.sample_rate)
-                    if not opts.adaptive_lowpass or ref.adaptive_lowpass_engage(
-                        spectrum, cut_sb
+                    # cut at/above Nyquist (possible at LSF rates under the
+                    # hq preset's rate-derived default): nothing to zero
+                    if cut_sb < 32 and (
+                        not opts.adaptive_lowpass
+                        or ref.adaptive_lowpass_engage(spectrum, cut_sb)
                     ):
                         spectrum[cut_sb * 18 :] = 0.0
                 # Masking thresholds are computed-but-unused in the reference

@@ -311,11 +311,15 @@ def make_chunk_fn(options: MP3EncoderOptions):
             window_seq=win_seq,
         )
         spectra = spectra.reshape(B, ch, T, n_gr, 576)  # [B,ch,T,gr,576]
-        if options.lowpass_hz is not None:
+        if options.lowpass_hz is not None and (
+            options.lowpass_hz * 64 // options.sample_rate
+        ) < 32:
             # subband-granularity lowpass (options.lowpass_hz; twin of
             # GoldenBackend) — static mask, fuses into the MDCT epilogue.
             # adaptive_lowpass gates it per granule-channel on the
             # negligible-or-noise-like decision (dsp.adaptive_lowpass_engage).
+            # Cut at/above Nyquist (LSF rates under the hq rate-derived
+            # default): whole stage skipped, nothing to zero.
             cut_sb = int(options.lowpass_hz * 64 // options.sample_rate)
             lp_mask = jnp.asarray(
                 (np.arange(576) < cut_sb * 18).astype(np.float32)

@@ -436,7 +436,22 @@ class MP3EncoderOptions:
         leakage to 0-1); under the linbits law's fine quantization the same
         amplification buys real bits of spectral leakage and measures -0.1
         to -2.9 dB on the corpus (-20 dB on adversarial two-tone content).
-        Retune before re-enabling. kwargs override any field."""
+        Retune before re-enabling. kwargs override any field.
+
+        Rate-derived lowpass (round 4): at starving rates the preset
+        engages the ADAPTIVE lowpass by default — full-band hq loses the
+        noise/speech classes to lame at 64-96k mono because the budget
+        spreads over bands the rate cannot afford (measured: static
+        10 kHz takes speech/noise NMR 15.0->9.7 / 12.6->9.5 at 64k =
+        lame parity; tools/probe_adaptive_lowpass.py), while the
+        adaptive gate keeps bright harmonic content byte-equal to
+        lowpass-OFF past filterbank warm-up (static there loses 5.2 dB
+        NMR at 96k). Engage rule matches the probe's measured region:
+        mono <= 96 kbps, stereo <= 96 kbps total (48/channel — more
+        starved than the measured mono points, same win direction);
+        128 kbps+ streams are byte no-ops. Passing lowpass_hz or
+        adaptive_lowpass explicitly (even None/False) disables the
+        rule."""
         base = dict(
             linbits_tables=True,
             scfsi=True,
@@ -444,7 +459,11 @@ class MP3EncoderOptions:
             window_sequencing=True,
         )
         base.update(kwargs)
-        return cls.spec_strict(**base)
+        opts = cls.spec_strict(**base)
+        if "lowpass_hz" not in kwargs and "adaptive_lowpass" not in kwargs:
+            if opts.bitrate_kbps <= 96:
+                opts = replace(opts, lowpass_hz=10000, adaptive_lowpass=True)
+        return opts
 
     def replace(self, **kwargs) -> "MP3EncoderOptions":
         return replace(self, **kwargs)

@@ -296,8 +296,13 @@ def test_demand_budget_donation_wins_on_starving_transients():
     interior = pcm[trim:-trim]
     snr = {}
     for db in (True, False):
+        # lowpass_hz=None: isolate the donation mechanism from the hq
+        # preset's rate-derived adaptive lowpass (round 4) — with the
+        # high band zeroed both arms concentrate low and the measured
+        # +1.4 dB margin collapses to ~0.1 (the donation win lives in
+        # the band the lowpass removes on this noise-burst clip)
         o = MP3EncoderOptions.hq(
-            mode=Mode.MONO, bitrate_kbps=64, demand_budget=db
+            mode=Mode.MONO, bitrate_kbps=64, demand_budget=db, lowpass_hz=None
         )
         dec = decode_mp3(_encode(o, pcm), iso_conventions=True)
         snr[db] = measure_quality(
@@ -342,7 +347,9 @@ def test_demand_budget_backends_agree():
     from util import parse_frames
 
     pcm = _bursty(16 * 1152)
-    o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=64)
+    # lowpass_hz=None: isolate the donation mechanism from the hq preset's
+    # rate-derived adaptive lowpass (round 4), which trades raw SNR for NMR
+    o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=64, lowpass_hz=None)
     outs = {be: _encode(o, pcm, backend=be) for be in ("numpy", "tpu")}
     fa, fb = parse_frames(outs["numpy"]), parse_frames(outs["tpu"])
     assert len(fa) == len(fb)
@@ -371,7 +378,7 @@ def test_demand_budget_streams_conform_externally():
     pcm = _bursty(16 * 1152)
     trim = 2 * 1152
     interior = pcm[trim:-trim]
-    o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=64)
+    o = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=64, lowpass_hz=None)
     blob = _encode(o, pcm)
     ext, _ = mpg123_decode(blob)
     ours = decode_mp3(blob, iso_conventions=True).pcm
@@ -379,7 +386,7 @@ def test_demand_budget_streams_conform_externally():
     assert agree > 100.0, agree
     snr_on = measure_quality(interior, ext[:, 0], compensate_gain=False).snr_db
     o_off = MP3EncoderOptions.hq(
-        mode=Mode.MONO, bitrate_kbps=64, demand_budget=False
+        mode=Mode.MONO, bitrate_kbps=64, demand_budget=False, lowpass_hz=None
     )
     ext_off, _ = mpg123_decode(_encode(o_off, pcm))
     snr_off = measure_quality(

@@ -132,7 +132,9 @@ def main() -> int:
     for kbps in args.kbps:
         for kind, pcm in signals.items():
             base = dict(mode=Mode.MONO, bitrate_kbps=kbps, sample_rate=SR)
-            off = MP3EncoderOptions.hq(**base)
+            # round 4: hq auto-engages adaptive lowpass at <=96 kbps;
+            # the off arm must disable the rule explicitly
+            off = MP3EncoderOptions.hq(lowpass_hz=None, **base)
             stat = MP3EncoderOptions.hq(lowpass_hz=args.cut_hz, **base)
             adap = MP3EncoderOptions.hq(
                 lowpass_hz=args.cut_hz, adaptive_lowpass=True, **base
