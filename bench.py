@@ -194,6 +194,51 @@ def main() -> None:
             print(f"spec_strict bench failed: {e!r}", file=sys.stderr)
             t_strict = None
 
+    # ---- serving: fixed saturated StreamPool configuration (VERDICT r3
+    # item 6 — a serving regression must be driver-visible). All lanes
+    # permanently fed (no arrival simulation: the number is the pool's
+    # steady-state ceiling, not a workload draw); per-step wall times,
+    # median. Includes the host render + byte assembly (pipelined one
+    # chunk deep), so it is the e2e serving number ON THIS RIG — tunnel
+    # weather applies, hence median-of-steps.
+    t_serving = None
+    serving_audio = None
+    if os.environ.get("BENCH_SERVING", "1") != "0":
+        try:
+            from swiftmp3_tpu.parallel import StreamPool
+
+            lanes = int(os.environ.get("BENCH_LANES", "64"))
+            fps = int(os.environ.get("BENCH_POOL_FRAMES", "32"))
+            pool = StreamPool(options, lanes=lanes, frames_per_step=fps)
+            srng = np.random.default_rng(7)
+            feed_n = fps * 1152 * options.channels
+            sids = [pool.submit() for _ in range(lanes)]
+            serve_steps = int(os.environ.get("BENCH_POOL_STEPS", "10"))
+            # pre-synthesize unique int16 feeds (tunnel dedup)
+            feeds = [
+                [
+                    (srng.standard_normal(feed_n) * 4000).astype(np.int16)
+                    for _ in range(lanes)
+                ]
+                for _ in range(serve_steps + 2)
+            ]
+            for sid in sids:
+                pool.feed(sid, feeds[0][sid % lanes])
+            pool.step()  # warmup (compile shared with e2e config if equal)
+            serve_times = []
+            for k in range(serve_steps):
+                for sid in sids:
+                    pool.feed(sid, feeds[k + 1][sid % lanes])
+                t0 = time.perf_counter()
+                pool.step()
+                serve_times.append(time.perf_counter() - t0)
+            pool.shutdown()
+            t_serving = float(np.median(serve_times))
+            serving_audio = lanes * fps * 1152 / options.sample_rate
+        except Exception as e:  # never let the serving extra sink the bench
+            print(f"serving bench failed: {e!r}", file=sys.stderr)
+            t_serving = None
+
     # ---- informational: host render alone (data already local)
     from swiftmp3_tpu.models.pipeline import fetch_outputs
 
@@ -218,6 +263,12 @@ def main() -> None:
             f"({t_strict*1e3:.1f} ms/step)"
             if t_strict
             else ""
+        )
+        + (
+            f"; serving (StreamPool, saturated): "
+            f"{serving_audio / t_serving:.0f}x ({t_serving*1e3:.1f} ms/step)"
+            if t_serving
+            else ""
         ),
         file=sys.stderr,
     )
@@ -241,6 +292,14 @@ def main() -> None:
                         "hq_strict_ms_per_step": round(t_strict * 1e3, 2),
                     }
                     if t_strict
+                    else {}
+                ),
+                **(
+                    {
+                        "serving_x_realtime": round(serving_audio / t_serving, 1),
+                        "serving_ms_per_step": round(t_serving * 1e3, 2),
+                    }
+                    if t_serving
                     else {}
                 ),
                 "note": "headline = per-chip compute (north-star metric; a "
