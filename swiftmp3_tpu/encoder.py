@@ -81,6 +81,10 @@ class GoldenBackend:
         # (the first granule of a frame needs it to place a STOP window)
         self.seq_prev_short = False
         self.seq_prev_want = False
+        # onset chain context: per-channel last-two 96-block energies of
+        # the previously encoded granule (None = unknown past — blocks
+        # without a baseline cannot fire; see reference._onset_fires)
+        self.onset_prev2 = None
 
     def encode_frames(
         self,
@@ -118,6 +122,11 @@ class GoldenBackend:
             "slot_fifo": list(self.slot_fifo),
             "seq_prev_short": self.seq_prev_short,
             "seq_prev_want": self.seq_prev_want,
+            "onset_prev2": (
+                None
+                if self.onset_prev2 is None
+                else [np.asarray(e, np.float32).copy() for e in self.onset_prev2]
+            ),
         }
 
     def load_state_dict(self, state: dict) -> None:
@@ -140,6 +149,10 @@ class GoldenBackend:
         self.slot_fifo = ([0] * K + fifo)[-K:]
         self.seq_prev_short = bool(state.get("seq_prev_short", False))
         self.seq_prev_want = bool(state.get("seq_prev_want", False))
+        op2 = state.get("onset_prev2")
+        self.onset_prev2 = (
+            None if op2 is None else [np.asarray(e, np.float32) for e in op2]
+        )
 
     def _encode_frame(
         self,
@@ -241,14 +254,28 @@ class GoldenBackend:
                     return [seg]
                 return [seg[0::2], seg[1::2]]
 
-            wants = [
-                ref.wants_short(_granule_channels(raw, j)) for j in range(n_gr)
-            ]
-            if lookahead is None:
-                want_next = False  # flush: trailing zeros never attack
+            # onset chain context (round 4): each granule's onset detector
+            # sees the PREVIOUS granule's last-two block energies, so an
+            # attack landing in a granule's first blocks over a quiet
+            # predecessor still fires (see reference._onset_fires).
+            p2 = self.onset_prev2
+            wants = []
+            for j in range(n_gr):
+                chs = _granule_channels(raw, j)
+                wants.append(ref.wants_short(chs, p2))
+                p2 = ref.onset_tail_energies(chs)
+            if lookahead is None or is_final:
+                # flush: trailing zeros never attack. The is_final arm
+                # matters for the DROP criterion: the final frame's
+                # lookahead row is the flush's zero pad, and a stream
+                # ending on loud content would otherwise fire a drop into
+                # synthetic silence and end on a pointless START (device
+                # twin: want_la & ~final in models/pipeline.py).
+                want_next = False
             else:
                 la = np.asarray(lookahead, dtype=np.float32)
-                want_next = ref.wants_short(_granule_channels(la, 0))
+                want_next = ref.wants_short(_granule_channels(la, 0), p2)
+            self.onset_prev2 = p2  # this frame's last granule's tails
             wants_all = wants + [want_next]
             # Post-transient hangover (part of the sequencing law): the
             # effective want is the raw want OR the PREVIOUS granule's raw
@@ -344,9 +371,16 @@ class GoldenBackend:
                     # negligible-or-noise-like decision (reference.ALP_*).
                     cut_sb = int(opts.lowpass_hz * 64 // opts.sample_rate)
                     # cut at/above Nyquist (possible at LSF rates under the
-                    # hq preset's rate-derived default): nothing to zero
+                    # hq preset's rate-derived default): nothing to zero.
+                    # Non-LONG granules always engage: the sfm law is
+                    # calibrated on long-window spectra (the short
+                    # scrambled layout misreads it — round-4 regression
+                    # when the onset/drop chain made early granules
+                    # short), and a transient granule's high band is
+                    # attack noise — cutting it IS the static behavior.
                     if cut_sb < 32 and (
                         not opts.adaptive_lowpass
+                        or block != ref.BLOCK_LONG
                         or ref.adaptive_lowpass_engage(spectrum, cut_sb)
                     ):
                         spectrum[cut_sb * 18 :] = 0.0
@@ -454,8 +488,15 @@ class GoldenBackend:
         # models/pipeline.py).
         budgets = [bits_per_granule] * len(staged)
         if strict and opts.demand_budget:
+            # options.noise_demand swaps the complexity probe (bits at the
+            # fixed K_DEMAND candidate) for the noise-target demand (bits
+            # at the coarsest candidate meeting the masking targets) —
+            # same donation law downstream.
+            demand_fn = (
+                ref.noise_demand_bits if opts.noise_demand else ref.strict_demand
+            )
             demands = [
-                ref.strict_demand(
+                demand_fn(
                     c["spectrum"],
                     c["sfd"]["mag_scale"] if c["sfd"] is not None else None,
                     c["gain0"], sr, c["block"],

@@ -95,6 +95,12 @@ def init_carry(batch: int, options: MP3EncoderOptions):
             {
                 "seq_prev_short": jnp.zeros(batch, dtype=bool),
                 "seq_prev_want": jnp.zeros(batch, dtype=bool),
+                # onset/drop chain context: previous granule's last two
+                # 96-block energies per channel (+inf = unknown past; see
+                # dsp.onset_wants_chunk)
+                "onset_prev2": jnp.full(
+                    (batch, ch, 2), jnp.inf, dtype=jnp.float32
+                ),
             }
             if options.window_sequencing
             else {}
@@ -250,14 +256,33 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     [la[..., 0::2], la[..., 1::2]], axis=1
                 )  # [B, 2, T, 576]
             rb, _ = dsp.transient_frame(raw_g)  # [B, chs, T, n_gr]
+            chs = raw_g.shape[1]
+            raw_flat = raw_g.reshape(B, chs, T * n_gr, 576)
+            # onset/drop chain runs across granule AND chunk boundaries:
+            # carry["onset_prev2"] holds the previous chunk's last valid
+            # granule's trailing block energies (+inf = unknown past)
+            ow, ow_tails = dsp.onset_wants_chunk(
+                raw_flat, carry["onset_prev2"]
+            )  # [B, chs, G], [B, chs, G, 2]
             want_b = jnp.any(
-                (rb != dsp.BLOCK_LONG) | dsp.onset_wants(raw_g), axis=1
+                (rb != dsp.BLOCK_LONG) | ow.reshape(B, chs, T, n_gr), axis=1
             )  # [B, T, n_gr]
             lb, _ = dsp.transient_frame(la_g[..., None, :])  # [B, chs, T, 1]
+            # lookahead granule of frame t = the granule AFTER frame t's
+            # last: its chain context is that granule's tails (in-chunk)
+            la_prev2 = ow_tails.reshape(B, chs, T, n_gr, 2)[..., -1, :]
+            ow_la, _ = dsp.onset_wants_chunk(
+                la_g[..., None, :].reshape(B, chs, T, 1, 576), la_prev2
+            )
             want_la = jnp.any(
-                (lb[..., 0] != dsp.BLOCK_LONG) | dsp.onset_wants(la_g),
+                (lb[..., 0] != dsp.BLOCK_LONG) | ow_la[..., 0],
                 axis=1,
             )  # [B, T]
+            # flush: golden forces want_next=False past the stream end
+            # (trailing zeros never attack) — without this mask the DROP
+            # criterion would fire on the zero lookahead after a loud
+            # ending and diverge from the golden law on final frames
+            want_la = want_la & ~final
             # next-granule wants: within the frame for granules 0..n_gr-2,
             # the lookahead granule for the frame's last (only, at LSF)
             want_next = jnp.concatenate(
@@ -325,7 +350,13 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 (np.arange(576) < cut_sb * 18).astype(np.float32)
             )
             if options.adaptive_lowpass:
-                eng = dsp.adaptive_lowpass_engage(spectra, cut_sb)
+                # non-LONG granules always engage (twin of the golden
+                # law: the sfm statistic is calibrated on long-window
+                # spectra, and a transient granule's high band is attack
+                # noise — cutting it IS the static behavior)
+                eng = (block_b != dsp.BLOCK_LONG) | dsp.adaptive_lowpass_engage(
+                    spectra, cut_sb
+                )
                 spectra = jnp.where(
                     eng[..., None], spectra * lp_mask, spectra
                 )
@@ -814,6 +845,19 @@ def make_chunk_fn(options: MP3EncoderOptions):
         if win_seq:
             new_carry["seq_prev_short"] = seq_ps
             new_carry["seq_prev_want"] = seq_pw
+            # last VALID granule's tail energies (index 0 = keep the old
+            # carry when nothing valid). where+sum, not einsum: the +inf
+            # "unknown past" sentinel would turn 0*inf into NaN on the MXU.
+            ext_tails = jnp.concatenate(
+                [carry["onset_prev2"][:, :, None, :], ow_tails], axis=2
+            )  # [B, chs, G+1, 2]
+            sel_o = (
+                (n_gr * count_valid)[:, None]
+                == jnp.arange(n_gr * T + 1)
+            )  # [B, G+1]
+            new_carry["onset_prev2"] = jnp.sum(
+                jnp.where(sel_o[:, None, :, None], ext_tails, 0.0), axis=2
+            )
         return new_carry, outputs
 
     return run
@@ -1021,4 +1065,10 @@ class TPUBackend:
             # pre-hangover checkpoint: no raw-want carry was saved
             self.carry["seq_prev_want"] = jnp.zeros_like(
                 self.carry["seq_prev_short"]
+            )
+        if "seq_prev_short" in self.carry and "onset_prev2" not in self.carry:
+            # pre-round-4 checkpoint: no onset-chain carry was saved
+            B = self.carry["seq_prev_short"].shape[0]
+            self.carry["onset_prev2"] = jnp.full(
+                (B, self.options.channels, 2), jnp.inf, dtype=jnp.float32
             )

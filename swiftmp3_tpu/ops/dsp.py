@@ -71,9 +71,16 @@ N_GAIN_CANDIDATES = 20  # the reference's maxIterations (MP3Encoder.swift:745)
 from .reference import (  # noqa: E402
     LSF_NSF_LONG,
     LSF_NSF_SHORT,
+    OFFSET_RATIO,
+    ONSET_RATIO,
     STRICT_ANCHORS,
     _anchor_segment,
 )
+
+# Sequencing want-detector ratios: the golden module owns the knobs (and
+# their sweep records); the device twins bake them at trace time.
+ONSET_RATIO_F = float(ONSET_RATIO)
+OFFSET_RATIO_F = float(OFFSET_RATIO)
 
 
 def _quantizer_step_tables() -> tuple[np.ndarray, np.ndarray]:
@@ -634,20 +641,58 @@ def transient_frame(granule_pcm: jax.Array) -> tuple[jax.Array, jax.Array]:
     return block, gain
 
 
-def onset_wants(granule_pcm: jax.Array) -> jax.Array:
-    """6x96 consecutive energy-jump onset detector for sequencing wants
-    (twin of reference._onset_fires; reference.ONSET_RATIO documents the
-    law and the sweep). The family's 3x192 max/min ratio detector misses
-    attacks landing EARLY in a granule (the loud part dominates all three
-    subblocks); an onset criterion — any 96-sample block whose energy
-    exceeds ONSET_RATIO x its predecessor's — catches them. Measured
-    -6..-16 dB NMR on noise-burst content via mpg123, neutral elsewhere.
+def onset_wants_chunk(
+    granules: jax.Array, prev2: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Chunk-level onset/drop want detector (twin of reference._onset_fires
+    round-4 law; reference.ONSET_RATIO / OFFSET_RATIO document the two
+    criteria and their sweeps). The 96-block energy chain runs ACROSS
+    granule boundaries: prev2 carries the previous chunk's last two block
+    energies (+inf = unknown past — no rise baseline, no phantom drops).
 
-    granule_pcm: [..., 576]. Returns bool [...]."""
-    sub = granule_pcm.reshape(*granule_pcm.shape[:-1], 6, 96)
-    e = jnp.sum(sub * sub, axis=-1) / _F32(96.0)  # [..., 6]
-    jump = e[..., 1:] > _F32(4.0) * jnp.maximum(e[..., :-1], _F32(1e-4))
-    return jnp.any(jump, axis=-1)
+    - rise: block b fires granule b//6 when e[b] > ONSET x min of the two
+      preceding chain blocks (a point-onset straddles at most two blocks);
+    - drop: loud block l fires granule (l+2)//6 — the granule holding the
+      quiet AFTERMATH — when e[l] > OFFSET x min of the two following
+      blocks (the hangover then pushes the STOP window past the loud
+      tail; see the golden law's measured post-echo numbers).
+
+    granules: [..., G, 576] raw PCM per granule (per channel);
+    prev2: [..., 2]. Returns (wants [..., G] bool, tails [..., G, 2] —
+    every granule's trailing two block energies: tails[..., g, :] is
+    granule g+1's prev2, and the caller one-hot selects the last VALID
+    granule's tails as the next chunk's carry)."""
+    lead = granules.shape[:-2]
+    G = granules.shape[-2]
+    sub = granules.reshape(*lead, G * 6, 96)
+    e = jnp.sum(sub * sub, axis=-1) / _F32(96.0)  # [..., 6G]
+    chain = jnp.concatenate([prev2.astype(jnp.float32), e], axis=-1)
+    # rise: e[b] vs min(chain[b], chain[b+1]) (chain index of e[b] is b+2)
+    base = jnp.minimum(chain[..., :-2], chain[..., 1:-1])  # [..., 6G]
+    rise = e > _F32(ONSET_RATIO_F) * jnp.maximum(base, _F32(1e-4))
+    wants = jnp.any(rise.reshape(*lead, G, 6), axis=-1)
+    if OFFSET_RATIO_F > 0.0:
+        # drop: loud chain[l+2]=e[l] vs min(e[l+1], e[l+2]); quiet side
+        # beyond the chunk is unknown (+inf pad — the next chunk's chain
+        # sees it through the carry, exactly like the golden per-granule
+        # walk). Loud side includes the carried prev2 blocks (chain l=0,1
+        # fire granule 0); +inf loud (unknown past) must not fire.
+        inf_pad = jnp.full((*lead, 2), jnp.inf, dtype=jnp.float32)
+        ext = jnp.concatenate([chain, inf_pad], axis=-1)  # [..., 6G+4]
+        loud = ext[..., :-2]  # chain[l], l = 0..6G+1
+        quiet = jnp.minimum(ext[..., 1:-1], ext[..., 2:])
+        drop = jnp.isfinite(loud) & (
+            loud > _F32(OFFSET_RATIO_F) * jnp.maximum(quiet, _F32(1e-4))
+        )
+        # drop at chain index l belongs to granule (l + 2 - 2) // 6 = l//6
+        # in e-coordinates... golden: loud chain[j] of granule g sits at
+        # e-index 6g + j - 2, j = 0..5 -> granule = (e_idx + 2) // 6; with
+        # chain l = e_idx + 2 the granule is l // 6, l = 0..6G+1. Indices
+        # l >= 6G fire nothing (quiet side is the +inf pad).
+        drop6 = drop[..., : G * 6].reshape(*lead, G, 6)
+        wants = wants | jnp.any(drop6, axis=-1)
+    tails = e.reshape(*lead, G, 6)[..., 4:6]
+    return wants, tails
 
 
 def adaptive_lowpass_engage(spectra: jax.Array, cut_sb: int) -> jax.Array:

@@ -73,22 +73,76 @@ def sequence_block_type(want_short: bool, prev_short: bool, next_short: bool) ->
 # hard on/off synth burst, <=0.3 dB on speech, exact no-op on steady
 # classes. Ratio swept {2.5,3,4,5}: 4 is the plateau edge (5 misses the
 # ~4.4x tone->tone+noise jumps; lower buys nothing). Module constant so
-# tools can sweep it; the device twin (dsp.onset_wants) carries its own
-# literal 4.0. 0.0 disables (golden-only A/B).
+# tools can sweep it (golden-only — the device twin dsp.onset_wants_chunk
+# bakes the value at import/trace time). 0.0 disables (golden-only A/B).
 ONSET_RATIO = 4.0
+# Drop (decay) criterion ratio for the sequencing wants (see _onset_fires;
+# 0 disables). Swept {4.0, 4.5, 5.0, 6.0, 8.0} on music/nburst/tonal/noise
+# at 64/128k: 5.0+ loses the entire noise-burst-tail win (the quiet-side
+# 2-min includes the partial burst-end block, so the effective step reads
+# under the raw 5.4x), 4.5 keeps it at the lowest music cost (-24.7 vs
+# -24.4 at off=4.0, 64k).
+OFFSET_RATIO = 4.5
 
 
-def _onset_fires(samples576: np.ndarray) -> bool:
-    """6x96 consecutive energy-jump onset detector (sequencing wants only;
-    device twin dsp.onset_wants)."""
+def _onset_energies(samples576: np.ndarray) -> np.ndarray:
+    """Per-96-block mean-square energies [6] of one granule's raw PCM."""
     x = np.asarray(samples576[:576], dtype=np.float32)
     if len(x) < 576:
         x = np.concatenate([x, np.zeros(576 - len(x), dtype=np.float32)])
     sq = x.reshape(6, 96)
-    e = np.sum(sq * sq, axis=1, dtype=np.float32) / np.float32(96.0)
-    for i in range(5):
-        if e[i + 1] > np.float32(ONSET_RATIO) * max(e[i], np.float32(1e-4)):
+    return np.sum(sq * sq, axis=1, dtype=np.float32) / np.float32(96.0)
+
+
+def _onset_fires(samples576: np.ndarray, prev2=None) -> bool:
+    """6x96 energy-jump onset detector (sequencing wants only; device twin
+    dsp.onset_wants_chunk). A block fires when its energy exceeds
+    ONSET_RATIO x the MIN of the previous two blocks, with the chain
+    CONTINUED ACROSS GRANULES via prev2 = the previous granule's last two
+    block energies (None = unknown past: blocks without a baseline cannot
+    fire, reproducing the stream-start behavior).
+
+    Round-4 respec, both from the same measured failure (noise bursts
+    over a tone bed decoding at +40 dB NMR at 128 kbps): (a) the round-3
+    consecutive-only comparison diluted a boundary-straddling attack into
+    two sub-threshold jumps (2.7x/2.0x instead of one 5.4x) — the 2-back
+    min restores the pre-attack baseline (ramps longer than 288 samples
+    are genuinely not attacks); (b) the round-3 per-granule chain was
+    blind to attacks landing in a granule's FIRST block over a quiet
+    predecessor (a burst starting exactly at a granule boundary left
+    every granule LONG — one such granule carried +37.3 of the +38.5 dB
+    clip NMR). Both verdicts from tools/diag_err_sources.py per-granule
+    attribution."""
+    e = _onset_energies(samples576)
+    hist = (
+        np.asarray(prev2, dtype=np.float32)
+        if prev2 is not None
+        else np.full(2, np.inf, dtype=np.float32)
+    )
+    chain = np.concatenate([hist, e])
+    for i in range(6):  # block i of this granule = chain[i + 2]
+        base = min(chain[i], chain[i + 1])
+        if chain[i + 2] > np.float32(ONSET_RATIO) * max(base, np.float32(1e-4)):
             return True
+    if OFFSET_RATIO > 0.0:
+        # symmetric DROP criterion (round 4): the granule holding the
+        # quiet AFTERMATH of a decay wants short, so the hangover pushes
+        # the STOP window one granule further and it never straddles the
+        # loud tail (measured: a burst ENDING in a granule's head blocks
+        # fired no detector — decay, not attack — and the STOP placed
+        # right after it carried +24.8 of the +25.2 dB clip NMR at 128k;
+        # post-echo through the STOP window's support, same mechanism the
+        # round-3 hangover fixed for attack-side placement). A drop fires
+        # when a loud block exceeds OFFSET_RATIO x the MIN of the next
+        # two blocks, with the quiet side inside this granule (the 2-min
+        # mirrors the onset law: real decays longer than two blocks are
+        # not steps). hist=inf (unknown past) cannot fire a drop.
+        for j in range(6):  # loud block chain[j]; quiet side ends in this granule
+            if not np.isfinite(chain[j]):
+                continue
+            quiet = min(chain[j + 1], chain[j + 2])
+            if chain[j] > np.float32(OFFSET_RATIO) * max(quiet, np.float32(1e-4)):
+                return True
     return False
 
 
@@ -129,19 +183,30 @@ def adaptive_lowpass_engage(spectrum: np.ndarray, cut_sb: int) -> bool:
     return bool(frac < np.float32(ALP_FRAC)) or bool(sfm > np.float32(ALP_SFM))
 
 
-def wants_short(samples_by_channel) -> bool:
+def wants_short(samples_by_channel, prev2_by_channel=None) -> bool:
     """Shared-across-channels transient decision for window sequencing:
     short if ANY channel's family detector fires (mixed demotes to short —
     uniform transition windows cannot face a mixed granule's split
     long-head/short-tail junction). Computed on raw pre-matrix PCM so the
-    one-granule lookahead needs no stereo decision."""
-    for ch_samples in samples_by_channel:
+    one-granule lookahead needs no stereo decision.
+
+    prev2_by_channel: per-channel last-two block energies of the PREVIOUS
+    granule (see _onset_fires — continues the onset chain across granule
+    boundaries); None = unknown past."""
+    for i, ch_samples in enumerate(samples_by_channel):
         block, _ = transient_detect(ch_samples)
         if block != BLOCK_LONG:
             return True
-        if ONSET_RATIO > 0.0 and _onset_fires(ch_samples):
+        p2 = prev2_by_channel[i] if prev2_by_channel is not None else None
+        if ONSET_RATIO > 0.0 and _onset_fires(ch_samples, p2):
             return True
     return False
+
+
+def onset_tail_energies(samples_by_channel) -> list:
+    """Per-channel last-two 96-block energies of a granule — the prev2
+    input of the NEXT granule's wants_short call (session carry)."""
+    return [_onset_energies(c)[4:6] for c in samples_by_channel]
 
 
 def frame_energy(samples: np.ndarray) -> np.float32:
@@ -961,6 +1026,143 @@ def strict_demand(
     kk = K_DEMAND if k is None else int(k)
     q = quantize_abs(min(gstart + 4 * kk, 255)).astype(np.int32)
     qs = q if perm is None else q[perm]
+    lay = strict_entropy_layout(
+        qs, sample_rate, block_type, count1_coding, region_table_select,
+        linbits=linbits,
+    )
+    return part2 + lay["part23_bits"]
+
+
+# --- Noise-demand (options.noise_demand): price noise targets INSIDE the
+# candidate grid. The round-3 attribution (ARCHITECTURE.md "Burst-NMR
+# attribution") showed scalefactor-side shaping bolted ON TOP of a fixed
+# budget is structurally negative (amplification steals budget, the walk
+# coarsens globally); the untried formulation is to derive the BUDGET
+# SPLIT itself from noise targets: a granule's demand = the priced bits of
+# the COARSEST walk candidate whose per-band quantization noise sits under
+# a masking target, so the donation law moves bits toward granules that
+# are audibly starved (quiet post-attack granules with low thresholds)
+# and away from self-masking loud ones — temporal noise shaping through
+# the existing exact-priced machinery, no new loop.
+#
+# The target law mirrors the in-repo referee (utils.quality.
+# masked_noise_ratio): per-long-band source energy, two-slope max-plus
+# spreading in dB (upward -10 dB/band toward higher bands, downward
+# -25 dB/band), offset -NOISE_OFFSET_DB. Long-band grouping is used for
+# every window kind (the natural subband-major layout bins short-window
+# coefficients by frequency monotonically — a documented approximation;
+# the referee arbitrates whether it wins).
+NOISE_SPREAD_UP_DB = 10.0
+NOISE_SPREAD_DOWN_DB = 25.0
+NOISE_OFFSET_DB = 18.0
+# Margin knob (dB, positive = laxer targets). Swept by
+# tools/probe_noise_demand.py; 0 = the referee's own offset.
+NOISE_MARGIN_DB = 0.0
+
+
+def _long_band_bounds(sample_rate: int) -> np.ndarray:
+    b = np.concatenate([[0], np.cumsum(band_table(sample_rate))])
+    return np.minimum(b, 576).astype(np.int64)
+
+
+def _band_energies(x2: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    cs = np.concatenate([[0.0], np.cumsum(x2, dtype=np.float64)])
+    return cs[bounds[1:]] - cs[bounds[:-1]]
+
+
+def noise_targets(spectral: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Per-long-band noise-energy targets for the demand law (see the
+    module comment above; device twin dsp.noise_targets_device)."""
+    bounds = _long_band_bounds(sample_rate)
+    e = _band_energies(
+        np.asarray(spectral, np.float64) ** 2, bounds
+    )
+    sdb = 10.0 * np.log10(np.maximum(e, 1e-30))
+    spread = sdb.copy()
+    n = len(spread)
+    for b in range(1, n):
+        spread[b] = max(spread[b], spread[b - 1] - NOISE_SPREAD_UP_DB)
+    for b in range(n - 2, -1, -1):
+        spread[b] = max(spread[b], spread[b + 1] - NOISE_SPREAD_DOWN_DB)
+    off = NOISE_OFFSET_DB - NOISE_MARGIN_DB
+    return 10.0 ** ((spread - off) / 10.0)
+
+
+def noise_demand_bits(
+    spectral: np.ndarray,
+    mag_scale,
+    initial_gain: int,
+    sample_rate: int,
+    block_type: int,
+    count1_coding: bool,
+    region_table_select: bool,
+    part2: int,
+    perm,
+    iso: bool,
+    linbits: bool = False,
+) -> int:
+    """Demand signal of options.noise_demand: part2 + priced strict bits
+    at the COARSEST walk candidate whose per-band reconstruction error
+    energy is under noise_targets everywhere (k* = largest such k on the
+    walk's own gain grid; k*=0 when even the finest candidate violates —
+    the demand then caps at the finest candidate's real cost). Walk grid
+    semantics (gstart, -40 retry) mirror quantize_to_fit_budget_strict;
+    the device twin reads the sweep's per-candidate tensors directly."""
+    from ..tables import QCAP_LINBITS
+
+    qcap = QCAP_LINBITS if linbits else 15
+    spectral = np.asarray(spectral, dtype=np.float32)
+    absv = np.maximum(np.abs(spectral), np.float32(1e-10))
+    mag = absv ** np.float32(0.75)
+    s = None
+    if mag_scale is not None:
+        s = np.asarray(mag_scale, np.float64)
+        mag = mag * mag_scale.astype(np.float32)
+
+    def inv_of(gain: int) -> np.float32:
+        gain = min(max(int(gain), 0), 255)
+        if linbits:
+            return ISO_INV_STEP34_NOFLOOR[gain]
+        if iso or mag_scale is not None:
+            return ISO_INV_STEP34[gain]
+        step = np.float32(max(2.0 ** ((gain - 210) / 4.0), 0.0001))
+        return np.float32(1.0) / step
+
+    def quantize_abs(gain: int) -> np.ndarray:
+        return np.minimum(
+            np.floor(mag * inv_of(gain) + np.float32(0.5)).astype(np.int64),
+            qcap,
+        )
+
+    g0 = min(max(int(initial_gain), 0), 255)
+    allzero0 = _last_nonzero_count(quantize_abs(g0)) == 0
+    gstart = max(g0 - 40, 0) if allzero0 else g0
+    k_max = 18 if allzero0 else 19
+
+    thr = noise_targets(spectral, sample_rate)
+    bounds = _long_band_bounds(sample_rate)
+    ax = np.abs(np.asarray(spectral, np.float64))
+
+    k_star = 0
+    q_star = None
+    for k in range(k_max, -1, -1):
+        gain = min(gstart + 4 * k, 255)
+        q = quantize_abs(gain)
+        # decoder-side reconstruction magnitude: |x^| = (q*step/s)^(4/3)
+        step = 1.0 / np.float64(inv_of(gain))
+        ratio = q.astype(np.float64) * step
+        if s is not None:
+            ratio = ratio / s
+        recon = ratio ** (4.0 / 3.0)
+        err_b = _band_energies((ax - recon) ** 2, bounds)
+        if np.all(err_b <= thr):
+            k_star = k
+            q_star = q
+            break
+    if q_star is None:
+        q_star = quantize_abs(min(gstart + 4 * 0, 255))
+    qn = q_star.astype(np.int32)
+    qs = qn if perm is None else qn[perm]
     lay = strict_entropy_layout(
         qs, sample_rate, block_type, count1_coding, region_table_select,
         linbits=linbits,

@@ -321,7 +321,17 @@ def encode_batch(
                 buf = np.zeros(nrows * frame_len, dtype=pcm_dtype)
                 buf[: hi - lo] = seg
                 pcm[b, :nrows] = buf.reshape(nrows, frame_len)
-            if rem[b] and start <= n_frames[b] - 1 < start + Tc:
+            # Session flush parity for is_final (the final frame takes no
+            # reservoir draw): without sequencing, only a PARTIAL last
+            # frame is emitted at flush (exact multiples end inside
+            # encode(), never marked final); with the sequencing prepend
+            # the flush always emits >= 1 frame, so every nonempty
+            # stream's last frame is final — rem alone misses exact
+            # multiples (latent until the drop criterion made final
+            # frames budget-hungry).
+            if (rem[b] or (la_len and lengths[b])) and (
+                start <= n_frames[b] - 1 < start + Tc
+            ):
                 final[b, int(n_frames[b] - 1 - start)] = True
         la = None
         if la_len:
@@ -485,7 +495,17 @@ def encode_batch_multihost(
                 buf = np.zeros(nrows * frame_len, dtype=pcm_dtype)
                 buf[: hi_s - lo_s] = seg
                 pcm[b, :nrows] = buf.reshape(nrows, frame_len)
-            if rem[b] and start <= n_frames[b] - 1 < start + Tc:
+            # Session flush parity for is_final (the final frame takes no
+            # reservoir draw): without sequencing, only a PARTIAL last
+            # frame is emitted at flush (exact multiples end inside
+            # encode(), never marked final); with the sequencing prepend
+            # the flush always emits >= 1 frame, so every nonempty
+            # stream's last frame is final — rem alone misses exact
+            # multiples (latent until the drop criterion made final
+            # frames budget-hungry).
+            if (rem[b] or (la_len and lengths[b])) and (
+                start <= n_frames[b] - 1 < start + Tc
+            ):
                 final[b, int(n_frames[b] - 1 - start)] = True
         la = None
         if la_len:

@@ -142,9 +142,14 @@ def test_checkpoint_resume_at_depth():
 
 @needs_mpg123
 def test_depth_quality_win_on_sparse_transients():
-    """The measured claim: depth 3 beats depth 1 by >= 2 dB NMR through
-    libmpg123 on sparse-transient content at 96k (measured -4.1; the
-    floor leaves rig margin), and never loses at 128k."""
+    """The measured claim (round-4 re-pin): depth 3 still beats depth 1
+    through libmpg123 on sparse-transient content at 96k and never loses
+    at 128k. The original -4.1 dB gap (floor was -2.0) collapsed to -0.7
+    when the onset/drop chain detector landed — the sequencer now handles
+    most of what the deep reservoir was buying on this content (depth-1
+    NMR fell 4.x -> 0.9). Both mechanisms stay: the ABSOLUTE quality
+    floor pins the combined win; the relative assert pins that depth
+    still never hurts."""
     pcm = _sparse(24 * 1152)
     trim = 2 * 1152
 
@@ -156,7 +161,10 @@ def test_depth_quality_win_on_sparse_transients():
         ext, _ = mpg123_decode(blob)
         return masked_noise_ratio(pcm[trim:-trim], ext[:, 0], SR)
 
-    assert nmr(96, 3) <= nmr(96, 1) - 2.0
+    d1_96, d3_96 = nmr(96, 1), nmr(96, 3)
+    assert d3_96 <= d1_96 + 0.1  # depth never hurts at 96k
+    assert d3_96 <= 1.0, d3_96  # absolute: measured 0.22 (was 4.x pre-chain)
+    assert d1_96 <= 2.0, d1_96  # the detector win itself stays pinned
     assert nmr(128, 3) <= nmr(128, 1) + 0.3
 
 

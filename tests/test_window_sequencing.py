@@ -81,16 +81,28 @@ def test_sequencer_law():
             assert right_short == left_short, (wants, seq)
 
 
-def test_hangover_extends_short_run():
-    """Post-transient hangover: a LONE transient granule must emit
-    START, SHORT, SHORT, STOP — the run extends one granule past the
-    attack so the STOP window (whose long-layout MDCT straddles the
-    previous granule) never covers loud content. Placing STOP right
-    after the attack ties its noise floor to the loud half and spreads
-    that noise over the quiet half (post-echo) — measured as the
-    dominant burst NMR source (tools/diag_err_sources.py: STOP granules
-    alone carried +10.6 of the +11.6 dB hq-vs-lame NMR gap at 128k;
-    the hangover wins -5.8/-8.1/-7.7 dB NMR at 64/128/256k via mpg123)."""
+def test_hangover_and_drop_extend_short_run():
+    """Post-transient run shape around a LONE attack: START, SHORT
+    (attack), SHORT (drop: the quiet aftermath granule — the round-4
+    decay criterion, reference.OFFSET_RATIO), SHORT (hangover), STOP —
+    the run extends two granules past the attack so the STOP window
+    (whose long-layout MDCT straddles the previous granule) never
+    covers loud content. Placing STOP near the attack ties its noise
+    floor to the loud half and spreads that noise over the quiet half
+    (post-echo) — measured as the dominant burst NMR source
+    (tools/diag_err_sources.py: STOP granules alone carried +10.6 of
+    the +11.6 dB hq-vs-lame NMR gap at 128k pre-hangover, and +24.8 of
+    the remaining +25.2 dB nburst gap pre-drop; hangover wins
+    -5.8/-8.1/-7.7 dB NMR at 64/128/256k, the drop takes nburst at
+    128k from 28.2 to 12.9 — both via mpg123).
+
+    The round-4 cross-granule onset chain also fires at the two stream
+    edges of this clip, and that is intended: the tone RISING out of
+    the sequencing preroll silence is a genuine onset (pre-echo
+    through a long window), and the tone CUTTING to the flush tail
+    silence is a genuine decay (post-echo), so the expected block-type
+    sequence pins three runs. Output granule j+1 carries input granule
+    j (the sequencing lookahead delay)."""
     rng = np.random.default_rng(3)
     n = 9 * 1152
     x = 0.2 * np.sin(2 * np.pi * 440.0 * np.arange(n) / 44100.0)
@@ -98,6 +110,11 @@ def test_hangover_extends_short_run():
     g = 9
     x[g * 576 + 250 : g * 576 + 450] += 0.6 * rng.standard_normal(200)
     pcm = np.clip(x, -0.99, 0.99).astype(np.float32)
+    # runs: [0-3] stream-start onset (rise at output granule 1 +
+    # hangover); [9-13] the attack (rise at 10 = input granule 9, drop
+    # at 11, hangover at 12); [18-19] flush decay (drop at 19, run
+    # truncated by stream end — legal, nothing follows).
+    expect = [1, 2, 2, 3, 0, 0, 0, 0, 0, 1, 2, 2, 2, 3, 0, 0, 0, 0, 1, 2]
     for backend in ("numpy", "tpu"):
         blob = _encode(_hq(mode=Mode.MONO, bitrate_kbps=128), pcm, backend)
         bts = []
@@ -105,11 +122,7 @@ def test_hangover_extends_short_run():
             for gr in fi.granules:
                 for gg in gr:
                     bts.append(gg.block_type if gg.window_switching else 0)
-        nz = [(i, b) for i, b in enumerate(bts) if b != 0]
-        # exactly one sequenced run: START SHORT SHORT STOP
-        assert [b for _, b in nz] == [1, 2, 2, 3], (backend, bts)
-        idxs = [i for i, _ in nz]
-        assert idxs == list(range(idxs[0], idxs[0] + 4)), (backend, bts)
+        assert bts == expect, (backend, bts)
 
 
 def test_onset_detector_catches_early_attack():
@@ -150,6 +163,96 @@ def test_onset_detector_catches_early_attack():
         assert 2 in bts, (backend, bts)  # the short run fired
         assert 1 in bts and 3 in bts, (backend, bts)
     assert bt_seqs["numpy"] == bt_seqs["tpu"], bt_seqs
+
+
+def test_onset_chain_crosses_granule_boundary():
+    """Round-4 respec regressions, unit level (reference._onset_fires):
+
+    (a) an attack starting exactly AT a granule boundary leaves no
+    within-granule jump — only the cross-granule chain (prev2 = the
+    previous granule's last two block energies) can fire it. The round-3
+    per-granule law left such granules LONG (one carried +37.3 of a
+    +38.5 dB clip NMR, tools/diag_err_sources.py per-granule rows).
+
+    (b) a point-onset straddling a 96-block boundary dilutes into two
+    sub-threshold consecutive jumps — the 2-back MIN baseline restores
+    the pre-attack reference.
+
+    (c) the DROP criterion: a granule holding the quiet aftermath of a
+    decay (loud prev2, quiet head) wants short, so the hangover pushes
+    STOP past the loud tail. +inf (unknown past) must fire neither."""
+    rng = np.random.default_rng(11)
+    quiet = (0.02 * np.sin(2 * np.pi * 440.0 * np.arange(576) / 44100.0)).astype(
+        np.float32
+    )
+    loud = quiet + 0.5 * rng.standard_normal(576).astype(np.float32)
+    # (a) attack fills the granule from sample 0: flat inside, loud
+    blk, _ = ref.transient_detect(loud)
+    assert blk == ref.BLOCK_LONG  # family detector reads flat
+    assert not ref._onset_fires(loud)  # no baseline: cannot fire...
+    prev2 = ref.onset_tail_energies([quiet])[0]
+    assert ref._onset_fires(loud, prev2)  # ...chain context fires it
+    assert ref.wants_short([loud], [prev2])
+    # steady content must not fire through the chain
+    assert not ref._onset_fires(quiet, ref.onset_tail_energies([quiet])[0])
+    # (b) straddling onset over a loud bed: the attack enters 3/4 into
+    # block 1, so EVERY consecutive ratio dilutes below ONSET_RATIO
+    # (the entry splits across two blocks) — only the 2-back min
+    # baseline (pre-attack block 0) fires
+    bed = (0.3 * np.sin(2 * np.pi * 440.0 * np.arange(576) / 44100.0)).astype(
+        np.float32
+    )
+    stra = bed.copy()
+    stra[168:432] += np.sqrt(0.2) * rng.standard_normal(264).astype(np.float32)
+    e = ref._onset_energies(stra)
+    for i in range(5):  # every consecutive jump is subthreshold
+        assert e[i + 1] <= ref.ONSET_RATIO * max(e[i], 1e-4), (i, e)
+    fam, _ = ref.transient_detect(stra)
+    assert fam == ref.BLOCK_LONG  # family detector reads flat too
+    assert ref._onset_fires(stra)  # min(e0, e1) baseline fires
+    # (c) drop: quiet granule after a loud one
+    assert ref._onset_fires(quiet, ref.onset_tail_energies([loud])[0])
+    # drop must NOT fire from an unknown (+inf) past
+    assert not ref._onset_fires(quiet, None)
+    # device twin agrees on all four chains
+    import jax.numpy as jnp
+
+    from swiftmp3_tpu.ops import dsp
+
+    for grs, p2, want in (
+        ([quiet, loud], None, [False, True]),
+        ([quiet, quiet], None, [False, False]),
+        ([stra], None, [True]),
+        ([loud, quiet], None, [False, True]),  # drop
+    ):
+        g = jnp.asarray(np.stack(grs)[None])  # [1, G, 576]
+        carry = jnp.full((1, 2), np.inf, jnp.float32) if p2 is None else p2
+        w, tails = dsp.onset_wants_chunk(g, carry)
+        assert [bool(v) for v in np.asarray(w[0])] == want, (want, np.asarray(w))
+        np.testing.assert_allclose(
+            np.asarray(tails[0, -1]),
+            ref.onset_tail_energies([grs[-1]])[0],
+            rtol=1e-6,
+        )
+
+
+def test_onset_chain_survives_chunk_boundary():
+    """The device onset/drop chain carries across CHUNK boundaries
+    (pipeline carry onset_prev2): byte equality vs golden on a bursty
+    stream long enough to cross the TPU backend's chunking, with bursts
+    placed so detector decisions land near frame 8/16 boundaries."""
+    rng = np.random.default_rng(21)
+    n = 21 * 1152 + 333
+    x = 0.02 * rng.standard_normal(n).astype(np.float32)
+    x += (0.25 * np.sin(2 * np.pi * 523.0 * np.arange(n) / 44100.0)).astype(
+        np.float32
+    )
+    for c in range(1700, n - 700, 2900):
+        x[c : c + 300] += 0.5 * rng.standard_normal(300).astype(np.float32)
+    pcm = np.clip(x, -1, 1).astype(np.float32)
+    opts = _hq(mode=Mode.MONO, bitrate_kbps=64)
+    outs = {b: _encode(opts, pcm, b) for b in ("numpy", "tpu")}
+    assert outs["numpy"] == outs["tpu"]
 
 
 def test_tdac_restored_through_transitions():

@@ -72,6 +72,12 @@ def synth(kind: str, n: int, seed: int) -> np.ndarray:
         for p in range(700, n - 1200, 2500):
             env[p : p + 500] = 1.0
         x = x * (0.2 + 0.8 * env)
+    elif kind == "nburst":
+        # noise bursts over a tone bed — the onset-detector content class
+        # (lame's distortion-control loop is furthest ahead here)
+        x = 0.3 * np.sin(2 * np.pi * 523.25 * t)
+        for p in range(900, n - 600, 3000):
+            x[p : p + 300] += 0.45 * rng.standard_normal(300)
     else:
         raise ValueError(kind)
     return np.clip(x, -0.99, 0.99).astype(np.float32)
