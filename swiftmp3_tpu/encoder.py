@@ -488,15 +488,8 @@ class GoldenBackend:
         # models/pipeline.py).
         budgets = [bits_per_granule] * len(staged)
         if strict and opts.demand_budget:
-            # options.noise_demand swaps the complexity probe (bits at the
-            # fixed K_DEMAND candidate) for the noise-target demand (bits
-            # at the coarsest candidate meeting the masking targets) —
-            # same donation law downstream.
-            demand_fn = (
-                ref.noise_demand_bits if opts.noise_demand else ref.strict_demand
-            )
             demands = [
-                demand_fn(
+                ref.strict_demand(
                     c["spectrum"],
                     c["sfd"]["mag_scale"] if c["sfd"] is not None else None,
                     c["gain0"], sr, c["block"],

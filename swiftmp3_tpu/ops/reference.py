@@ -1033,141 +1033,15 @@ def strict_demand(
     return part2 + lay["part23_bits"]
 
 
-# --- Noise-demand (options.noise_demand): price noise targets INSIDE the
-# candidate grid. The round-3 attribution (ARCHITECTURE.md "Burst-NMR
-# attribution") showed scalefactor-side shaping bolted ON TOP of a fixed
-# budget is structurally negative (amplification steals budget, the walk
-# coarsens globally); the untried formulation is to derive the BUDGET
-# SPLIT itself from noise targets: a granule's demand = the priced bits of
-# the COARSEST walk candidate whose per-band quantization noise sits under
-# a masking target, so the donation law moves bits toward granules that
-# are audibly starved (quiet post-attack granules with low thresholds)
-# and away from self-masking loud ones — temporal noise shaping through
-# the existing exact-priced machinery, no new loop.
-#
-# The target law mirrors the in-repo referee (utils.quality.
-# masked_noise_ratio): per-long-band source energy, two-slope max-plus
-# spreading in dB (upward -10 dB/band toward higher bands, downward
-# -25 dB/band), offset -NOISE_OFFSET_DB. Long-band grouping is used for
-# every window kind (the natural subband-major layout bins short-window
-# coefficients by frequency monotonically — a documented approximation;
-# the referee arbitrates whether it wins).
-NOISE_SPREAD_UP_DB = 10.0
-NOISE_SPREAD_DOWN_DB = 25.0
-NOISE_OFFSET_DB = 18.0
-# Margin knob (dB, positive = laxer targets). Swept by
-# tools/probe_noise_demand.py; 0 = the referee's own offset.
-NOISE_MARGIN_DB = 0.0
-
-
-def _long_band_bounds(sample_rate: int) -> np.ndarray:
-    b = np.concatenate([[0], np.cumsum(band_table(sample_rate))])
-    return np.minimum(b, 576).astype(np.int64)
-
-
-def _band_energies(x2: np.ndarray, bounds: np.ndarray) -> np.ndarray:
-    cs = np.concatenate([[0.0], np.cumsum(x2, dtype=np.float64)])
-    return cs[bounds[1:]] - cs[bounds[:-1]]
-
-
-def noise_targets(spectral: np.ndarray, sample_rate: int) -> np.ndarray:
-    """Per-long-band noise-energy targets for the demand law (see the
-    module comment above; device twin dsp.noise_targets_device)."""
-    bounds = _long_band_bounds(sample_rate)
-    e = _band_energies(
-        np.asarray(spectral, np.float64) ** 2, bounds
-    )
-    sdb = 10.0 * np.log10(np.maximum(e, 1e-30))
-    spread = sdb.copy()
-    n = len(spread)
-    for b in range(1, n):
-        spread[b] = max(spread[b], spread[b - 1] - NOISE_SPREAD_UP_DB)
-    for b in range(n - 2, -1, -1):
-        spread[b] = max(spread[b], spread[b + 1] - NOISE_SPREAD_DOWN_DB)
-    off = NOISE_OFFSET_DB - NOISE_MARGIN_DB
-    return 10.0 ** ((spread - off) / 10.0)
-
-
-def noise_demand_bits(
-    spectral: np.ndarray,
-    mag_scale,
-    initial_gain: int,
-    sample_rate: int,
-    block_type: int,
-    count1_coding: bool,
-    region_table_select: bool,
-    part2: int,
-    perm,
-    iso: bool,
-    linbits: bool = False,
-) -> int:
-    """Demand signal of options.noise_demand: part2 + priced strict bits
-    at the COARSEST walk candidate whose per-band reconstruction error
-    energy is under noise_targets everywhere (k* = largest such k on the
-    walk's own gain grid; k*=0 when even the finest candidate violates —
-    the demand then caps at the finest candidate's real cost). Walk grid
-    semantics (gstart, -40 retry) mirror quantize_to_fit_budget_strict;
-    the device twin reads the sweep's per-candidate tensors directly."""
-    from ..tables import QCAP_LINBITS
-
-    qcap = QCAP_LINBITS if linbits else 15
-    spectral = np.asarray(spectral, dtype=np.float32)
-    absv = np.maximum(np.abs(spectral), np.float32(1e-10))
-    mag = absv ** np.float32(0.75)
-    s = None
-    if mag_scale is not None:
-        s = np.asarray(mag_scale, np.float64)
-        mag = mag * mag_scale.astype(np.float32)
-
-    def inv_of(gain: int) -> np.float32:
-        gain = min(max(int(gain), 0), 255)
-        if linbits:
-            return ISO_INV_STEP34_NOFLOOR[gain]
-        if iso or mag_scale is not None:
-            return ISO_INV_STEP34[gain]
-        step = np.float32(max(2.0 ** ((gain - 210) / 4.0), 0.0001))
-        return np.float32(1.0) / step
-
-    def quantize_abs(gain: int) -> np.ndarray:
-        return np.minimum(
-            np.floor(mag * inv_of(gain) + np.float32(0.5)).astype(np.int64),
-            qcap,
-        )
-
-    g0 = min(max(int(initial_gain), 0), 255)
-    allzero0 = _last_nonzero_count(quantize_abs(g0)) == 0
-    gstart = max(g0 - 40, 0) if allzero0 else g0
-    k_max = 18 if allzero0 else 19
-
-    thr = noise_targets(spectral, sample_rate)
-    bounds = _long_band_bounds(sample_rate)
-    ax = np.abs(np.asarray(spectral, np.float64))
-
-    k_star = 0
-    q_star = None
-    for k in range(k_max, -1, -1):
-        gain = min(gstart + 4 * k, 255)
-        q = quantize_abs(gain)
-        # decoder-side reconstruction magnitude: |x^| = (q*step/s)^(4/3)
-        step = 1.0 / np.float64(inv_of(gain))
-        ratio = q.astype(np.float64) * step
-        if s is not None:
-            ratio = ratio / s
-        recon = ratio ** (4.0 / 3.0)
-        err_b = _band_energies((ax - recon) ** 2, bounds)
-        if np.all(err_b <= thr):
-            k_star = k
-            q_star = q
-            break
-    if q_star is None:
-        q_star = quantize_abs(min(gstart + 4 * 0, 255))
-    qn = q_star.astype(np.int32)
-    qs = qn if perm is None else qn[perm]
-    lay = strict_entropy_layout(
-        qs, sample_rate, block_type, count1_coding, region_table_select,
-        linbits=linbits,
-    )
-    return part2 + lay["part23_bits"]
+# --- Noise-demand: REMOVED after measurement (round 4). The in-pricing
+# formulation the round-3 attribution called for (donation demand = priced
+# bits of the coarsest walk candidate meeting per-band masking targets
+# spread from the granule's own spectrum) measured as a wash on every
+# (class, rate) and WORSE on nburst@128k at every margin in {-6, 0, +6} dB.
+# Protocol + table: tools/probe_noise_demand.py; full entry in
+# ARCHITECTURE.md "Noise-priced demand"; implementation in git history
+# (commit 266ac23). The remaining lame lead is per-band distortion control
+# INSIDE the candidate walk, not reachable by budget splits.
 
 
 def _anchor_segment(kk: int) -> int:

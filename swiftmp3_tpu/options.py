@@ -278,18 +278,11 @@ class MP3EncoderOptions:
     #   field. Requires the strict entropy layout (the demand signal is
     #   the strict sweep's priced grid).
     demand_budget: bool = False
-    # noise_demand: replace demand_budget's complexity probe (priced bits
-    #   at the fixed K_DEMAND grid candidate) with a NOISE-TARGET demand:
-    #   the priced bits of the COARSEST walk candidate whose per-band
-    #   reconstruction error sits under a masking target derived from the
-    #   granule's own spectrum (two-slope spread band energies, the
-    #   referee's law — ops.reference.noise_targets). Granules that are
-    #   audibly starved (quiet post-attack content, low thresholds) demand
-    #   more; self-masking loud granules demand less — temporal noise
-    #   shaping through the existing donation law, priced exactly on the
-    #   sweep's own grid (the round-3 attribution's "price noise INSIDE
-    #   candidate selection"). Requires demand_budget.
-    noise_demand: bool = False
+    # (noise_demand — a noise-targeted donation demand — was built here in
+    #   round 4 and REMOVED after measurement: wash on every class/rate,
+    #   worse on noise-bursts at 128k at every margin. Record:
+    #   tools/probe_noise_demand.py + ARCHITECTURE.md "Noise-priced
+    #   demand"; implementation in git history, commit 266ac23.)
 
     def __post_init__(self):
         # Quality is clamped, not rejected (MP3Encoder.swift:110).
@@ -364,11 +357,6 @@ class MP3EncoderOptions:
             raise ValueError(
                 "demand_budget requires the strict entropy layout (the "
                 "demand signal is the strict sweep's priced candidate grid)"
-            )
-        if self.noise_demand and not self.demand_budget:
-            raise ValueError(
-                "noise_demand is a demand law for the donation budget split "
-                "— it requires demand_budget"
             )
         if self.lsf and not (
             self.iso_quantization and self.reservoir_mode == "aligned"

@@ -1,6 +1,18 @@
 """Probe: noise-targeted demand (options.noise_demand) vs the K_DEMAND
 complexity probe, through libmpg123 NMR.
 
+NO LONGER RUNS AT HEAD — noise_demand measured NEGATIVE (round 4) and its
+wiring was removed; checkout commit 266ac23 to re-run. This file stays as
+the protocol + numbers record (full table in ARCHITECTURE.md
+"Noise-priced demand"). Verdict (6 classes x 64/96/128k x margins
+{-6, 0, +6} dB, 16x1152 mono, interior-scored through libmpg123):
+a WASH everywhere (within +-0.3 dB of hq on every class/rate cell) and
+consistently WORSE on the targeted class — nburst at 128k: hq 12.9 vs
+nd 14.3 / 13.2 / 14.5 NMR at margins -6 / 0 / +6. Read: after the
+onset/drop chain landed, the burst NMR mass sits in granules the
+sequencer already handles; the rest is per-band placement INSIDE a
+granule, untouchable by a granule-level budget split.
+
 The round-3 attribution closed every scalefactor-side shaping lever
 (bolted loops measured negative twice) and named the one untried
 formulation: price noise targets INSIDE candidate selection. noise_demand
