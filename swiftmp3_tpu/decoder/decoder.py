@@ -16,8 +16,12 @@ third-party coverage only (the encoder family is MPEG-1-only, matching the
 reference, MP3Encoder.swift header parse). LSF band tables come from
 libavcodec (`_lsf_data.py`, tools/extract_lsf_tables.py); validation is
 libmp3lame-produced low-rate streams A/B'd against libmpg123
-(tests/test_lsf.py). LSF intensity stereo is parsed but not applied (its
-position law differs from MPEG-1's and no producer on this rig emits it).
+(tests/test_lsf.py). LSF intensity stereo is applied per the ISO 13818-3
+2^(-pos/4) position law with per-band all-ones illegal markers (round 4;
+no third-party producer emits it, so tests/test_intensity.py
+hand-assembles conforming LSF IS streams from the repo's emission
+primitives and libmpg123 arbitrates — the same producer methodology as
+the MPEG-1 intensity surface).
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ from .tables import (
     SUPPORTED_TABLE_IDS,
     band_table,
     huffman_arrays,
+    mixed_head,
     short_band_table,
     short_reorder_dest,
 )
@@ -456,16 +461,19 @@ def _read_lsf_scalefactors(r: BitReader, g: GranuleSide, intensity_ch: bool):
     LSF_NSF_TABLE gives each slen group's band count for the granule's
     window class. Sets g.preflag (implicit in the >=500 case — LSF side
     info carries no preflag bit). intensity_ch = the right channel of an
-    intensity-stereo frame (cases 3-5; parsed for bit-exactness, but LSF
-    intensity reconstruction is not applied — see decode_mp3 notes).
+    intensity-stereo frame (cases 3-5 — its values are intensity
+    POSITIONS; the caller needs the per-band slen widths because the LSF
+    illegal-position marker is the all-ones value of each band's OWN
+    field, (1<<slen)-1, not MPEG-1's fixed 7).
 
     Returns (scalefacs[21] | None, sf_short[12][3] | None,
-    sf_mixed_long[8] | None) in the shapes _requantize consumes; LSF mixed
-    granules have 6 long head bands, padded with two zero bands. NOTE the
-    head is 36 lines at 11.025-24 kHz but 72 lines at 8 kHz (6 bands x 12);
-    _imdct_granule/reorder hardcode the 2-subband (36-line) head, so the
-    8 kHz mixed case is outside the validated surface (no producer exists
-    to arbitrate a reading — see CLAUDE.md's exotics list)."""
+    sf_mixed_long[8] | None, widths) in the shapes _requantize consumes,
+    where widths mirrors the populated scalefacs/sf_short shape with each
+    band's slen; LSF mixed granules have 6 long head bands, padded with
+    two zero bands. The head is 36 lines at 11.025-24 kHz but 72 lines at
+    8 kHz (6 bands x 12) — validated round 4 against libmpg123 on a
+    hand-assembled 8 kHz mixed producer (tests/test_lsf.py; synthesis
+    keeps the universal 2-subband head, see tables.mixed_head)."""
     from ._lsf_data import LSF_NSF_TABLE
 
     sf = g.scalefac_compress
@@ -490,22 +498,59 @@ def _read_lsf_scalefactors(r: BitReader, g: GranuleSide, intensity_ch: bool):
     wclass = (2 if g.mixed_block_flag else 1) if is_short else 0
     ns = LSF_NSF_TABLE[case][wclass]
     vals = []
+    wids = []
     for k in range(4):
         width = slen[k]
         vals += [r.read(width) if width else 0 for _ in range(ns[k])]
+        wids += [width] * ns[k]
     if not is_short:
-        return vals[:21], None, None  # all six long cases total 21 bands
+        # all six long cases total 21 bands
+        return vals[:21], None, None, wids[:21]
     sf_short = [[0, 0, 0] for _ in range(12)]
+    w_short = [[0, 0, 0] for _ in range(12)]
     if g.mixed_block_flag:
         sf_mixed_long = vals[:6] + [0, 0]
         for sfb in range(3, 12):
             for w in range(3):
                 sf_short[sfb][w] = vals[6 + (sfb - 3) * 3 + w]
-        return None, sf_short, sf_mixed_long
+                w_short[sfb][w] = wids[6 + (sfb - 3) * 3 + w]
+        return None, sf_short, sf_mixed_long, w_short
     for sfb in range(12):
         for w in range(3):
             sf_short[sfb][w] = vals[sfb * 3 + w]
-    return None, sf_short, None
+            w_short[sfb][w] = wids[sfb * 3 + w]
+    return None, sf_short, None, w_short
+
+
+def _is_factors(pos: int, lsf: int, intensity_scale: int, slen: int):
+    """Intensity-stereo position -> (k_left, k_right), or None when the
+    position is the illegal marker (the band keeps its M/S-or-L/R
+    reading). MPEG-1 (ISO 11172-3 2.4.3.4.9.3): ratio = tan(pos*pi/12),
+    k_l = ratio/(1+ratio), k_r = 1/(1+ratio); pos 7 illegal, pos 6
+    all-left. LSF (ISO 13818-3 2.4.3.2): the right granule's
+    scalefac_compress bit 0 is intensity_scale; with
+    base = 2^(-0.25*(intensity_scale+1)), an ODD position attenuates the
+    LEFT channel by base^((pos+1)/2) (right stays 1), an EVEN position
+    attenuates the RIGHT by base^(pos/2) (left stays 1); pos 0 leaves
+    both at 1; the illegal marker is the all-ones value of the band's
+    OWN slen field, (1<<slen)-1 (a 0-width field cannot mark illegal —
+    pos 0 there means 'both at 1'). Validated against libmpg123 on
+    hand-assembled streams (tests/test_intensity.py)."""
+    if lsf:
+        if slen and pos == (1 << slen) - 1:
+            return None
+        if pos == 0:
+            return 1.0, 1.0
+        base = 2.0 ** (-0.25 * (intensity_scale + 1))
+        if pos & 1:
+            return base ** ((pos + 1) >> 1), 1.0
+        return 1.0, base ** (pos >> 1)
+    if pos == 7:
+        return None
+    if pos == 6:
+        return 1.0, 0.0
+    ratio = float(np.tan(pos * np.pi / 12.0))
+    return ratio / (1.0 + ratio), 1.0 / (1.0 + ratio)
 
 
 def _requantize(
@@ -549,7 +594,7 @@ def _requantize(
         sbounds = np.concatenate(
             [[0], np.cumsum(short_band_table(sample_rate)), [192]]
         ).astype(int)
-        first_sfb = 3 if g.mixed_block_flag else 0
+        first_sfb = mixed_head(sample_rate)[1] if g.mixed_block_flag else 0
         for sfb in range(first_sfb, 12):
             lo, hi = int(sbounds[sfb]), int(sbounds[sfb + 1])
             for w in range(3):
@@ -573,12 +618,12 @@ def _requantize(
     # ISO 2.4.3.4.7.1 per-window gain for short blocks: window w of a short
     # subband is attenuated by 2^(-2*subblock_gain[w]). In this encoder
     # family's short layout, coefficient i belongs to window (i%18)%3;
-    # mixed granules keep subbands 0-1 (first 36 coefficients) long.
+    # mixed granules keep the long head (36 lines; 72 at 8 kHz) untouched.
     if g.window_switching and g.block_type == 2 and any(g.subblock_gain):
         w_of = (np.arange(576) % 18) % 3
         factor = (2.0 ** (-2.0 * np.asarray(g.subblock_gain, dtype=np.float64)))[w_of]
         if g.mixed_block_flag:
-            factor[:36] = 1.0
+            factor[: mixed_head(sample_rate)[0]] = 1.0
         xr *= factor
     return (np.sign(q) * xr).astype(np.float32)
 
@@ -633,6 +678,12 @@ def _imdct_granule(xr: np.ndarray, g: GranuleSide, overlap: np.ndarray) -> np.nd
     (MP3Encoder.swift:1621, 1641) — exactly N/4 of each transform — so the
     inverse M^T with sine-window overlap-add has unit gain (validated
     numerically: single-subband TDAC error ~1e-7 at scale 1.0).
+
+    A MIXED granule's long synthesis head is 2 subbands at EVERY rate —
+    including MPEG-2.5 8 kHz, whose 72-line STREAM-LAYOUT head covers 4
+    subbands: there, natural lines 36..72 are dequantized as long bands
+    3-5 but synthesized as short windows (the mpg123-arbitrated hybrid,
+    see tables.mixed_head).
     """
     out = np.zeros((32, 18), dtype=np.float64)
     for sb in range(32):
@@ -843,15 +894,12 @@ def decode_mp3(
         gr_sf = [[None] * channels for _ in range(n_gr)]  # long sf (intensity pos)
         gr_sfs = [[None] * channels for _ in range(n_gr)]  # short sf [12][3]
         gr_rzero = [[0] * channels for _ in range(n_gr)]  # decoded nonzero extent
+        gr_slen = [None] * n_gr  # right-ch per-band slen (LSF intensity)
         ok = True
-        # LSF intensity stereo uses a different position law (ISO 13818-3:
-        # positions 2^(0.25*...) with per-slen illegal values) that no
-        # producer on this rig emits — not applied (M/S is; see docstring).
         frame_is_mode = (
             channels == 2
             and fi.mode == 0b01
             and (fi.mode_extension & 0b01)
-            and not fi.lsf
         )
         for gr in range(n_gr):
             # Intensity frames defer alias reduction until AFTER stereo
@@ -881,9 +929,13 @@ def decode_mp3(
                     intensity_ch = (
                         ch == 1 and fi.mode == 0b01 and (fi.mode_extension & 0b01)
                     )
-                    scalefacs, sf_short, sf_mixed_long = _read_lsf_scalefactors(
-                        r, g, bool(intensity_ch)
+                    scalefacs, sf_short, sf_mixed_long, sf_widths = (
+                        _read_lsf_scalefactors(r, g, bool(intensity_ch))
                     )
+                    if intensity_ch:
+                        # per-band slen widths: the LSF illegal-position
+                        # marker is each band's own all-ones value
+                        gr_slen[gr] = sf_widths
                 elif g.window_switching and g.block_type == 2 and not g.mixed_block_flag:
                     # pure short: sfb-major, windows consecutive
                     # (ISO 2.4.2.7: sfbs 0-5 at slen1, 6-11 at slen2)
@@ -949,8 +1001,11 @@ def decode_mp3(
                     if not defer_alias:  # intensity: alias AFTER stereo
                         xr = _alias_reduce_decode(xr)
                 elif g.mixed_block_flag:
-                    # conforming decoders alias-reduce only the long head's
-                    # subband 0/1 boundary for mixed blocks; the legacy
+                    # conforming decoders alias-reduce ONE boundary (the
+                    # subband 0/1 junction) for mixed blocks at EVERY rate
+                    # — the synthesis head stays 2 subbands even at 8 kHz
+                    # where the stream-layout head is 72 lines (see
+                    # tables.mixed_head, mpg123-arbitrated); the legacy
                     # reading kept the full 31 (historical oracle behavior
                     # for reference-law streams, which alias nothing)
                     xr = _alias_reduce_decode(xr, 1 if iso_conventions else 31)
@@ -970,10 +1025,7 @@ def decode_mp3(
             # decode failure still lets earlier granules advance the
             # overlap state, like a streaming decoder.
             ms_mode = fi.mode == 0b01 and (fi.mode_extension & 0b10)
-            # intensity processing below implements the MPEG-1 position law
-            # only; LSF intensity (different law, no producer to validate
-            # against) is parsed but not applied — see frame_is_mode note
-            is_mode = fi.mode == 0b01 and (fi.mode_extension & 0b01) and not fi.lsf
+            is_mode = fi.mode == 0b01 and (fi.mode_extension & 0b01)
             if channels == 2 and (ms_mode or is_mode):
                 m, s_ = gr_xr[gr][0], gr_xr[gr][1]
                 if ms_mode:
@@ -990,31 +1042,32 @@ def decode_mp3(
                     # channel's decoded zero part carry an intensity
                     # position in the RIGHT channel's scalefactor slot;
                     # both channels are reconstructed from the LEFT
-                    # channel's requantized values, split by
-                    # ratio = tan(is_pos * pi/12). is_pos 7 is illegal and
-                    # leaves the band in its M/S (or L/R) reading; is_pos 6
-                    # is the all-left limit. The sfb21 tail (above the last
-                    # band bound) rides band 20's position, the reference-
-                    # decoder (dist10) convention.
+                    # channel's requantized values, split per _is_factors
+                    # (MPEG-1 tan law / LSF 2^(-pos/4) law — the LSF
+                    # illegal marker is per-band all-ones, gr_slen). The
+                    # sfb21 tail (above the last band bound) rides band
+                    # 20's position, the reference-decoder (dist10)
+                    # convention.
                     bounds = np.concatenate(
                         [[0], np.cumsum(band_table(sr))]
                     ).astype(int)
                     rz = gr_rzero[gr][1]
                     spos = gr_sf[gr][1]
+                    iscale = fi.granules[gr][1].scalefac_compress & 1
+                    slens = gr_slen[gr]
                     for b in range(22):
                         lo = int(bounds[b])
                         hi = int(bounds[b + 1]) if b < 21 else 576
                         if lo < rz or lo >= hi:
                             continue
-                        pos = spos[min(b, 20)]
-                        if pos == 7:
+                        bb = min(b, 20)
+                        fac = _is_factors(
+                            spos[bb], fi.lsf, iscale,
+                            slens[bb] if slens is not None else 0,
+                        )
+                        if fac is None:
                             continue
-                        if pos == 6:
-                            kl, kr = 1.0, 0.0
-                        else:
-                            ratio = float(np.tan(pos * np.pi / 12.0))
-                            kl = ratio / (1.0 + ratio)
-                            kr = 1.0 / (1.0 + ratio)
+                        kl, kr = fac
                         seg = m[lo:hi]  # pre-matrix left channel
                         out_l[lo:hi] = seg * kl
                         out_r[lo:hi] = seg * kr
@@ -1045,11 +1098,14 @@ def decode_mp3(
                     )
                     if both_short and g2l.mixed_block_flag == g2r.mixed_block_flag:
                         mixed = bool(g2r.mixed_block_flag)
-                        base = 12 if mixed else 0
-                        first_sfb = 3 if mixed else 0
                         sb = np.concatenate(
                             [[0], np.cumsum(short_band_table(sr))]
                         ).astype(int)
+                        # head geometry (lines/window, first short sfb):
+                        # 12/3 at MPEG-1 rates — see tables.mixed_head
+                        hl, hs = mixed_head(sr)
+                        base = hl // 3 if mixed else 0
+                        first_sfb = hs if mixed else 0
                         spos = gr_sfs[gr][1]
                         lines = 192
                         for w in range(3):
@@ -1060,15 +1116,20 @@ def decode_mp3(
                                 hi = int(sb[s + 1]) if s < 12 else lines
                                 if lo < rzw or lo >= hi:
                                     continue
-                                pos = spos[min(s, 11)][w]
-                                if pos == 7:
+                                ss = min(s, 11)
+                                slen_sw = (
+                                    gr_slen[gr][ss][w]
+                                    if fi.lsf and gr_slen[gr] is not None
+                                    else 0
+                                )
+                                fac = _is_factors(
+                                    spos[ss][w], fi.lsf,
+                                    fi.granules[gr][1].scalefac_compress & 1,
+                                    slen_sw,
+                                )
+                                if fac is None:
                                     continue
-                                if pos == 6:
-                                    kl, kr = 1.0, 0.0
-                                else:
-                                    ratio = float(np.tan(pos * np.pi / 12.0))
-                                    kl = ratio / (1.0 + ratio)
-                                    kr = 1.0 / (1.0 + ratio)
+                                kl, kr = fac
                                 idx = 3 * np.arange(lo, hi) + w
                                 seg = m[idx]
                                 out_l[idx] = seg * kl

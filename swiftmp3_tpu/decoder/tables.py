@@ -78,6 +78,29 @@ def short_band_table(sample_rate: int) -> np.ndarray:
     )
 
 
+def mixed_head(sample_rate: int) -> tuple:
+    """(head_lines, first_short_sfb) of a MIXED granule's STREAM-LAYOUT
+    long head: the first 3 short bands' worth of lines stay in natural
+    order and the short-reorder/scalefactor map starts at short sfb 3 —
+    36 lines at every rate except MPEG-2.5 8 kHz, whose wider bands make
+    it 72 (ISO 13818-3's 6-long-band head).
+
+    IMPORTANT (mpg123-arbitrated, 8 kHz producer probe, round 4): this
+    head governs ONLY the stream layout — reorder extent and scalefactor
+    band map. The IMDCT long/short switch point and the alias-reduction
+    boundary count do NOT follow it: conforming decoders keep the
+    universal 2-subband (36-line) synthesis head and ONE aliased
+    boundary at every rate, so at 8 kHz natural lines 36..72 are
+    DEQUANTIZED as long bands 3-5 but SYNTHESIZED as short windows.
+    Candidate unified readings measured on the hand-assembled 8 kHz
+    mixed producer (tests/test_lsf.py): ISO-6-band-everywhere = 0.2 dB
+    vs mpg123, dist10-8-band-everywhere = 4.0 dB; the hybrid (72-line
+    layout + 2-subband/1-boundary synthesis) = ~130 dB on every content
+    region, isolated per-knob (reorder x imdct x alias grid)."""
+    sb = np.cumsum(short_band_table(sample_rate))
+    return 3 * int(sb[2]), 3
+
+
 def short_reorder_dest(sample_rate: int, mixed: bool) -> np.ndarray:
     """ISO 2.4.3.4.8 reordering as a destination map: the Huffman stream's
     j-th requantized value lands at natural[dest[j]].
@@ -86,17 +109,19 @@ def short_reorder_dest(sample_rate: int, mixed: bool) -> np.ndarray:
     III_reorder structure): the stream walks short scalefactor bands in
     order, the three windows of a band consecutively; window w's value for
     line l lands at natural position 3*l + w (the subband-major layout the
-    IMDCT consumes). Mixed blocks keep their first 36 values (the long
-    head, subbands 0-1) in place and reorder lines >= 12 per window.
+    IMDCT consumes). Mixed blocks keep their long-head values in place
+    (see mixed_head: 36 lines at MPEG-1 rates, 54 at 11.025-24 kHz, 108
+    at 8 kHz) and reorder the lines above.
     """
     widths = short_band_table(sample_rate)
     starts = list(np.concatenate([[0], np.cumsum(widths), [192]]).astype(int))
-    dest = list(range(36)) if mixed else []
+    head_l = mixed_head(sample_rate)[0] // 3  # lines/window under the head
+    dest = list(range(3 * head_l)) if mixed else []
     for sfb in range(13):  # 12 coded bands + the uncoded remainder band
         s, e = starts[sfb], starts[sfb + 1]
-        if mixed and e <= 12:
+        if mixed and e <= head_l:
             continue  # covered by the long head (ISO B.8 puts a band
-            # boundary exactly at line 12 for every rate)
+            # boundary exactly at the head line for every rate)
         for w in range(3):
             for line in range(s, e):
                 dest.append(3 * line + w)

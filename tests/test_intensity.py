@@ -405,6 +405,253 @@ def test_mixed_is_decode_agrees_with_mpg123(mode_ext):
         assert agree > 60.0, (mode_ext, c, agree)
 
 
+# --- LSF (MPEG-2) intensity -----------------------------------------------------
+
+LSF_SR = 22050
+LSF_KBPS = 160
+LSF_BOUND_SFB = 11  # right channel zero from this band boundary upward
+# bands 11..20: odd positions attenuate LEFT, even RIGHT (ISO 13818-3
+# 2^(-pos/4) law); 0 = both at 1; 7 = all-ones of the 3-bit field = the
+# LSF illegal marker (band keeps its L/R reading)
+LSF_IS_POS = [1, 2, 3, 4, 0, 5, 6, 7, 2, 1]
+
+
+def _lsf_bounds():
+    return np.concatenate([[0], np.cumsum(band_table(LSF_SR))]).astype(int)
+
+
+def _lsf_long_granule(q, sf_vals, sf_widths, compress, gain):
+    """(GranuleInfo, chunks, nbits) for one LSF long granule with
+    explicitly provided scalefactor field values/widths (the LSF 6-case
+    slen law is hand-encoded by the caller — this is a producer, the
+    decoder's reading is what's under test)."""
+    layout = ref.strict_entropy_layout(q, LSF_SR, ref.BLOCK_LONG, True, True)
+    sf_vals = np.asarray(sf_vals, dtype=np.int64)
+    sf_widths = np.asarray(sf_widths, dtype=np.int64)
+    keep = sf_widths > 0
+    gi = GranuleInfo(
+        part23_length=int(sf_widths.sum()) + int(layout["part23_bits"]),
+        big_values=int(layout["big_values"]),
+        global_gain=gain,
+        scalefac_compress=int(compress),
+        table_select=tuple(layout["table_select"]),
+        region0_count=int(layout["region0"]),
+        region1_count=int(layout["region1"]),
+        count1table_select=int(layout["count1table_select"]),
+        scalefac_scale=0,
+    )
+    return (
+        gi,
+        [sf_vals[keep], layout["chunks"]],
+        [sf_widths[keep], layout["nbits"]],
+    )
+
+
+def build_lsf_is_stream(
+    n_frames: int = 4, intensity_scale: int = 0, gain: int = 170, seed: int = 11
+) -> bytes:
+    """Conforming MPEG-2 (22.05 kHz) joint-stereo stream, one long granule
+    per frame, intensity-coded upper bands. Right channel scalefactor
+    field: intensity case 3 (ns=(7,7,7), slens (0,3,3) -> compress
+    ((0*6+3)*6+3)<<1 | intensity_scale = 42|is), positions LSF_IS_POS in
+    bands 11..20, real scalefactors (0) below the bound."""
+    from swiftmp3_tpu.io.bitwriter import BitstreamWriter
+    from swiftmp3_tpu.io.sideinfo import build_side_info_lsf
+
+    bounds = _lsf_bounds()
+    rz = int(bounds[LSF_BOUND_SFB])
+    hi = int(bounds[18])  # left spectrum extent
+    rng = np.random.default_rng(seed)
+    frame_size = (72 * LSF_KBPS * 1000) // LSF_SR
+    slot = frame_size - 4 - 17
+    # right channel scalefactor fields, case 3 (groups of 7 bands at
+    # slens 0/3/3): group 0 carries no bits; groups 1-2 carry 3-bit values
+    sf_vals = np.zeros(21, dtype=np.int64)
+    sf_vals[11:21] = LSF_IS_POS
+    sf_widths = np.array([0] * 7 + [3] * 14, dtype=np.int64)
+    compress = (((0 * 6 + 3) * 6 + 3) << 1) | intensity_scale
+    out = bytearray()
+    for _ in range(n_frames):
+        ql = np.zeros(576, dtype=np.int64)
+        ql[:hi] = rng.integers(-4, 5, hi)
+        ql[hi - 1] = 3
+        qr = np.zeros(576, dtype=np.int64)
+        qr[:rz] = rng.integers(-4, 5, rz)
+        qr[rz - 1] = 2
+        gil, cl, nl = _lsf_long_granule(ql, [0], [0], 0, gain)
+        gir, cr, nr = _lsf_long_granule(qr, sf_vals, sf_widths, compress, gain)
+        granules = [[gil, gir]]
+        chunks = cl + cr
+        nbits = nl + nr
+        h = BitstreamWriter()
+        h.write(0x7FF, 11)
+        h.write(0b10, 2)  # MPEG-2 (LSF)
+        h.write(0b01, 2)  # Layer III
+        h.write(1, 1)  # no CRC
+        h.write(bitrate_index(LSF_KBPS, LSF_SR), 4)
+        h.write(sample_rate_index(LSF_SR), 2)
+        h.write(0, 1)  # padding
+        h.write(0, 1)  # private
+        h.write(0b01, 2)  # joint stereo
+        h.write(0b01, 2)  # mode_ext: intensity only
+        h.write(0, 1)
+        h.write(1, 1)
+        h.write(0, 2)
+        side = build_side_info_lsf(2, granules, 0)
+        md, _bits = pack_chunks(np.concatenate(chunks), np.concatenate(nbits))
+        assert len(md) <= slot, (len(md), slot)
+        out += h.data + side + md + bytes(slot - len(md))
+    return bytes(out)
+
+
+LSF_SHORT_BOUND = 6  # right channel zero from this short band upward
+# per (short sfb 6..11, window): odd/even/0/illegal(7) coverage
+LSF_IS_POS_SHORT = [[1, 2, 0], [3, 4, 7], [5, 6, 1], [2, 0, 3], [7, 1, 4], [2, 5, 6]]
+
+
+def build_lsf_short_is_stream(
+    n_frames: int = 4, intensity_scale: int = 0, gain: int = 170, seed: int = 13
+) -> bytes:
+    """MPEG-2 joint-stereo stream of PURE SHORT granules with
+    intensity-coded upper short bands. Right channel: intensity case 3
+    short (ns=(12,12,12), slens (0,3,3) -> groups = sfbs 0-3 / 4-7 / 8-11
+    in (sfb, window) order), positions LSF_IS_POS_SHORT at sfbs 6..11."""
+    from swiftmp3_tpu.io.bitwriter import BitstreamWriter
+    from swiftmp3_tpu.io.sideinfo import build_side_info_lsf
+    from swiftmp3_tpu.tables import short_band_table
+
+    sb = np.concatenate([[0], np.cumsum(short_band_table(LSF_SR))]).astype(int)
+    rz3 = 3 * int(sb[LSF_SHORT_BOUND])  # right's stream-order zero start
+    hi3 = 3 * int(sb[10])  # left spectrum extent (below the sfb11 tail)
+    rng = np.random.default_rng(seed)
+    frame_size = (72 * LSF_KBPS * 1000) // LSF_SR
+    slot = frame_size - 4 - 17
+    sf_vals = np.zeros(36, dtype=np.int64)
+    for s in range(6, 12):
+        for w in range(3):
+            sf_vals[s * 3 + w] = LSF_IS_POS_SHORT[s - 6][w]
+    sf_widths = np.array([0] * 12 + [3] * 24, dtype=np.int64)
+    compress = (((0 * 6 + 3) * 6 + 3) << 1) | intensity_scale
+    out = bytearray()
+    for _ in range(n_frames):
+        ql = np.zeros(576, dtype=np.int64)
+        ql[:hi3] = rng.integers(-4, 5, hi3)
+        ql[hi3 - 1] = 3
+        qr = np.zeros(576, dtype=np.int64)
+        qr[:rz3] = rng.integers(-4, 5, rz3)
+        qr[rz3 - 1] = 2
+
+        def _short_gi(q, vals, widths, comp):
+            layout = ref.strict_entropy_layout(
+                q, LSF_SR, ref.BLOCK_SHORT, True, True
+            )
+            vals = np.asarray(vals, dtype=np.int64)
+            widths = np.asarray(widths, dtype=np.int64)
+            keep = widths > 0
+            gi = GranuleInfo(
+                part23_length=int(widths.sum()) + int(layout["part23_bits"]),
+                big_values=int(layout["big_values"]),
+                global_gain=gain,
+                scalefac_compress=int(comp),
+                window_switching=1,
+                block_type=2,
+                mixed_block_flag=0,
+                table_select=tuple(layout["table_select"]),
+                count1table_select=int(layout["count1table_select"]),
+                scalefac_scale=0,
+            )
+            return gi, [vals[keep], layout["chunks"]], [widths[keep], layout["nbits"]]
+
+        gil, cl, nl = _short_gi(ql, [0], [0], 0)
+        gir, cr, nr = _short_gi(qr, sf_vals, sf_widths, compress)
+        granules = [[gil, gir]]
+        chunks, nbits = cl + cr, nl + nr
+        h = BitstreamWriter()
+        h.write(0x7FF, 11)
+        h.write(0b10, 2)  # MPEG-2 (LSF)
+        h.write(0b01, 2)
+        h.write(1, 1)
+        h.write(bitrate_index(LSF_KBPS, LSF_SR), 4)
+        h.write(sample_rate_index(LSF_SR), 2)
+        h.write(0, 1)
+        h.write(0, 1)
+        h.write(0b01, 2)  # joint stereo
+        h.write(0b01, 2)  # mode_ext: intensity only
+        h.write(0, 1)
+        h.write(1, 1)
+        h.write(0, 2)
+        side = build_side_info_lsf(2, granules, 0)
+        md, _bits = pack_chunks(np.concatenate(chunks), np.concatenate(nbits))
+        assert len(md) <= slot, (len(md), slot)
+        out += h.data + side + md + bytes(slot - len(md))
+    return bytes(out)
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+@pytest.mark.parametrize("intensity_scale", [0, 1])
+def test_lsf_short_is_decode_agrees_with_mpg123(intensity_scale):
+    """LSF short-window intensity: per-(band, window) positions under the
+    LSF position law, libmpg123-arbitrated."""
+    blob = build_lsf_short_is_stream(intensity_scale=intensity_scale)
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert dec.frame_count == 4 and np.all(np.isfinite(dec.pcm))
+    ext, _ = mpg123_decode(blob)
+    m = min(ext.shape[0], dec.pcm.shape[0])
+    assert m >= 2 * 576
+    for c in range(2):
+        agree = decode_agreement_snr(ext[:m, c], dec.pcm[:m, c])
+        assert agree > 60.0, (intensity_scale, c, agree)
+
+
+def test_lsf_is_factors_law():
+    """Unit pin of the LSF position law (ISO 13818-3): odd attenuates
+    LEFT by base^((pos+1)/2), even RIGHT by base^(pos/2), base =
+    2^(-0.25*(intensity_scale+1)); 0 = both 1; all-ones of the band's
+    own slen field = illegal."""
+    from swiftmp3_tpu.decoder.decoder import _is_factors
+
+    for isc, base in ((0, 2 ** -0.25), (1, 2 ** -0.5)):
+        assert _is_factors(0, 1, isc, 3) == (1.0, 1.0)
+        kl, kr = _is_factors(1, 1, isc, 3)
+        assert kr == 1.0 and abs(kl - base) < 1e-12
+        kl, kr = _is_factors(2, 1, isc, 3)
+        assert kl == 1.0 and abs(kr - base) < 1e-12
+        kl, kr = _is_factors(5, 1, isc, 3)
+        assert kr == 1.0 and abs(kl - base ** 3) < 1e-12
+        assert _is_factors(7, 1, isc, 3) is None  # all-ones of slen 3
+        assert _is_factors(7, 1, isc, 4) is not None  # not all-ones at slen 4
+    # MPEG-1 law untouched
+    assert _is_factors(7, 0, 0, 3) is None
+    assert _is_factors(6, 0, 0, 0) == (1.0, 0.0)
+
+
+def test_lsf_is_stream_wellformed_and_fires():
+    blob = build_lsf_is_stream()
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert dec.frame_count == 4
+    assert np.all(np.isfinite(dec.pcm))
+    # odd positions attenuate left but keep right = left content: the
+    # right channel must carry real signal in the IS region
+    el = float(np.sum(dec.pcm[:, 0] ** 2))
+    er = float(np.sum(dec.pcm[:, 1] ** 2))
+    assert 0 < er and 0 < el
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+@pytest.mark.parametrize("intensity_scale", [0, 1])
+def test_lsf_is_decode_agrees_with_mpg123(intensity_scale):
+    """The conformance claim: our LSF intensity reading == libmpg123's
+    (both intensity_scale variants, positions covering odd/even/0/illegal)."""
+    blob = build_lsf_is_stream(intensity_scale=intensity_scale)
+    dec = decode_mp3(blob, iso_conventions=True)
+    ext, _ = mpg123_decode(blob)
+    m = min(ext.shape[0], dec.pcm.shape[0])
+    assert m >= 2 * 576
+    for c in range(2):
+        agree = decode_agreement_snr(ext[:m, c], dec.pcm[:m, c])
+        assert agree > 60.0, (intensity_scale, c, agree)
+
+
 # --- decoder corruption robustness ----------------------------------------------
 
 

@@ -132,3 +132,116 @@ def test_mpeg1_streams_unchanged_by_lsf_support():
     m = min(len(ext), len(dec.pcm))
     agree = decode_agreement_snr(ext[:m, 0], dec.pcm[:m, 0])
     assert agree > 60.0, agree
+
+
+# --- MPEG-2.5 8 kHz mixed blocks (hand-assembled producer) ---------------------
+# lame never emits mixed blocks, so — like the intensity surfaces in
+# tests/test_intensity.py — the test IS the producer: conforming mono
+# 8 kHz MPEG-2.5 frames whose single granule is a MIXED block (72-line /
+# 4-subband long head, ISO 13818-3's 6-band head geometry), assembled
+# from the repo's own emission primitives and arbitrated by libmpg123.
+
+
+def build_8k_mixed_stream(
+    n_frames: int = 4, gain: int = 170, seed: int = 21, with_sf: bool = False
+) -> bytes:
+    from swiftmp3_tpu.io.bitwriter import BitstreamWriter
+    from swiftmp3_tpu.io.huffman_pack import pack_chunks
+    from swiftmp3_tpu.io.sideinfo import GranuleInfo, build_side_info_lsf
+    from swiftmp3_tpu.ops import reference as ref
+    from swiftmp3_tpu.tables import (
+        bitrate_index,
+        sample_rate_index,
+        short_band_table,
+    )
+
+    from swiftmp3_tpu.decoder.tables import mixed_head
+
+    sr, kbps = 8000, 64
+    sb = np.concatenate([[0], np.cumsum(short_band_table(sr))]).astype(int)
+    # 72-line stream-layout head, short region from sfb 3 (tables.mixed_head)
+    head, first_sfb = mixed_head(sr)
+    hi3 = head + 3 * (int(sb[9]) - int(sb[first_sfb]))  # through short sfb 8
+    rng = np.random.default_rng(seed)
+    frame_size = (72 * kbps * 1000) // sr  # 576 bytes
+    slot = frame_size - 4 - 9  # mono LSF side info
+    # with_sf: case 0 mixed (ns=(6,9,9,9)), slens (2,2,2,2) -> compress
+    # ((2*5+2)*4+2)*4+2 = 202; 6 long-head slots + short sfbs 3..11
+    if with_sf:
+        sf_vals = np.asarray(
+            [1, 2, 3, 1, 2, 3] + [s % 4 for s in range(27)], np.int64
+        )
+        sf_widths = np.full(33, 2, dtype=np.int64)
+        compress = 202
+    else:
+        sf_vals = np.zeros(0, np.int64)
+        sf_widths = np.zeros(0, np.int64)
+        compress = 0  # case 0, slens (0,0,0,0): no sf bits
+    out = bytearray()
+    for _ in range(n_frames):
+        # transmission order: long head natural, then short region sfb-major
+        q = np.zeros(576, dtype=np.int64)
+        q[:hi3] = rng.integers(-3, 4, hi3)
+        q[hi3 - 1] = 2
+        layout = ref.strict_entropy_layout(q, sr, ref.BLOCK_MIXED, True, True)
+        gi = GranuleInfo(
+            part23_length=int(sf_widths.sum()) + int(layout["part23_bits"]),
+            big_values=int(layout["big_values"]),
+            global_gain=gain,
+            scalefac_compress=compress,
+            window_switching=1,
+            block_type=2,
+            mixed_block_flag=1,
+            table_select=tuple(layout["table_select"]),
+            count1table_select=int(layout["count1table_select"]),
+            scalefac_scale=0,
+        )
+        h = BitstreamWriter()
+        h.write(0x7FF, 11)
+        h.write(0b00, 2)  # MPEG-2.5
+        h.write(0b01, 2)  # Layer III
+        h.write(1, 1)  # no CRC
+        h.write(bitrate_index(kbps, sr), 4)
+        h.write(sample_rate_index(sr), 2)
+        h.write(0, 1)
+        h.write(0, 1)
+        h.write(0b11, 2)  # mono
+        h.write(0, 2)
+        h.write(0, 1)
+        h.write(1, 1)
+        h.write(0, 2)
+        side = build_side_info_lsf(1, [[gi]], 0)
+        md, _bits = pack_chunks(
+            np.concatenate([sf_vals, layout["chunks"]]),
+            np.concatenate([sf_widths, layout["nbits"]]),
+        )
+        assert len(md) <= slot, (len(md), slot)
+        out += h.data + side + md + bytes(slot - len(md))
+    return bytes(out)
+
+
+def test_8k_mixed_stream_wellformed():
+    blob = build_8k_mixed_stream()
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert dec.frame_count == 4
+    assert dec.sample_rate == 8000
+    assert np.all(np.isfinite(dec.pcm))
+    assert float(np.sum(dec.pcm ** 2)) > 0
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+@pytest.mark.parametrize("with_sf", [False, True])
+def test_8k_mixed_decode_agrees_with_mpg123(with_sf):
+    """The conformance claim for the last LSF exotic: the 8 kHz mixed-block
+    hybrid reading (72-line stream-layout head for reorder + scalefactor
+    map, region boundary at line 108, but the UNIVERSAL 2-subband IMDCT
+    switch point and ONE alias boundary — see tables.mixed_head for the
+    per-knob probe that isolated it) == libmpg123's, with and without
+    scalefactor content (long-head slots + short sfbs 3-11)."""
+    blob = build_8k_mixed_stream(with_sf=with_sf)
+    dec = decode_mp3(blob, iso_conventions=True)
+    ext, _ = mpg123_decode(blob)
+    m = min(ext.shape[0], dec.pcm.shape[0])
+    assert m >= 2 * 576
+    agree = decode_agreement_snr(ext[:m, 0], dec.pcm[:m, 0])
+    assert agree > 60.0, (with_sf, agree)
