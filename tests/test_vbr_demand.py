@@ -163,3 +163,53 @@ def test_dvbr_q0_never_worse_than_cbr():
     _, cbr_nmr = _score(pcm)
     _, dv_nmr = _score(pcm, vbr=True, vbr_demand=True, quality=0)
     assert dv_nmr <= cbr_nmr + 0.3, (dv_nmr, cbr_nmr)
+
+
+@needs_mpg123
+def test_dvbr_corpus_frontier_floors():
+    """Corpus-scale frontier floors (round 4, tools/vbr_frontier.py
+    --corpus; full table in ARCHITECTURE.md). Pins the three load-bearing
+    cells: (a) q0-never-worse on the hardest class — nburst@64 CBR 19.3
+    vs q0 4.9 NMR; (b) the equal-rate pareto win — nburst@96 q3 at <=
+    CBR's rate and >= its quality; (c) q0 on steady tonal matches CBR
+    (the never-worse floor where high q is documented to undershoot)."""
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+
+    n = 16 * 1152
+    t = np.arange(n) / SR
+    rng = np.random.default_rng(42)
+    x = 0.3 * np.sin(2 * np.pi * 523.25 * t)
+    for p in range(900, n - 600, 3000):
+        x[p : p + 300] += 0.45 * rng.standard_normal(300)
+    nburst = np.clip(x, -0.99, 0.99).astype(np.float32)
+
+    def sc(pcm, base, **kw):
+        trim = 2 * 1152
+        opts = MP3EncoderOptions.hq(
+            mode=Mode.MONO, bitrate_kbps=base, sample_rate=SR, **kw
+        )
+        blob = _encode(opts, pcm)
+        ext, _ = mpg123_decode(blob)
+        return len(blob), masked_noise_ratio(pcm[trim:-trim], ext[:, 0], SR)
+
+    # (a) q0-never-worse, hardest cell (measured 19.3 -> 4.9: 10 dB margin)
+    _, cbr64 = sc(nburst, 64)
+    _, q0_64 = sc(nburst, 64, vbr=True, vbr_demand=True, quality=0)
+    assert q0_64 <= cbr64 - 10.0, (q0_64, cbr64)
+
+    # (b) equal-rate pareto win (measured q3 99 kbps/5.54 vs CBR 102/5.64)
+    cbr_len, cbr96 = sc(nburst, 96)
+    q3_len, q3_96 = sc(nburst, 96, vbr=True, vbr_demand=True, quality=3)
+    assert q3_len <= cbr_len * 1.02, (q3_len, cbr_len)
+    assert q3_96 <= cbr96 + 0.5, (q3_96, cbr96)
+
+    # (c) q0 on steady tonal: never-worse where q>=3 is documented to
+    # undershoot (measured q0 -31.4 vs CBR -18.6 at 64k)
+    from tune_psy import synth
+
+    tonal = synth("tonal", n, 12)
+    _, cbr_t = sc(tonal, 64)
+    _, q0_t = sc(tonal, 64, vbr=True, vbr_demand=True, quality=0)
+    assert q0_t <= cbr_t + 0.3, (q0_t, cbr_t)

@@ -63,3 +63,47 @@ print("== demand VBR frontier, base 128")
 for q in (1, 2, 3, 4, 5, 6, 7):
     k, nmr = score(MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=128, sample_rate=SR, vbr=True, vbr_demand=True, quality=q))
     print(f"  dVBR q{q}: {k:6.1f} kbps  NMR {nmr:7.2f}")
+
+# --- corpus-scale frontier (round 4, VERDICT item 7) ---------------------------
+# Per-class pareto: q in {0,3,5,7} x {64, 96, 128} base rates over the
+# 5-class corpus + nburst. Run: python tools/vbr_frontier.py --corpus
+if "--corpus" in sys.argv:
+    kinds = ("speech", "music", "tonal", "noise", "burst", "nburst")
+    n16 = 16 * 1152
+    sigs = {}
+    for i, k in enumerate(kinds):
+        if k == "nburst":
+            t16 = np.arange(n16) / SR
+            x = 0.3 * np.sin(2 * np.pi * 523.25 * t16)
+            r2 = np.random.default_rng(42)
+            for p in range(900, n16 - 600, 3000):
+                x[p:p+300] += 0.45 * r2.standard_normal(300)
+            sigs[k] = np.clip(x, -0.99, 0.99).astype(np.float32)
+        else:
+            sigs[k] = synth(k, n16, 10 + i)
+    trim16 = 2 * 1152
+    dur16 = n16 / SR
+
+    def score16(opts, sig):
+        blob = enc(opts, sig)
+        kbps = len(blob) * 8 / dur16 / 1000
+        ext, _ = mpg123_decode(blob)
+        return kbps, masked_noise_ratio(sig[trim16:-trim16], ext[:, 0], SR)
+
+    print("== corpus frontier: class | base | CBR kbps/NMR | dVBR q0/q3/q5/q7 kbps/NMR")
+    for kind in kinds:
+        sig = sigs[kind]
+        for base in (64, 96, 128):
+            ck, cn = score16(
+                MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=base, sample_rate=SR), sig
+            )
+            cells = []
+            for q in (0, 3, 5, 7):
+                dk, dn = score16(
+                    MP3EncoderOptions.hq(
+                        mode=Mode.MONO, bitrate_kbps=base, sample_rate=SR,
+                        vbr=True, vbr_demand=True, quality=q,
+                    ), sig
+                )
+                cells.append(f"q{q} {dk:6.1f}/{dn:6.2f}")
+            print(f"  {kind:>7} {base:3d} | CBR {ck:6.1f}/{cn:6.2f} | " + "  ".join(cells))
