@@ -517,17 +517,23 @@ def _build_mdct_fold() -> dict:
     MPi = np.concatenate([Lp @ A, Sp, (Lp @ A1)[:, :36]], axis=1)
     MCi = np.concatenate([Lc @ A, Sc, (Lc @ A1)[:, :36]], axis=1)
 
-    # START/STOP corrections (options.window_sequencing): each transition
-    # window differs from LONG on exactly one half of the 36-sample window
-    # (start: current half, stop: overlap half), so the transition law is
-    # the aliased long output plus a per-granule [18, 18] correction on
-    # that half's subband samples — alias-reduced separately (linearity)
-    # and added. Same block for every subband; K=18 keeps it FLOP-free
-    # next to the [576, 1188] fold.
+    # START/STOP (options.window_sequencing) as INPUT window ratios: each
+    # transition window differs from LONG on exactly one half of the
+    # 36-sample window (start: current half, stop: overlap half), and the
+    # sine window has no zeros, so scaling that half's INPUT samples by
+    # STW/W36 (resp. SPW/W36) per window position makes the existing
+    # aliased long fold compute the transition law directly —
+    # (cur * r) @ MC sums cur_t * (STW_t/W36_t) * (W36_t * ML) per column,
+    # aliasing included by linearity. Two masked elementwise multiplies
+    # replace the round-3 [18, 18] correction einsums + their separate
+    # aliasing-reduce passes (which paid a [.., 32, 18] relayout and two
+    # butterfly where-trees per chunk; measured ~2x the MDCT stage cost).
+    # Ratios are benign: numerators are zero wherever the denominator is
+    # small, max ratio ~1.13.
     STW = np.asarray(START_WINDOW, dtype=np.float64)
     SPW = np.asarray(STOP_WINDOW, dtype=np.float64)
-    k_start = np.einsum("t,mt->tm", (STW - W36)[18:], ML[:, 18:]) / 9.0
-    k_stop = np.einsum("t,mt->tm", (SPW - W36)[:18], ML[:, :18]) / 9.0
+    r_start = np.repeat(STW[18:] / W36[18:], 32)  # flat (t*32+sb), cur half
+    r_stop = np.repeat(SPW[:18] / W36[:18], 32)  # flat (t*32+sb), prev half
 
     f32 = lambda x: jnp.asarray(x.astype(np.float32))  # noqa: E731
     return {
@@ -535,8 +541,8 @@ def _build_mdct_fold() -> dict:
         "c": f32(MC),
         "p_iso": f32(MPi),
         "c_iso": f32(MCi),
-        "k_start": f32(k_start),
-        "k_stop": f32(k_stop),
+        "r_start": f32(r_start),
+        "r_stop": f32(r_stop),
     }
 
 
@@ -580,6 +586,16 @@ def mdct_chunk(
 
     mp = _MDCT_FOLD["p_iso" if iso_mixed_alias else "p"]
     mc = _MDCT_FOLD["c_iso" if iso_mixed_alias else "c"]
+    if window_seq:
+        # START/STOP via input window ratios (see _build_mdct_fold): the
+        # fold's aliased long columns then compute the transition law for
+        # those granules; short/head columns see scaled inputs but are
+        # never selected for START/STOP granules.
+        bt_in = block_type[..., None]
+        mul_c = jnp.where(bt_in == BLOCK_START, _MDCT_FOLD["r_start"], _F32(1.0))
+        mul_p = jnp.where(bt_in == BLOCK_STOP, _MDCT_FOLD["r_stop"], _F32(1.0))
+        prev = prev * mul_p
+        cur = cur * mul_c
     all_laws = jnp.matmul(prev, mp, precision=_HIGHEST) + jnp.matmul(
         cur, mc, precision=_HIGHEST
     )
@@ -593,23 +609,10 @@ def mdct_chunk(
     mixed = jnp.concatenate([head36, short[..., 36:]], axis=-1)
     out = jnp.where(bt == BLOCK_MIXED, mixed, out)
     if window_seq:
-        # START/STOP (options.window_sequencing): aliased long output plus
-        # the [18, 18] half-window correction (see _build_mdct_fold) —
-        # alias-reduced separately, by linearity of the butterflies.
-        def _corr(x, blk):
-            xg = x.reshape(*x.shape[:-1], 18, 32)
-            d = jnp.einsum("...ts,tm->...sm", xg, blk, precision=_HIGHEST)
-            return _aliasing_reduce(d).reshape(*x.shape[:-1], 576)
-
+        # START/STOP inputs were ratio-scaled above, so the aliased long
+        # output IS the transition law for those granules.
         out = jnp.where(
-            bt == BLOCK_START,
-            long_aliased + _corr(cur, _MDCT_FOLD["k_start"]),
-            out,
-        )
-        out = jnp.where(
-            bt == BLOCK_STOP,
-            long_aliased + _corr(prev, _MDCT_FOLD["k_stop"]),
-            out,
+            (bt == BLOCK_START) | (bt == BLOCK_STOP), long_aliased, out
         )
     return out.astype(_F32), signed
 
