@@ -89,6 +89,10 @@ struct StreamState {
     int iso_short_blocks;  // 1: emit mixed granules as ISO block_type=2 +
                            // mixed_block_flag (the internal enum's 1 would
                            // signal "start"; options.iso_short_blocks)
+    int lsf;   // 0 = MPEG-1, 1 = MPEG-2, 2 = MPEG-2.5 (ISO 13818-3: one
+               // granule/frame, 8-bit main_data_begin, 9-bit
+               // scalefac_compress, no scfsi, no preflag bit)
+    int cap;   // main_data_begin reach: 511 (MPEG-1) or 255 (LSF)
     // reservoir + delay (options.reservoir_depth frames of emission
     // delay; 1 = the reference's one-frame delay). `pending_slot_sum`
     // mirrors the sum of buffered slot sizes for the aligned placement law.
@@ -121,7 +125,8 @@ void build_header(StreamState* s, int bitrate_index, int padding, uint8_t out[4]
                   int mode_ext_override = -1) {
     BitWriter h;
     h.write(0x7FF, 11);
-    h.write(0b11, 2);  // MPEG-1
+    // version bits: 0b11 MPEG-1, 0b10 MPEG-2 (LSF), 0b00 MPEG-2.5
+    h.write(s->lsf == 0 ? 0b11u : (s->lsf == 1 ? 0b10u : 0b00u), 2);
     h.write(0b01, 2);  // Layer III
     h.write(s->crc_protected ? 0 : 1, 1);
     h.write(static_cast<uint32_t>(bitrate_index), 4);
@@ -148,15 +153,23 @@ std::vector<uint8_t> build_head_side(
     const int32_t* count1table, const int32_t* scfsi,
     const int32_t* mode_ext) {
     const int ch = s->channels;
-    const int G = 2 * ch;
-    const int side_bytes = (ch == 1) ? 17 : 32;
+    const int n_gran = s->lsf ? 1 : 2;
+    const int G = n_gran * ch;
+    // MPEG-1: 17/32 bytes (136/256 bits); LSF: 9/17 (ISO 13818-3 2.4.1.7)
+    const int side_bytes = s->lsf ? (ch == 1 ? 9 : 17) : (ch == 1 ? 17 : 32);
 
     BitWriter si;
-    si.write(static_cast<uint32_t>(mdb_v > 511 ? 511 : mdb_v), 9);
-    si.write(0, ch == 1 ? 5 : 3);
-    for (int c = 0; c < ch; c++)  // scfsi nibble per channel (options.scfsi)
-        si.write(scfsi ? static_cast<uint32_t>(scfsi[static_cast<int64_t>(f) * ch + c]) & 15u : 0u, 4);
-    for (int gr = 0; gr < 2; gr++) {
+    if (s->lsf) {
+        // one granule, 8-bit main_data_begin, 1/2 private bits, no scfsi
+        si.write(static_cast<uint32_t>(mdb_v > 255 ? 255 : mdb_v), 8);
+        si.write(0, ch == 1 ? 1 : 2);
+    } else {
+        si.write(static_cast<uint32_t>(mdb_v > 511 ? 511 : mdb_v), 9);
+        si.write(0, ch == 1 ? 5 : 3);
+        for (int c = 0; c < ch; c++)  // scfsi nibble per channel (options.scfsi)
+            si.write(scfsi ? static_cast<uint32_t>(scfsi[static_cast<int64_t>(f) * ch + c]) & 15u : 0u, 4);
+    }
+    for (int gr = 0; gr < n_gran; gr++) {
         for (int c = 0; c < ch; c++) {
             int g = gr * ch + c;
             int64_t o = static_cast<int64_t>(f) * G + g;
@@ -165,7 +178,8 @@ std::vector<uint8_t> build_head_side(
             si.write(static_cast<uint32_t>(part23[o]), 12);
             si.write(static_cast<uint32_t>(big_values[o]), 9);
             si.write(static_cast<uint32_t>(gain[o]), 8);
-            si.write(static_cast<uint32_t>(scalefac_compress[o]), 4);
+            // LSF: 9-bit scalefac_compress (ISO 13818-3 six-case slen law)
+            si.write(static_cast<uint32_t>(scalefac_compress[o]), s->lsf ? 9 : 4);
             si.write(static_cast<uint32_t>(ws), 1);
             if (ws) {
                 // block_type arrives as the internal enum (mixed=1,
@@ -190,7 +204,8 @@ std::vector<uint8_t> build_head_side(
                 si.write(static_cast<uint32_t>(region0[o]), 4);
                 si.write(static_cast<uint32_t>(region1[o]), 3);
             }
-            si.write(static_cast<uint32_t>(preflag[o]), 1);
+            if (!s->lsf)  // no preflag bit in LSF (implicit via compress>=500)
+                si.write(static_cast<uint32_t>(preflag[o]), 1);
             si.write(static_cast<uint32_t>(s->scalefac_scale), 1);
             si.write(static_cast<uint32_t>(count1table[o]), 1);
         }
@@ -230,8 +245,10 @@ void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
                      int copyright_bit, int original_bit, int mode_bits,
                      int mode_ext, int aligned_mode, int iso_crc,
                      int scalefac_scale, int iso_short_blocks,
-                     int reservoir_depth) {
+                     int reservoir_depth, int lsf) {
     auto* s = new StreamState();
+    s->lsf = lsf;
+    s->cap = lsf ? 255 : 511;
     s->channels = channels;
     s->sample_rate_index = sample_rate_index;
     s->crc_protected = crc_protected;
@@ -254,7 +271,8 @@ void* mp3_stream_new(int channels, int sample_rate_index, int crc_protected,
 // when tail > 511 the remainder is KEPT in the reservoir and spills into
 // the frame's own slot (twin of io/framing.py BitReservoir.fill_slot).
 static void fill_slot(StreamState* s, uint8_t* dst, size_t slot_n, size_t tail) {
-    size_t keep = (s->aligned_mode && tail > 511) ? tail - 511 : 0;
+    const size_t cap = static_cast<size_t>(s->cap);
+    size_t keep = (s->aligned_mode && tail > cap) ? tail - cap : 0;
     size_t avail = s->reservoir.size() - keep;
     if (avail >= slot_n) {
         std::memcpy(dst, s->reservoir.data(), slot_n);
@@ -264,7 +282,7 @@ static void fill_slot(StreamState* s, uint8_t* dst, size_t slot_n, size_t tail) 
     size_t pad = slot_n - avail;
     size_t t = 0;
     if (s->aligned_mode && tail > 0) {
-        t = tail < 511 ? tail : 511;
+        t = tail < cap ? tail : cap;
         if (t > avail) t = avail;
     }
     size_t cut = avail - t;
@@ -335,7 +353,7 @@ int64_t mp3_render_frames(void* p, int F,
                           int32_t* n_emitted_out) {
     auto* s = static_cast<StreamState*>(p);
     const int ch = s->channels;
-    const int G = 2 * ch;
+    const int G = (s->lsf ? 1 : 2) * ch;
     int64_t written = 0;
     int n_emitted = 0;
 

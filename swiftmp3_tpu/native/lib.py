@@ -44,7 +44,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
         lib = ctypes.CDLL(_SO)
         lib.mp3_stream_new.restype = ctypes.c_void_p
-        lib.mp3_stream_new.argtypes = [ctypes.c_int] * 12
+        lib.mp3_stream_new.argtypes = [ctypes.c_int] * 13
         lib.mp3_stream_free.argtypes = [ctypes.c_void_p]
         lib.mp3_frame_count.restype = ctypes.c_uint32
         lib.mp3_frame_count.argtypes = [ctypes.c_void_p]
@@ -102,11 +102,6 @@ class NativeStreamRenderer:
         lib = _load()
         if lib is None:
             raise RuntimeError("native renderer unavailable (g++ build failed)")
-        if options.lsf:
-            raise NotImplementedError(
-                "NativeStreamRenderer writes MPEG-1 headers/side info only; "
-                "LSF (8-24 kHz) streams use the Python FrameAssembler"
-            )
         self._lib = lib
         self.options = options
         mb, me = mode_bits(options.mode.value)
@@ -123,6 +118,8 @@ class NativeStreamRenderer:
             1 if options.real_scalefactors else 0,
             1 if options.iso_short_blocks else 0,
             int(options.reservoir_depth),
+            int(options.lsf),  # 0/1/2 = MPEG-1/2/2.5 (one-granule LSF
+            # side info, 8-bit mdb, 255-byte reservoir reach)
         )
         self.frame_sizes: list[int] = []
 
@@ -130,7 +127,7 @@ class NativeStreamRenderer:
         """Compat-mode defaults for the spec-strict side-info fields:
         scalefac_compress=0, table_select=(15,15,15), count1table_select=0
         (the reference's hardcoded values)."""
-        G = 2 * self.options.channels
+        G = self.options.n_granules * self.options.channels
         if scalefac_compress is None:
             scalefac_compress = np.zeros((F, G), dtype=np.int32)
         if table_select is None:

@@ -68,9 +68,7 @@ class BatchEncoder:
         if use_native is None:
             from ..native import native_available
 
-            # The C++ renderer writes MPEG-1 headers/side info only (for
-            # now); LSF streams fall back to the Python assembler.
-            use_native = native_available() and not options.lsf
+            use_native = native_available()
         self.use_native = use_native
         if use_native:
             from ..native import NativeStreamRenderer
@@ -465,7 +463,7 @@ def encode_batch_multihost(
 
     from ..native import native_available
 
-    if native_available() and not options.lsf:
+    if native_available():
         from ..native import NativeStreamRenderer
 
         renderers = [NativeStreamRenderer(options) for _ in range(n_local)]

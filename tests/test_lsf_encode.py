@@ -347,8 +347,9 @@ def test_lsf_device_checkpoint_resume():
 def test_lsf_encode_batch_matches_sessions():
     """encode_batch at an LSF rate (uneven lengths, hq sequencing
     lookahead = the NEXT FRAME's granule at n_gr=1) equals per-stream
-    sessions byte for byte; the native renderer is auto-bypassed (the C++
-    side-info writer is MPEG-1-only)."""
+    sessions byte for byte (sessions use the Python FrameAssembler, so
+    this also pins native==python on LSF bytes when the C++ renderer is
+    available — see test_native.test_native_matches_python_lsf)."""
     from swiftmp3_tpu.parallel.batch import encode_batch
 
     rng = np.random.default_rng(3)

@@ -85,3 +85,51 @@ def test_native_counters():
     assert r.frame_count == 4
     assert r.total_bytes == len(data)
     assert sum(r.frame_sizes) == len(data)
+
+
+@pytest.mark.parametrize(
+    "sr,kbps,mode,preset",
+    [
+        (16000, 48, Mode.MONO, "hq"),
+        (22050, 64, Mode.JOINT_STEREO, "hq"),
+        (8000, 32, Mode.MONO, "spec_strict"),
+        (24000, 96, Mode.STEREO, "spec_strict"),
+    ],
+)
+def test_native_matches_python_lsf(sr, kbps, mode, preset):
+    """LSF (MPEG-2/2.5) native rendering: one-granule side info, 8-bit
+    main_data_begin (255-byte reservoir reach), 9-bit scalefac_compress,
+    no scfsi/preflag bits, version header bits — byte-identical to the
+    Python FrameAssembler across rates, modes and presets. Covers both
+    MPEG-2 (16-24 kHz) and MPEG-2.5 (8-12 kHz) header/side-info layouts
+    through the device-packed render path (LSF implies strict entropy)."""
+    import swiftmp3_tpu.parallel.batch as batch_mod
+
+    rng = np.random.default_rng(sr % 101)
+    base = [
+        (rng.standard_normal(1152 * 3 + 400) * 0.4).astype(np.float32),
+        (np.sin(np.arange(1152 * 5) * 0.07) * 0.6).astype(np.float32),
+    ]
+    streams = [
+        np.stack([s, 0.8 * s], axis=-1).reshape(-1) if mode != Mode.MONO else s
+        for s in base
+    ]
+    mk = getattr(MP3EncoderOptions, preset)
+    opts = mk(mode=mode, bitrate_kbps=kbps, sample_rate=sr)
+
+    def run(use_native):
+        class _B(batch_mod.BatchEncoder):
+            def __init__(self, *a, **kw):
+                kw["use_native"] = use_native
+                super().__init__(*a, **kw)
+
+        orig = batch_mod.BatchEncoder
+        batch_mod.BatchEncoder = _B
+        try:
+            return encode_batch(opts, streams, frames_per_step=4)
+        finally:
+            batch_mod.BatchEncoder = orig
+
+    native, python = run(True), run(False)
+    for i, (a, b) in enumerate(zip(native, python)):
+        assert a == b, f"stream {i}: {len(a)} vs {len(b)} bytes"
