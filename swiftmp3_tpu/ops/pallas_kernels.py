@@ -150,72 +150,88 @@ from .dsp import (  # noqa: E402
 
 
 # --- Device-side Huffman bit packing kernel ------------------------------------
-# Same law as ops.dsp.pack_main_data (halfword decomposition, OR == SUM over
-# disjoint bits, factorized one-hot matmuls) but VMEM-resident: the XLA path
-# materializes ~4.5 GB of one-hot operands in HBM per 8192-frame chunk
-# (measured 5.7 ms, bandwidth/batched-matmul-util bound); here the bit-offset
-# cumsum runs as a log-doubling roll chain in VMEM and the one-hots are built
-# in registers and fed to the MXU as ONE stacked block-diagonal matmul per
-# (byte-plane, straddle-target) combo — full 128-row MXU utilization at the
-# price of computing BF x BF frame blocks and keeping only the diagonal.
+# Same law as ops.dsp.pack_main_data (disjoint-bit placement, OR == SUM,
+# factorized one-hot matmuls) but VMEM-resident: the XLA path materializes
+# ~4.5 GB of one-hot operands in HBM per 8192-frame chunk (measured 5.7 ms,
+# bandwidth/batched-matmul-util bound); here the bit-offset cumsum runs as a
+# log-doubling roll chain in VMEM and the one-hots are built in registers and
+# fed to the MXU as stacked block-diagonal matmuls (full 128-row utilization
+# at the price of computing HALF x HALF frame blocks and keeping only the
+# diagonal).
+#
+# BYTE-granularity scatter (round 4): a <= 15-bit chunk at bit offset O spans
+# at most THREE bytes (s8 = O & 7 <= 7, s8 + 15 <= 22 < 24), so the scatter
+# is 3 single-byte-plane matmuls instead of the round-2 halfword form's
+# 2 straddle targets x 2 byte planes = 4 — 25% fewer MXU MACs per slot — and
+# the output needs no halfword recombination. Byte targets double the hi
+# range (894-byte cap -> hi_pad 32), so 4-frame halves fill the 128-row
+# stationary dim and N = 4 * 32 = 128 exactly fills the lanes. Chip A/B
+# (in-step, hq 128x64, back-to-back): 66.06 -> 65.29 ms — the pack stage is
+# mostly cumsum/one-hot-build (VPU) bound at this shape, so the MAC saving
+# nets ~1%; kept for the win plus the simpler epilogue. Bit-identical to the
+# XLA pack and to the retired halfword kernel (verified on chip; the
+# halfword kernel lives in git history).
 
-BF = 8  # frames per tile (M = BF*_HI_PAD = 128 rows -> full MXU stationary dim)
+BF_B = 8  # frames per VMEM tile (sublane-divisible); the stacked one-hot
+# matmuls run on 4-frame HALVES so M = 4 * hi_pad = 128 rows and
+# N = 4 * 32 = 128 lanes exactly fill the MXU at the 894-byte cap.
+_HALF_B = 4
 
 
 def _pack_kernel(chunks_ref, nbits_ref, out_ref, *, P: int, hi_pad: int):
-    chunks = chunks_ref[:, :].astype(jnp.uint32)
-    nbits = nbits_ref[:, :]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BF, P), 1)
+    chunks_all = chunks_ref[:, :].astype(jnp.uint32)
+    nbits_all = nbits_ref[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BF_B, P), 1)
 
     # exclusive cumsum of nbits along lanes (log-doubling roll+mask)
-    s = nbits
+    s = nbits_all
     sh = 1
     while sh < P:
         s = s + jnp.where(lane >= sh, pltpu.roll(s, sh, axis=1), 0)
         sh *= 2
-    off = s - nbits
+    off_all = s - nbits_all
 
-    h = off >> 4
-    sb = off & 15
-    shift = jnp.where(nbits > 0, 32 - sb - nbits, 0).astype(jnp.uint32)
-    win = jnp.where(nbits > 0, chunks << shift, jnp.uint32(0))
-    hi = (win >> 16).astype(jnp.int32)
-    lo = (win & 0xFFFF).astype(jnp.int32)
+    b_all = off_all >> 3
+    s8 = off_all & 7
+    shift = jnp.where(nbits_all > 0, 24 - s8 - nbits_all, 0).astype(jnp.uint32)
+    win = jnp.where(nbits_all > 0, chunks_all << shift, jnp.uint32(0))  # <= 24 b
 
-    def stacked_onehot_rows(target, width):
-        # [BF*width, P] bf16 with row f*width+i = (target[f, :] == i)
-        t3 = jnp.broadcast_to(target[:, None, :], (BF, width, P))
-        i3 = jax.lax.broadcasted_iota(jnp.int32, (BF, width, P), 1)
-        return (t3 == i3).astype(jnp.bfloat16).reshape(BF * width, P)
-
-    acc = None
-    for target, values in ((h, hi), (h + 1, lo)):
-        Bm = stacked_onehot_rows(target & 31, 32)  # [BF*32, P]
-        t_hi = target >> 5
-        for plane in (0, 8):
-            v = (values >> plane) & 0xFF
+    halves = []
+    for h0 in range(0, BF_B, _HALF_B):
+        b = b_all[h0 : h0 + _HALF_B]
+        w = win[h0 : h0 + _HALF_B]
+        planes = (
+            (b, ((w >> 16) & 0xFF).astype(jnp.int32)),
+            (b + 1, ((w >> 8) & 0xFF).astype(jnp.int32)),
+            (b + 2, (w & 0xFF).astype(jnp.int32)),
+        )
+        acc = None
+        for target, values in planes:
+            t3 = jnp.broadcast_to(target[:, None, :] & 31, (_HALF_B, 32, P))
+            i3 = jax.lax.broadcasted_iota(jnp.int32, (_HALF_B, 32, P), 1)
+            Bm = (t3 == i3).astype(jnp.bfloat16).reshape(_HALF_B * 32, P)
+            t_hi = target >> 5
             A3 = jnp.where(
-                jnp.broadcast_to(t_hi[:, None, :], (BF, hi_pad, P))
-                == jax.lax.broadcasted_iota(jnp.int32, (BF, hi_pad, P), 1),
-                jnp.broadcast_to(v[:, None, :], (BF, hi_pad, P)),
+                jnp.broadcast_to(t_hi[:, None, :], (_HALF_B, hi_pad, P))
+                == jax.lax.broadcasted_iota(jnp.int32, (_HALF_B, hi_pad, P), 1),
+                jnp.broadcast_to(values[:, None, :], (_HALF_B, hi_pad, P)),
                 0,
             ).astype(jnp.bfloat16)
-            A = A3.reshape(BF * hi_pad, P)
+            A = A3.reshape(_HALF_B * hi_pad, P)
             M = jax.lax.dot_general(
                 A,
                 Bm,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [BF*hi_pad, BF*32]
-            # diagonal frame blocks only
+            )  # [_HALF_B*hi_pad, _HALF_B*32]
             blocks = [
                 M[f * hi_pad : (f + 1) * hi_pad, f * 32 : (f + 1) * 32][None]
-                for f in range(BF)
+                for f in range(_HALF_B)
             ]
-            plane_val = jnp.concatenate(blocks, axis=0).astype(jnp.int32)
-            contrib = plane_val << plane
+            contrib = jnp.concatenate(blocks, axis=0).astype(jnp.int32)
             acc = contrib if acc is None else acc + contrib
-    out_ref[:, :, :] = acc
+        halves.append(acc)
+    out_ref[:, :, :] = jnp.concatenate(halves, axis=0)
 
 
 def pack_pallas(
@@ -227,35 +243,31 @@ def pack_pallas(
     returns (bytes [F, cap_bytes] uint8, total_bits [F] int32).
     """
     F, P = chunks.shape
-    n_half = cap_bytes // 2
-    hi_dim = (n_half + 31) // 32
+    hi_dim = (cap_bytes + 31) // 32
     hi_pad = ((hi_dim + 7) // 8) * 8
     P_pad = ((P + 127) // 128) * 128
-    F_pad = ((F + BF - 1) // BF) * BF
+    F_pad = ((F + BF_B - 1) // BF_B) * BF_B
 
     total_bits = jnp.sum(nbits, axis=-1).astype(jnp.int32)
 
     c = jnp.pad(chunks, ((0, F_pad - F), (0, P_pad - P)))
     nb = jnp.pad(nbits, ((0, F_pad - F), (0, P_pad - P)))
 
-    halfwords = pl.pallas_call(
+    by = pl.pallas_call(
         partial(_pack_kernel, P=P_pad, hi_pad=hi_pad),
         out_shape=jax.ShapeDtypeStruct((F_pad, hi_pad, 32), jnp.int32),
-        grid=(F_pad // BF,),
+        grid=(F_pad // BF_B,),
         in_specs=[
-            pl.BlockSpec((BF, P_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BF, P_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BF_B, P_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BF_B, P_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (BF, hi_pad, 32), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (BF_B, hi_pad, 32), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(c, nb)
 
-    hw = halfwords.reshape(F_pad, hi_pad * 32)[:F, :n_half]
-    hi8 = (hw >> 8).astype(jnp.uint8)
-    lo8 = (hw & 0xFF).astype(jnp.uint8)
-    out_bytes = jnp.stack([hi8, lo8], axis=-1).reshape(F, cap_bytes)
+    out_bytes = by.reshape(F_pad, hi_pad * 32)[:F, :cap_bytes].astype(jnp.uint8)
     return out_bytes, total_bits
 
 BG = 8  # granule rows per tile
