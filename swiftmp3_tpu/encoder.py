@@ -27,6 +27,7 @@ from .options import (
 )
 from .ops import reference as ref
 from .tables import (
+    band_table,
     bitrate_index,
     bitrate_value,
     bitrate_value_lsf,
@@ -530,6 +531,15 @@ class GoldenBackend:
                 ]
 
         # Stage 2: gain walks + entropy layout + side info, per granule.
+        # distortion_control frame gate: engage only when EVERY granule in
+        # the frame is pure LONG — a frame holding any short/transition
+        # granule is in a transient neighborhood where the stationary
+        # band-mask law misprices temporal noise (measured: per-granule
+        # LONG-only still lost +0.8 dB nburst NMR at 128k from tone-bed
+        # granules adjacent to bursts; the all-long gate is a no-op there).
+        dc_frame = opts.distortion_control_active and all(
+            c2["block"] == ref.BLOCK_LONG for c2 in staged
+        )
         for c, granule_budget in zip(staged, budgets):
             gr, ch = c["gr"], c["ch"]
             spectrum, block = c["spectrum"], c["block"]
@@ -557,7 +567,54 @@ class GoldenBackend:
                             linbits=opts.linbits_tables,
                         )
 
+                    if dc_frame and sfd is not None:
+                        # One-shot distortion control (ops/reference.
+                        # distortion_bumps): a PROBE walk at the
+                        # state-free equal-share budget (slot bits only —
+                        # no reservoir draw, no donation; budget-
+                        # independent, so the device twin computes it as
+                        # a vectorized select over the already-priced
+                        # candidate table before the budget scan runs)
+                        # measures each band's actual error against the
+                        # spread-mask target; violating bands' scale-
+                        # factors bump once, and the REAL walk below runs
+                        # with the bumped magnitudes at the normal budget.
+                        # The single est-reservoir world then tracks the
+                        # real walk's priced bits exactly as without the
+                        # flag (an earlier selected-walk re-walk
+                        # formulation either desynced the est world or,
+                        # budget-capped, lost the measured win — see the
+                        # flag's sweep history in options.py).
+                        # STATIC probe budget (base-rate slot, no padding):
+                        # under eVBR the per-frame bitrate is scan state on
+                        # the device, so the probe must not depend on it.
+                        base_main = (
+                            ((72 if lsf else 144) * opts.bitrate_kbps * 1000)
+                            // sr - 4 - crc_size - side_size
+                        )
+                        probe_budget = min(
+                            (base_main * 8) // (n_gr * channels), 4095
+                        )
+                        g1, q1, _ = _walk(probe_budget)
+                        bumps = ref.distortion_bumps(
+                            spectrum, q1, g1, sfd["sf"], sr
+                        )
+                        if bumps.any():
+                            sf2 = np.minimum(
+                                sfd["sf"] + bumps, ref._DC_SF_CAP
+                            )
+                            bounds = np.concatenate(
+                                [[0], np.cumsum(band_table(sr))]
+                            ).astype(int)
+                            sfd = ref._long_sfd(sf2, bounds)
+                            c["sfd"] = sfd
+                            c["part2"] = ref.scfsi_part2_bits(sfd, sf_write)
+                            gain0 = ref.compute_global_gain_scaled(
+                                spectrum, sfd["mag_scale"],
+                                target=ref.LINBITS_Q_TARGET,
+                            )
                     gain, q, bits = _walk(granule_budget)
+                    priced_bits = bits
                 else:
                     gain, q, bits = ref.quantize_to_fit_budget(
                         spectrum,
@@ -565,6 +622,7 @@ class GoldenBackend:
                         granule_budget,
                         iso=opts.iso_quantization,
                     )
+                    priced_bits = bits
                 if opts.iso_quantization:
                     # unit-gain law applies no pre-emphasis; emitting
                     # preflag=1 would make ISO decoders attenuate top bands
@@ -607,7 +665,7 @@ class GoldenBackend:
                 quantized[g] = q
                 big_values[g] = bv
                 total_part_bits += actual_bits
-                total_priced_bits += bits
+                total_priced_bits += priced_bits
                 granules[gr][ch] = GranuleInfo(
                     part23_length=actual_bits,
                     big_values=bv,

@@ -429,6 +429,74 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 linbits=options.linbits_tables,
                 b0_switch=b0_sw,
             )
+            demand_pre = pre
+            if options.distortion_control_active and sfd is not None:
+                # One-shot distortion control (twin of encoder.py's probe-
+                # walk stage; law in dsp.distortion_bumps_device): a
+                # vectorized probe selection at the STATIC base-rate
+                # equal-share budget (state-free, so it runs before the
+                # budget scan) quantizes once, band violations bump the
+                # scalefactors in all-LONG frames, and a SECOND sweep
+                # prices the bumped magnitudes. The budget scan then
+                # selects from the pass-2 table (the est-reservoir world
+                # evolves on pass-2 priced bits, same as golden), while
+                # the demand probes (vbr_demand / demand_budget) keep the
+                # pass-1 table — golden computes them at staging, before
+                # any bump. Costs a full second sweep; flag-gated.
+                base_main = (
+                    ((72 if lsf else 144) * options.bitrate_kbps * 1000)
+                    // sr - 4 - crc_size - side_size
+                )
+                probe_budget = min(
+                    (base_main * 8) // (n_gran * options.channels), 4095
+                )
+                pb = jnp.full(g0.shape, probe_budget, dtype=jnp.int32)
+                kp, fitp, _ = dsp.rate_loop_select(
+                    pre["bits"], pre["evaluated"], pre["k_budget"], pb
+                )
+                gains_p = pre["gstart"] + 4 * kp
+                from ..tables import QCAP_LINBITS
+
+                q_p = dsp.quantize_at_gains(
+                    pre["mag"], pre["sign_neg"], gains_p[..., None],
+                    iso=pre["iso"],
+                    qcap=QCAP_LINBITS, floor=False,
+                )[..., 0, :]
+                gain_p = jnp.where(
+                    fitp, gains_p, jnp.minimum(gains_p + 4, 255)
+                ).astype(jnp.int32)
+                bumps = dsp.distortion_bumps_device(
+                    spectra, q_p, gain_p, sfd["sf"], sr
+                )
+                # engage per FRAME: every granule of every channel LONG
+                frame_long = jnp.all(
+                    block_b == dsp.BLOCK_LONG, axis=(1, 3)
+                )  # [B, T]
+                engaged = jnp.broadcast_to(
+                    frame_long[:, None, :, None], block_b.shape
+                )
+                sfd = dsp.distortion_sfd_device(
+                    sfd, bumps, engaged, spectra, sr
+                )
+                mag_scale, part2 = sfd["mag_scale"], sfd["part2"]
+                g0 = dsp.initial_gain_scaled(
+                    spectra, mag_scale, target=LINBITS_Q_TARGET
+                )
+                pre = dsp.rate_loop_precompute_strict(
+                    spectra,
+                    g0,
+                    sr,
+                    is_long_b,
+                    iso_quant,
+                    options.count1_coding,
+                    options.region_table_select,
+                    mag_scale=mag_scale,
+                    part2=part2,
+                    block=block_b,
+                    iso_short=options.iso_short_blocks,
+                    linbits=options.linbits_tables,
+                    b0_switch=b0_sw,
+                )
         else:
             sfd = scfsi_nib = sf_write = None
             g0 = dsp.initial_gain(spectra, iso=iso_quant)  # [B, ch, T, gr]
@@ -473,14 +541,18 @@ def make_chunk_fn(options: MP3EncoderOptions):
             int_carry["stream_len"] = carry["est_stream_len"]
 
         def step(c, x):
-            bits_k, evaluated, k_budget, fe, ge, fin, val = x
+            # demand_k: the PASS-1 priced table (staging-time probes —
+            # vbr_demand target + demand_budget donation, twin of golden's
+            # staged demands); bits_k: the table selection runs on (pass-2
+            # under distortion_control, otherwise the same array).
+            demand_k, bits_k, evaluated, k_budget, fe, ge, fin, val = x
             if is_vbr and options.vbr_demand:
                 # Demand-driven VBR (twin of encoder.py; law note in
                 # options.vbr_demand): smallest in-band bitrate whose slot
                 # covers the frame's priced demand at the quality-mapped
                 # candidate — the priced grid is already computed, so the
                 # choice is a tiny static where-select.
-                d = jnp.sum(bits_k[..., min(quality, 19)], axis=-1)  # [B]
+                d = jnp.sum(demand_k[..., min(quality, 19)], axis=-1)  # [B]
                 table = LSF_VBR_BITRATES if lsf else VBR_BITRATES
                 min_b = 8 if lsf else 32  # full downward freedom (twin of encoder.py)
                 max_b = min(table[-1], base_kbps + 64 - quality * 4)
@@ -557,7 +629,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 # it split the donations by deficit. Exact no-op on frames
                 # with no (surplus, deficit) pair, so steady frames keep
                 # the equal split bit-for-bit.
-                d = bits_k[..., LINBITS_K_DEMAND]  # [B, G]
+                d = demand_k[..., LINBITS_K_DEMAND]  # [B, G]
                 sum_d = jnp.sum(d, axis=-1, keepdims=True)
                 total_b = (slot * 8 + usable)[:, None]
                 share = total_b // n_gran
@@ -627,6 +699,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
             step,
             int_carry,
             (
+                tm(demand_pre["bits"]) if strict_entropy else tm(pre["bits"]),
                 tm(pre["bits"]),
                 tm(pre["evaluated"]),
                 tm(pre["k_budget"]),

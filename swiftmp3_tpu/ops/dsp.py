@@ -1980,6 +1980,115 @@ def psy_scalefactors_device(
     return _sf_finish_device(sf, members, spectrum)
 
 
+# Distortion control (options.distortion_control): twins of
+# reference.distortion_bumps / DC_* constants. The threshold law is
+# exponent-exact across backends (frexp + integer max-plus spread +
+# ldexp); only the band error-energy SUMS are float reductions, so bump
+# decisions can ULP-flip on knife-edge content (same cross-backend
+# contract as the transient energy-ratio compare).
+_DC_RATIO = 2.0
+_DC_BUMP = 3
+_DC_MASK_OFFSET = 6
+_DC_CAPS = np.asarray([15] * 11 + [7] * 10, dtype=np.int32)
+
+
+def distortion_bumps_device(
+    spectrum: jax.Array, q: jax.Array, gain: jax.Array, sf: jax.Array,
+    sample_rate: int,
+) -> jax.Array:
+    """Per-band bump vector [..., 21] int32 (twin of
+    reference.distortion_bumps): reconstruct the probe quantization per
+    the ISO decode law (scalefac_scale=1), measure band error energy
+    against the spread-mask target, bump violators by _DC_BUMP."""
+    members = _BAND_MEMBERS.get(sample_rate, _BAND_MEMBERS[44100])
+    # step = 2^((gain-210)/4), correctly rounded f32 via exact ldexp of the
+    # quarter-power constants (matches the golden's float64-built value)
+    e = gain - 210
+    qq, r = e >> 2, e & 3
+    base = jax.lax.bitcast_convert_type(
+        _select_tree(r, _QUARTER_POS.view(np.uint32), 0, 4), jnp.float32
+    )
+    step = jnp.ldexp(base, qq).astype(jnp.float32)
+
+    aq = jnp.abs(q).astype(jnp.float32)
+    mag = jnp.power(aq, _F32(4.0 / 3.0)) * step[..., None]
+    xr = jnp.where(q < 0, -mag, mag)
+    # per-line 2^(-sf_band): exact powers of two
+    pow2 = jnp.ldexp(_F32(1.0), -sf)  # [..., 21]
+    scale_full = jnp.ones(spectrum.shape, jnp.float32)
+    for b in range(21):
+        scale_full = jnp.where(members[b], pow2[..., b : b + 1], scale_full)
+    err = xr * scale_full - spectrum
+    err2 = err * err
+
+    EMPTY = -(1 << 14)
+    pes, e2s = [], []
+    absx = jnp.abs(spectrum)
+    for b in range(21):
+        pb = jnp.max(jnp.where(members[b], absx, 0.0), axis=-1)
+        _, pe_b = jnp.frexp(pb)
+        pes.append(jnp.where(pb > 0, pe_b.astype(jnp.int32), EMPTY))
+        e2s.append(jnp.sum(jnp.where(members[b], err2, 0.0), axis=-1))
+    Ms = list(pes)
+    for b in range(1, 21):
+        Ms[b] = jnp.maximum(Ms[b], Ms[b - 1] - _PSY_SLOPE)
+    for b in range(19, -1, -1):
+        Ms[b] = jnp.maximum(Ms[b], Ms[b + 1] - _PSY_SLOPE)
+    thr_exp = jnp.stack(Ms, axis=-1) - _DC_MASK_OFFSET  # [..., 21]
+    n_lines = jnp.asarray(
+        np.diff(np.concatenate([[0], np.cumsum(band_table(sample_rate))])
+                ).astype(np.float32)
+    )
+    thr2n = jnp.ldexp(n_lines, 2 * thr_exp)
+    e2 = jnp.stack(e2s, axis=-1)
+    violated = e2 > _F32(_DC_RATIO) * thr2n
+    return jnp.where(violated, _DC_BUMP, 0).astype(jnp.int32)
+
+
+def distortion_sfd_device(
+    sfd: dict, bumps: jax.Array, engaged: jax.Array, spectrum: jax.Array,
+    sample_rate: int,
+) -> dict:
+    """Merged scalefactor dict after distortion-control bumps: engaged
+    granules (all-LONG frames) get the rebuilt long-layout sfd from the
+    bumped sf vector; everything else keeps the original fields exactly
+    (twin of the golden's _long_sfd rebuild on bumped granules only)."""
+    members = _BAND_MEMBERS.get(sample_rate, _BAND_MEMBERS[44100])
+    sf2 = jnp.minimum(sfd["sf"] + bumps, jnp.asarray(_DC_CAPS))
+    sf2 = jnp.where(engaged[..., None], sf2, sfd["sf"]).astype(jnp.int32)
+    fin = _sf_finish_device(sf2, members, spectrum)
+    pad = jnp.zeros(sf2.shape[:-1] + (SF_SLOTS - 21,), jnp.int32)
+    sf_slots2 = jnp.concatenate([sf2, pad], axis=-1)
+    slot_w1 = jnp.asarray(
+        np.concatenate([np.ones(11), np.zeros(SF_SLOTS - 11)]).astype(np.int32)
+    )
+    slot_w2 = jnp.asarray(
+        np.concatenate(
+            [np.zeros(11), np.ones(10), np.zeros(SF_SLOTS - 21)]
+        ).astype(np.int32)
+    )
+    slot_nbits2 = (
+        fin["slen1"][..., None] * slot_w1 + fin["slen2"][..., None] * slot_w2
+    ).astype(jnp.int32)
+    new = {
+        "sf": sf2,
+        "sf_slots": sf_slots2,
+        "slot_nbits": slot_nbits2,
+        "compress": fin["compress"],
+        "slen1": fin["slen1"],
+        "slen2": fin["slen2"],
+        "part2": fin["part2"],
+        "mag_scale": fin["mag_scale"],
+    }
+
+    def sel(name):
+        a, b = new[name], sfd[name]
+        e = engaged.reshape(engaged.shape + (1,) * (a.ndim - engaged.ndim))
+        return jnp.where(e, a, b)
+
+    return {k: sel(k) for k in new}
+
+
 def initial_gain_scaled(
     spectrum: jax.Array, mag_scale: jax.Array, target: float = 15.0
 ) -> jax.Array:

@@ -1174,6 +1174,83 @@ def quantize_to_fit_budget_strict(
 LINBITS_Q_TARGET = 2048.0
 
 
+# --- Distortion control (options.distortion_control, round 4) ----------------
+# One-shot per-band noise shaping INSIDE the walk: run the exact-priced walk
+# once, measure each band's actual reconstruction-error energy against a
+# spread masking target (free: q is already known), amplify every violating
+# band's scalefactor by DC_BUMP in a single pass, re-walk once at the same
+# budget. Two walk passes total — the device-feasible formulation of lame's
+# sequential distortion-control loop (tools/probe_noise_shaping.py --oneshot
+# BEATS the sequential hill-climb on speech; the in-pipeline 6-class x
+# 64/96/128k sweep is in options.distortion_control — speech -1.7 / noise
+# -1.0 dB at 128 kbps/channel, no-op gates: all-LONG frames only, >= 112
+# kbps/channel).
+# The mask is the psy_scalefactors exponent law (order-insensitive band peak
+# exponents + max-plus spread, golden==device exact); only the band error
+# SUMS are float reductions, so golden/device bump decisions can ULP-flip on
+# knife-edge content (same contract as the transient ratio compare).
+# Requires linbits_tables: amplified bands overflow the table-15 qcap=15
+# (the bump scales quantized values by 2^(3/4*DC_BUMP) ~ 2.83x; linbits'
+# 2048 target has 4x headroom, QCAP_LINBITS).
+DC_RATIO = 2.0  # bump bands whose noise/mask ENERGY ratio exceeds this
+DC_BUMP = 3  # scalefactor steps per violating band (swept in-pipeline:
+# (ratio, bump) over {4,2,1}x{2,3} at 128k mono — r2b3 is the speech/noise
+# plateau; the re-derived initial gain re-targets the amplified peak so no
+# qcap clipping occurs at any bump)
+DC_MASK_OFFSET = 6  # mask = spread peak exponent - offset (~18 dB)
+_DC_SF_CAP = np.asarray([15] * 11 + [7] * 10, dtype=np.int64)  # slen1/slen2
+
+
+def distortion_bumps(
+    spectrum: np.ndarray, q: np.ndarray, gain: int, sf: np.ndarray,
+    sample_rate: int,
+) -> np.ndarray:
+    """Per-band bump decision from the pass-1 walk's actual error.
+
+    Reconstructs per the ISO decode law the emission contract implies
+    (scalefac_scale=1 under real_scalefactors: xr = sign q^{4/3}
+    2^{(gain-210)/4} 2^{-sf_b}; preflag/subblock_gain are 0 under
+    iso_quantization), measures band error energy in float32, and returns
+    the [21] int64 bump vector (DC_BUMP where the energy exceeds DC_RATIO x
+    the spread-mask target, 0 elsewhere). Caller caps sf + bump at the
+    slen field limits (_DC_SF_CAP) and re-walks."""
+    bounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))]).astype(int)
+    step = np.float32(2.0 ** ((int(gain) - 210) / 4.0))
+    aq = np.abs(q).astype(np.float32)
+    mag = (aq ** np.float32(4.0 / 3.0)) * step
+    xr = np.where(q < 0, -mag, mag).astype(np.float32)
+    spec = np.asarray(spectrum, dtype=np.float32)
+    absx = np.abs(spec)
+
+    EMPTY = -(1 << 14)
+    pe = np.full(21, EMPTY, dtype=np.int64)
+    for b in range(21):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        if hi > lo:
+            pb = np.float32(absx[lo:hi].max())
+            if pb > 0:
+                pe[b] = int(np.frexp(pb)[1])
+    M = pe.copy()
+    for b in range(1, 21):
+        M[b] = max(M[b], M[b - 1] - PSY_SLOPE)
+    for b in range(19, -1, -1):
+        M[b] = max(M[b], M[b + 1] - PSY_SLOPE)
+    thr_exp = M - DC_MASK_OFFSET
+
+    bumps = np.zeros(21, dtype=np.int64)
+    for b in range(21):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        if hi <= lo:
+            continue
+        d = xr[lo:hi] * np.float32(2.0) ** np.float32(-int(sf[b])) - spec[lo:hi]
+        e2 = np.float32(np.sum(d * d, dtype=np.float32))
+        # exact: n_lines * 2^(2*thr_exp); underflows to 0 for empty bands
+        thr2n = np.ldexp(np.float32(hi - lo), 2 * int(thr_exp[b]))
+        if e2 > np.float32(DC_RATIO) * thr2n:
+            bumps[b] = DC_BUMP
+    return bumps
+
+
 def compute_global_gain_scaled(
     spectrum: np.ndarray, mag_scale: np.ndarray, target: float = 15.0
 ) -> int:

@@ -212,6 +212,35 @@ class MP3EncoderOptions:
     #   Requires lowpass_hz (it selects WHERE the cutoff applies, not the
     #   cutoff itself).
     adaptive_lowpass: bool = False
+    # distortion_control: one-shot per-band noise shaping INSIDE the
+    #   exact-priced walk (the device-feasible form of lame's
+    #   distortion-control loop; ops/reference.distortion_bumps has the
+    #   law). Pass 1 walks as usual; in every all-LONG frame each
+    #   granule's actual per-band error energy is measured against the
+    #   spread-mask target, violating bands' scalefactors are bumped by
+    #   DC_BUMP, and the granule re-walks ONCE at the same budget.
+    #   Frames holding any short/transition granule are exact no-ops (the
+    #   stationary band mask misprices temporal noise there — bumping
+    #   tone-bed granules around a burst re-opened post-echo, measured
+    #   +1.8 dB nburst NMR before the gate). Rate-gated at >= 112 kbps/
+    #   channel (see distortion_control_active). Measured through mpg123
+    #   at 128 kbps mono (16x1152, 6 classes): CBR speech 7.1 -> 5.3,
+    #   noise 4.6 -> 3.3, VBR speech 9.5 -> 6.9; music/burst/nburst exact
+    #   no-ops (the all-LONG gate), tonal gives back 2.3 dB of 31 dB
+    #   below-mask headroom. The bump probe is a walk at the STATIC
+    #   base-rate equal-share budget (state-free: the device twin selects
+    #   it from the already-priced candidate table before the budget scan
+    #   runs); the real walk then runs once with the bumped magnitudes at
+    #   the normal budget — formulations that re-walked the SELECTED
+    #   quantization either desynced the est-reservoir world (assembler
+    #   stuffing underflow on 16-frame speech) or, budget-capped, lost
+    #   the win (speech -0.5, noise +1.4). Off by default: it costs a
+    #   second walk pass (~1.5x hq step time on device). Requires
+    #   linbits_tables (amplified bands overflow the table-15 qcap) and
+    #   real scalefactors; mutually exclusive with scfsi (sharing is
+    #   decided on pre-bump scalefactors; hq(distortion_control=True)
+    #   drops scfsi automatically).
+    distortion_control: bool = False
     # gapless_info: make streams gapless-playable. Two effects: (1) flush()
     #   appends enough trailing silence that every real input sample is
     #   inside an emitted frame AND the decoder's 529-sample tail margin is
@@ -358,6 +387,24 @@ class MP3EncoderOptions:
                 "demand_budget requires the strict entropy layout (the "
                 "demand signal is the strict sweep's priced candidate grid)"
             )
+        if self.distortion_control and not self.linbits_tables:
+            raise ValueError(
+                "distortion_control requires linbits_tables: amplified "
+                "bands overflow the table-15 quantized cap (15), silently "
+                "clipping peaks; the linbits target has 4x headroom"
+            )
+        if self.distortion_control and not self.real_scalefactors:
+            raise ValueError(
+                "distortion_control amplifies per-band scalefactors; it "
+                "requires real_scalefactors (transmitted scalefactors)"
+            )
+        if self.distortion_control and self.scfsi:
+            raise ValueError(
+                "distortion_control and scfsi are mutually exclusive: "
+                "scfsi sharing is decided on the pre-bump scalefactors "
+                "(use MP3EncoderOptions.hq(distortion_control=True), "
+                "which drops scfsi)"
+            )
         if self.lsf and not (
             self.iso_quantization and self.reservoir_mode == "aligned"
         ):
@@ -403,6 +450,22 @@ class MP3EncoderOptions:
         8 bits (255) in LSF — caps the reservoir counter, the budget draw,
         and every mdb clamp."""
         return 255 if self.lsf else 511
+
+    @property
+    def distortion_control_active(self) -> bool:
+        """distortion_control, rate-gated at >= 112 kbps per channel (the
+        base bitrate under VBR). Below the gate the flag is a byte no-op:
+        the full-matrix sweep (tools/probe_noise_shaping.py protocol,
+        mpg123 NMR, 6 classes x 64/96/128k mono) measured the one-shot law
+        positive only where spare precision exists — at 128 kbps/channel
+        speech -1.7 and noise -1.0 dB with transient classes exact no-ops
+        (the all-LONG frame gate); at 64-96 kbps/channel amplification's
+        global-gain cost exceeds the band win (+0.2..+0.9 everywhere)."""
+        return bool(
+            self.distortion_control
+            and not self.lsf
+            and self.bitrate_kbps // self.channels >= 112
+        )
 
     @property
     def spec_strict_entropy(self) -> bool:
@@ -459,7 +522,7 @@ class MP3EncoderOptions:
         rule."""
         base = dict(
             linbits_tables=True,
-            scfsi=True,
+            scfsi=not kwargs.get("distortion_control", False),
             demand_budget=True,
             window_sequencing=True,
         )

@@ -107,6 +107,27 @@ def _walk_and_noise(spectrum, sf, budget_bits):
     return ratios, float(np.sum(err**2)), bits
 
 
+def shape_granule_oneshot(
+    spectrum, budget_bits, max_bump: int = 2, thresh: float = 1.0
+):
+    """Vectorizable one-shot law: run the walk at the baseline sfs, measure
+    per-band noise/mask from the SELECTED quantization (free: q is known),
+    bump every band with ratio > thresh by min(max_bump, ceil(log4 ratio))
+    steps in a single pass, re-walk once. Two walk passes total — the
+    device-feasible formulation (the hill-climb's sequential accept/reject
+    is not)."""
+    sf = ref.strict_scalefactors(spectrum, SR, ref.BLOCK_LONG)["sf"].copy()
+    base_ratios, base_err, _ = _walk_and_noise(spectrum, sf, budget_bits)
+    cur = sf.astype(np.int64).copy()
+    for b in range(21):
+        if base_ratios[b] > thresh:
+            bump = min(max_bump, int(np.ceil(np.log(base_ratios[b]) / np.log(4.0))))
+            cap = 15 if b < 11 else 7
+            cur[b] = min(cur[b] + max(bump, 1), cap)
+    shaped_ratios, shaped_err, _ = _walk_and_noise(spectrum, cur, budget_bits)
+    return base_ratios, base_err, cur, shaped_ratios, shaped_err
+
+
 def shape_granule(spectrum, budget_bits, iters, greedy: bool = True):
     """(baseline ratios, err, shaped sf, shaped ratios, err).
 
@@ -167,6 +188,12 @@ def main() -> int:
     p.add_argument("--hillclimb", action="store_true",
                    help="accept/reject one-band bumps by measured mean "
                    "noise/mask instead of the naive greedy loop")
+    p.add_argument("--oneshot", action="store_true",
+                   help="vectorizable law: one measured pass, bump every "
+                   "violating band once (<= --max-bump), one re-walk")
+    p.add_argument("--max-bump", type=int, default=2)
+    p.add_argument("--thresh", type=float, default=1.0,
+                   help="oneshot: bump only bands with noise/mask > thresh")
     args = p.parse_args()
 
     frame_bytes = (144 * args.kbps * 1000) // SR
@@ -187,9 +214,14 @@ def main() -> int:
             if float(np.abs(spec).max()) <= 0:
                 shaped_sfs.append(np.zeros(21, dtype=np.int64))
                 continue
-            br, be, sf, sr_, se = shape_granule(
-                spec, budget, args.iters, greedy=not args.hillclimb
-            )
+            if args.oneshot:
+                br, be, sf, sr_, se = shape_granule_oneshot(
+                    spec, budget, max_bump=args.max_bump, thresh=args.thresh
+                )
+            else:
+                br, be, sf, sr_, se = shape_granule(
+                    spec, budget, args.iters, greedy=not args.hillclimb
+                )
             shaped_sfs.append(sf)
             nmr_b.append(10 * np.log10(max(float(np.mean(br)), 1e-30)))
             nmr_s.append(10 * np.log10(max(float(np.mean(sr_)), 1e-30)))
@@ -211,8 +243,10 @@ def main() -> int:
             calls = {"k": 0}
             orig = ref.granule_scalefactors
 
-            def hooked(spectrum, sample_rate, block_type, psy=False, iso_short=False):
-                out = orig(spectrum, sample_rate, block_type, psy=psy, iso_short=iso_short)
+            def hooked(spectrum, sample_rate, block_type, psy=False,
+                       iso_short=False, **kw):
+                out = orig(spectrum, sample_rate, block_type, psy=psy,
+                           iso_short=iso_short, **kw)
                 k = calls["k"]
                 calls["k"] += 1
                 if (
