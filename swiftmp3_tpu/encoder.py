@@ -178,8 +178,13 @@ class GoldenBackend:
         def _apply_bitrate(tgt):
             """Commit to a bitrate: index/value + Bresenham padding (the
             accumulator mutates exactly once per frame)."""
-            bi = bitrate_index(tgt, sr)
-            bv = bitrate_value_lsf(bi) if lsf else bitrate_value(bi)
+            if opts.free_format:
+                # ISO 2.4.2.3 free format: header index 0, the exact
+                # (possibly off-table) rate drives the constant frame size
+                bi, bv = 0, tgt
+            else:
+                bi = bitrate_index(tgt, sr)
+                bv = bitrate_value_lsf(bi) if lsf else bitrate_value(bi)
             # LSF frames carry ONE 576-sample granule: 72 slots per kbps
             numerator = (72 if lsf else 144) * bv * 1000
             base_size = numerator // sr

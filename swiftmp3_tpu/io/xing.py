@@ -64,9 +64,14 @@ def build_xing_header(
     else:
         side_info_size = 17 if channels == 1 else 32
 
-    br_index = bitrate_index(options.bitrate_kbps, options.sample_rate)
+    if options.free_format:
+        # free format: the info frame must be the SAME constant size as
+        # every audio frame (decoders infer the stream's frame size)
+        br_index, br_value = 0, options.bitrate_kbps
+    else:
+        br_index = bitrate_index(options.bitrate_kbps, options.sample_rate)
+        br_value = bitrate_value_lsf(br_index) if lsf else bitrate_value(br_index)
     sr_index = sample_rate_index(options.sample_rate)
-    br_value = bitrate_value_lsf(br_index) if lsf else bitrate_value(br_index)
     frame_size = ((72 if lsf else 144) * br_value * 1000) // options.sample_rate
 
     mode, mode_ext = mode_bits(options.mode.value)

@@ -126,8 +126,11 @@ def main_data_cap(options: MP3EncoderOptions) -> int:
         max_kbps = min(top, options.bitrate_kbps + 64 - options.quality * 4)
     else:
         max_kbps = options.bitrate_kbps
-    bi = bitrate_index(max_kbps, sr)
-    br_val = bitrate_value_lsf(bi) if lsf else bitrate_value(bi)
+    if options.free_format:
+        br_val = options.bitrate_kbps  # exact off-table rate (CBR-only)
+    else:
+        bi = bitrate_index(max_kbps, sr)
+        br_val = bitrate_value_lsf(bi) if lsf else bitrate_value(bi)
     if lsf:
         side = 9 if options.channels == 1 else 17
     else:
@@ -169,8 +172,12 @@ def make_chunk_fn(options: MP3EncoderOptions):
     base_kbps = options.bitrate_kbps
     quality = options.quality
     mode = options.mode
-    cbr_index = bitrate_index(base_kbps, sr)
-    cbr_value = bitrate_value_lsf(cbr_index) if lsf else bitrate_value(cbr_index)
+    if options.free_format:
+        # ISO 2.4.2.3: header index 0, exact off-table rate sizes the frame
+        cbr_index, cbr_value = 0, base_kbps
+    else:
+        cbr_index = bitrate_index(base_kbps, sr)
+        cbr_value = bitrate_value_lsf(cbr_index) if lsf else bitrate_value(cbr_index)
     slots_per_kbps = 72 if lsf else 144  # LSF frames carry ONE granule
     cap_bytes = main_data_cap(options)
     aligned = options.reservoir_mode == "aligned"

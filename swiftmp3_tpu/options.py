@@ -241,6 +241,16 @@ class MP3EncoderOptions:
     #   decided on pre-bump scalefactors; hq(distortion_control=True)
     #   drops scfsi automatically).
     distortion_control: bool = False
+    # free_format: emit header bitrate_index 0 ("free format", ISO
+    #   2.4.2.3) with the constant frame size derived from the EXACT
+    #   bitrate_kbps — any integer rate 8..640 kbps, not just the table
+    #   rows (lame --freeformat is the producing peer; this repo's decoder
+    #   size-infers such streams, mpg123-validated in test_freeformat).
+    #   Without the flag, off-table rates silently coerce to the nearest
+    #   table entry (the reference's closest-match quirk). CBR only:
+    #   free-format decoding relies on ONE constant frame size, so vbr /
+    #   vbr_demand are rejected.
+    free_format: bool = False
     # gapless_info: make streams gapless-playable. Two effects: (1) flush()
     #   appends enough trailing silence that every real input sample is
     #   inside an emitted frame AND the decoder's 529-sample tail margin is
@@ -372,6 +382,14 @@ class MP3EncoderOptions:
                 "reservoir_depth > 1 requires reservoir_mode='aligned' (the "
                 "compat mode's placement quirk is frozen reference behavior)"
             )
+        if self.free_format:
+            if self.vbr:
+                raise ValueError(
+                    "free_format is CBR-only: decoders infer the single "
+                    "constant frame size from the stream"
+                )
+            if not (8 <= self.bitrate_kbps <= 640):
+                raise ValueError("free_format bitrate must be 8..640 kbps")
         if self.vbr_demand and not (self.vbr and self.spec_strict_entropy):
             raise ValueError(
                 "vbr_demand requires vbr=True and the strict entropy layout "

@@ -21,7 +21,7 @@ from typing import AsyncIterable, AsyncIterator, Iterable, Union
 import numpy as np
 
 from .options import MP3EncoderOptions
-from .tables import bitrate_index, bitrate_value
+from .tables import bitrate_index, bitrate_value, bitrate_value_lsf
 
 PCMInput = Union[AsyncIterable, Iterable]
 
@@ -51,8 +51,12 @@ async def encode_stream(encoder, input: PCMInput) -> AsyncIterator[bytes]:
 
 
 def xing_placeholder_size(options: MP3EncoderOptions) -> int:
-    br_idx = bitrate_index(options.bitrate_kbps, options.sample_rate)
-    return (144 * bitrate_value(br_idx) * 1000) // options.sample_rate
+    if options.free_format:
+        bv = options.bitrate_kbps  # exact off-table rate (CBR-only)
+    else:
+        br_idx = bitrate_index(options.bitrate_kbps, options.sample_rate)
+        bv = bitrate_value_lsf(br_idx) if options.lsf else bitrate_value(br_idx)
+    return ((72 if options.lsf else 144) * bv * 1000) // options.sample_rate
 
 
 async def encode_to_file(encoder, input: PCMInput, path: Union[str, os.PathLike]) -> None:

@@ -143,3 +143,80 @@ def test_verify_frame_crcs_walks_free_format_streams():
     assert verify_frame_crcs(stale) == [False] * n_frames
     fixed = _rewrite_free_format(blob, fix_crc=True)
     assert verify_frame_crcs(fixed) == [True] * n_frames
+
+
+# --- Free-format ENCODING (options.free_format, round 4) ---------------------
+
+
+def _tone(frames: int) -> np.ndarray:
+    t = np.arange(frames * 1152) / 44100.0
+    return (0.5 * np.sin(2 * np.pi * 440 * t)
+            + 0.2 * np.sin(2 * np.pi * 1870 * t)).astype(np.float32)
+
+
+def test_free_format_encode_validation():
+    with pytest.raises(ValueError, match="CBR-only"):
+        MP3EncoderOptions(free_format=True, vbr=True)
+    with pytest.raises(ValueError, match="8..640"):
+        MP3EncoderOptions(free_format=True, bitrate_kbps=700)
+
+
+def test_free_format_encode_off_table_rate_roundtrip():
+    """Encoding at 150 kbps (an off-table rate, coerced to 160 without the
+    flag): every header carries index 0, the own decoder size-infers and
+    agrees with the CBR structure, and mpg123 (if present) reads it."""
+    pcm = _tone(8)
+    opts = MP3EncoderOptions.spec_strict(
+        mode=Mode.MONO, bitrate_kbps=150, free_format=True,
+        linbits_tables=True,
+    )
+    s = MP3Encoder(opts, backend="numpy").new_session()
+    blob = s.encode(pcm) + s.flush()
+    # base size 144*150000/44100 = 489 (+1 padding frames)
+    frames = list(_iter_frames(blob))
+    assert len(frames) == 8
+    for fi in frames:
+        assert blob[fi.offset + 2] >> 4 == 0  # bitrate index 0 (free)
+    sizes = {fi.size for fi in frames}
+    assert sizes <= {489, 490}, sizes
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert dec.sample_rate == 44100 and len(dec.pcm) >= 7 * 1152
+    if have_mpg123():
+        theirs, tsr = mpg123_decode(blob)
+        assert tsr == 44100
+        n = min(len(dec.pcm), len(theirs))
+        assert decode_agreement_snr(dec.pcm[:n, 0], theirs[:n, 0]) > 60
+
+
+def test_free_format_encode_backends_byte_equal():
+    # noise content under the ULP-flip contract: fine linbits quantization
+    # of pure tones at high rates sits on rounding knife-edges where the
+    # two float stacks flip (measured on this clip at plain 160k too —
+    # not a free-format effect); the noise clip is flip-free.
+    rng = np.random.default_rng(5)
+    pcm = (0.3 * rng.standard_normal(6 * 1152)).astype(np.float32)
+    opts = MP3EncoderOptions.spec_strict(
+        mode=Mode.MONO, bitrate_kbps=150, free_format=True,
+        linbits_tables=True,
+    )
+    a = MP3Encoder(opts, backend="numpy").new_session()
+    b = MP3Encoder(opts, backend="tpu").new_session()
+    assert a.encode(pcm) + a.flush() == b.encode(pcm) + b.flush()
+
+
+def test_free_format_xing_header_same_frame_size():
+    """The Info frame must carry index 0 and the SAME constant size as the
+    audio frames (decoders infer the stream's frame size from spacing)."""
+    pcm = _tone(4)
+    opts = MP3EncoderOptions.spec_strict(
+        mode=Mode.MONO, bitrate_kbps=150, free_format=True,
+        linbits_tables=True,
+    )
+    s = MP3Encoder(opts, backend="numpy").new_session()
+    blob = s.generate_xing_header() + s.encode(pcm) + s.flush()
+    frames = list(_iter_frames(blob))
+    assert len(frames) == 5  # Info + 4 audio
+    assert blob[2] >> 4 == 0
+    assert frames[0].size == 489
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert len(dec.pcm) >= 3 * 1152
