@@ -181,3 +181,26 @@ def test_cli_end_to_end(tmp_path):
     dec = decode_mp3(blob)
     assert dec.frame_count > 0
     assert np.abs(dec.pcm).max() > 0.05
+
+
+def test_xing_placeholder_matches_actual_frame_size():
+    """The file writer's placeholder must equal the real Info frame's size
+    in every header regime (seek-back overwrite): MPEG-1, LSF (72-slot
+    law — the placeholder was 144-based at LSF before round 4), and
+    free format (exact off-table rate)."""
+    from swiftmp3_tpu import MP3Encoder
+    from swiftmp3_tpu.streaming import xing_placeholder_size
+
+    configs = [
+        MP3EncoderOptions(mode=Mode.MONO, bitrate_kbps=128),
+        MP3EncoderOptions.spec_strict(
+            mode=Mode.MONO, sample_rate=16000, bitrate_kbps=48
+        ),
+        MP3EncoderOptions.spec_strict(
+            mode=Mode.MONO, bitrate_kbps=150, free_format=True,
+            linbits_tables=True,
+        ),
+    ]
+    for opts in configs:
+        s = MP3Encoder(opts, backend="numpy").new_session()
+        assert xing_placeholder_size(opts) == len(s.generate_xing_header())
