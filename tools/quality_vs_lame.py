@@ -70,6 +70,9 @@ def main() -> int:
     p.add_argument("--bitrates", type=int, nargs="+", default=[64, 96, 128])
     p.add_argument("--sr", type=int, default=44100,
                    help="sample rate (32000/44100/48000)")
+    p.add_argument("--dc", action="store_true",
+                   help="hq column uses distortion_control=True (rate-"
+                   "gated: engages at >= 112 kbps/channel only)")
     args = p.parse_args()
     global SR
     SR = args.sr
@@ -96,7 +99,8 @@ def main() -> int:
                 psy_scalefactors=True, scfsi=True,
             )
             hq = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=kbps,
-                                      sample_rate=SR)
+                                      sample_rate=SR,
+                                      distortion_control=args.dc)
             c_raw, c_comp, _ = _score(pcm, _ours(compat, pcm))
             s_raw, _, _ = _score(pcm, _ours(strict, pcm))
             h_raw, _, h_nmr = _score(pcm, _ours(hq, pcm))
