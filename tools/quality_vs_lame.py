@@ -92,8 +92,11 @@ def main() -> int:
     deltas_s, deltas_h, deltas_nmr = [], [], []
     for kbps in args.bitrates:
         for kind, pcm in signals.items():
-            compat = MP3EncoderOptions(mode=Mode.MONO, bitrate_kbps=kbps,
-                                       sample_rate=SR)
+            # compat is the reference-parity preset; the reference is
+            # MPEG-1-only, so at LSF rates (beyond-reference capability)
+            # there is no compat column — options reject it by design.
+            compat = None if SR < 32000 else MP3EncoderOptions(
+                mode=Mode.MONO, bitrate_kbps=kbps, sample_rate=SR)
             strict = MP3EncoderOptions.spec_strict(
                 mode=Mode.MONO, bitrate_kbps=kbps, sample_rate=SR,
                 psy_scalefactors=True, scfsi=True,
@@ -101,7 +104,8 @@ def main() -> int:
             hq = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=kbps,
                                       sample_rate=SR,
                                       distortion_control=args.dc)
-            c_raw, c_comp, _ = _score(pcm, _ours(compat, pcm))
+            c_raw, c_comp = (float("nan"),) * 2 if compat is None else (
+                _score(pcm, _ours(compat, pcm))[:2])
             s_raw, _, _ = _score(pcm, _ours(strict, pcm))
             h_raw, _, h_nmr = _score(pcm, _ours(hq, pcm))
             l_raw, _, l_nmr = _score(pcm, lame_encode(pcm, SR, kbps, mode="mono"))
