@@ -328,6 +328,34 @@ class GoldenBackend:
                 br, _ = ref.transient_detect(right[sl])
                 shared_blocks.append(max(bl, br))
 
+        # Intensity-stereo frame gate (options.intensity_stereo): engage on
+        # frames whose every granule is LONG (the validated decode surface
+        # for positions is the long-layout law; short-window positions are
+        # per-(band, window) and stay future work on the encode side).
+        # Detection runs on the raw pre-matrix L/R — the sequencing law
+        # already does, and the gate must not depend on the matrix choice
+        # it overrides. Engaged frames code raw L/R with mode_extension
+        # 0b01; others fall back to the iso_mode_ext law above.
+        is_frame = False
+        if opts.intensity_stereo_active and channels == 2:
+            if seq_blocks is not None:
+                is_frame = all(b == ref.BLOCK_LONG for b in seq_blocks)
+            else:
+                is_frame = True
+                for gr in range(n_gr):
+                    sl = slice(
+                        gr * SAMPLES_PER_GRANULE, (gr + 1) * SAMPLES_PER_GRANULE
+                    )
+                    b_l, _ = ref.transient_detect(left[sl])
+                    b_r, _ = ref.transient_detect(right[sl])
+                    if max(b_l, b_r) != ref.BLOCK_LONG:
+                        is_frame = False
+                        break
+            if is_frame:
+                chans = [left, right]
+                frame_mode_ext = 0b01
+                shared_blocks = None  # L/R frame: per-channel (all LONG)
+
         granules = [[None] * channels for _ in range(n_gr)]
         quantized = np.zeros((n_gr * channels, SAMPLES_PER_GRANULE), dtype=np.int32)
         big_values = np.zeros(n_gr * channels, dtype=np.int32)
@@ -406,44 +434,97 @@ class GoldenBackend:
                         if block == ref.BLOCK_MIXED
                         else short_reorder_src(sr)
                     )
-                # START/STOP granules carry the LONG scalefactor/window
-                # layout (only the MDCT window differs); the raw block
-                # value still reaches the entropy layout, which needs the
-                # window-switching 36/576 region split for them.
-                sf_block = block if not ref.is_long_layout(block) else ref.BLOCK_LONG
-                sfd = None
-                sf_write = None
-                if opts.real_scalefactors:
-                    sfd = ref.granule_scalefactors(
-                        spectrum, sr, sf_block,
-                        psy=opts.psy_scalefactors,
-                        iso_short=opts.iso_short_blocks,
-                        lsf=bool(lsf),
-                    )
-                    sf_write = np.ones(21, dtype=bool)
-                    if opts.scfsi:
-                        if gr == 0:
-                            gr0_sfd[ch] = (sfd, block)
-                        else:
-                            sfd0, block0 = gr0_sfd[ch]
-                            scfsi_bits[ch], sf_write = ref.scfsi_decide(
-                                sfd0["sf"], sfd["sf"],
-                                ref.is_long_layout(block0),
-                                ref.is_long_layout(block),
-                            )
-                    gain0 = ref.compute_global_gain_scaled(
-                        spectrum, sfd["mag_scale"],
-                        target=ref.LINBITS_Q_TARGET if opts.linbits_tables else 15.0,
-                    )
-                else:
-                    gain0 = ref.compute_global_gain(spectrum, iso=opts.iso_quantization)
-                self.vbr.update(gain0, ref.frame_energy(gsamples))
-                part2 = ref.scfsi_part2_bits(sfd, sf_write) if sfd else 0
                 staged.append(dict(
                     gr=gr, ch=ch, spectrum=spectrum, block=block,
-                    sb_gain=sb_gain, perm=perm, sfd=sfd, sf_write=sf_write,
-                    gain0=gain0, part2=part2,
+                    sb_gain=sb_gain, perm=perm,
+                    energy=ref.frame_energy(gsamples),
                 ))
+
+        # Intensity transform (options.intensity_stereo, between the spectra
+        # pass and the scalefactor pass: the left channel's scalefactors and
+        # initial gain must see the combined L+R spectrum). The per-band
+        # positions stash on the RIGHT channel's staged entry; the emitted
+        # slots are written after the rate walk, where the right channel's
+        # final zero extent is known (see stage 2).
+        if is_frame:
+            any_region = False
+            for gr in range(n_gr):
+                cl, cr2 = staged[gr * channels], staged[gr * channels + 1]
+                new_l, new_r, is_pos, is_b0 = ref.intensity_encode(
+                    cl["spectrum"], cr2["spectrum"], sr
+                )
+                cl["spectrum"], cr2["spectrum"] = new_l, new_r
+                cr2["is_pos"] = is_pos
+                any_region = any_region or is_b0 is not None
+            if not any_region:
+                # No granule qualified an IS region (decorrelated or
+                # anti-phase upper spectrum): the frame gains nothing from
+                # intensity signalling, and positions above the right
+                # channel's natural zero part would only add decoder-
+                # synthesized content the source never had. Emit a plain
+                # discrete-stereo frame instead (the channels are already
+                # raw L/R — exactly the right coding for decorrelated
+                # content; mode_extension 0b00 per the iso_mode_ext law).
+                is_frame = False
+                frame_mode_ext = 0b00
+                for gr in range(n_gr):
+                    staged[gr * channels + 1].pop("is_pos", None)
+
+        # Scalefactor + initial-gain pass (staged order == the historical
+        # interleaved order, so the VBR history and scfsi bookkeeping see
+        # the exact same sequence).
+        for c in staged:
+            gr, ch, spectrum, block = c["gr"], c["ch"], c["spectrum"], c["block"]
+            # START/STOP granules carry the LONG scalefactor/window
+            # layout (only the MDCT window differs); the raw block
+            # value still reaches the entropy layout, which needs the
+            # window-switching 36/576 region split for them.
+            sf_block = block if not ref.is_long_layout(block) else ref.BLOCK_LONG
+            sfd = None
+            sf_write = None
+            if opts.real_scalefactors:
+                sfd = ref.granule_scalefactors(
+                    spectrum, sr, sf_block,
+                    psy=opts.psy_scalefactors,
+                    iso_short=opts.iso_short_blocks,
+                    lsf=bool(lsf),
+                )
+                sf_write = np.ones(21, dtype=bool)
+                if opts.scfsi:
+                    if gr == 0:
+                        gr0_sfd[ch] = (sfd, block)
+                    else:
+                        sfd0, block0 = gr0_sfd[ch]
+                        scfsi_bits[ch], sf_write = ref.scfsi_decide(
+                            sfd0["sf"], sfd["sf"],
+                            ref.is_long_layout(block0),
+                            ref.is_long_layout(block),
+                        )
+                gain0 = ref.compute_global_gain_scaled(
+                    spectrum, sfd["mag_scale"],
+                    target=ref.LINBITS_Q_TARGET if opts.linbits_tables else 15.0,
+                )
+            else:
+                gain0 = ref.compute_global_gain(spectrum, iso=opts.iso_quantization)
+            self.vbr.update(gain0, c["energy"])
+            part2 = ref.scfsi_part2_bits(sfd, sf_write) if sfd else 0
+            if sfd is not None and "is_pos" in c:
+                # Price the intensity position slots UP FRONT: the emitted
+                # scalefac_compress must cover max(scalefactor, position)
+                # per slen group (the post-walk overwrite may grow slen,
+                # and actual bits beyond the priced budget overflow the
+                # real reservoir mirror — caught by the gap assert). The
+                # final compress covers a subset, so actual <= priced.
+                pad_sf = np.maximum(
+                    np.asarray(sfd["sf"], dtype=np.int64), c["is_pos"]
+                )
+                pad_bounds = np.concatenate(
+                    [[0], np.cumsum(band_table(sr))]
+                ).astype(int)
+                part2 = ref.scfsi_part2_bits(
+                    ref._long_sfd(pad_sf, pad_bounds), sf_write
+                )
+            c.update(sfd=sfd, sf_write=sf_write, gain0=gain0, part2=part2)
 
         if target is None:
             # Demand-driven VBR (options.vbr_demand; device twin in
@@ -542,8 +623,10 @@ class GoldenBackend:
         # band-mask law misprices temporal noise (measured: per-granule
         # LONG-only still lost +0.8 dB nburst NMR at 128k from tone-bed
         # granules adjacent to bursts; the all-long gate is a no-op there).
-        dc_frame = opts.distortion_control_active and all(
-            c2["block"] == ref.BLOCK_LONG for c2 in staged
+        dc_frame = (
+            opts.distortion_control_active
+            and not is_frame  # IS positions overwrite bumped slots
+            and all(c2["block"] == ref.BLOCK_LONG for c2 in staged)
         )
         for c, granule_budget in zip(staged, budgets):
             gr, ch = c["gr"], c["ch"]
@@ -620,6 +703,38 @@ class GoldenBackend:
                             )
                     gain, q, bits = _walk(granule_budget)
                     priced_bits = bits
+                    if is_frame and ch == 1:
+                        # Intensity position slots (the decode-law
+                        # invariant, see reference.intensity_encode):
+                        # every band at/above the right channel's FINAL
+                        # quantized extent carries a position — including
+                        # bands the walk zeroed below the intended bound.
+                        # Knife-edge extents inside (bounds[20],
+                        # bounds[21]] would need slot 20 to be both band
+                        # 20's real scalefactor and the sfb21 tail's
+                        # position; zero the band-20 remainder there (the
+                        # tail is already zero in that window).
+                        is_bounds = np.concatenate(
+                            [[0], np.cumsum(band_table(sr))]
+                        ).astype(int)
+                        nzq = np.nonzero(q)[0]
+                        z_ext = int(nzq[-1]) + 1 if nzq.size else 0
+                        if is_bounds[20] < z_ext <= is_bounds[21]:
+                            q = q.copy()
+                            q[is_bounds[20]:] = 0
+                            nzq = np.nonzero(q)[0]
+                            z_ext = int(nzq[-1]) + 1 if nzq.size else 0
+                        b_start = int(
+                            np.searchsorted(is_bounds[:21], z_ext, side="left")
+                        )
+                        if sfd is not None and b_start < 21:
+                            sf_is = np.asarray(
+                                sfd["sf"], dtype=np.int64
+                            ).copy()
+                            sf_is[b_start:] = c["is_pos"][b_start:]
+                            if not np.array_equal(sf_is, sfd["sf"]):
+                                sfd = ref._long_sfd(sf_is, is_bounds)
+                                c["sfd"] = sfd
                 else:
                     gain, q, bits = ref.quantize_to_fit_budget(
                         spectrum,

@@ -955,6 +955,11 @@ def make_chunk_encoder(options: MP3EncoderOptions, chunk: int):
     Cached per options value: sessions with equal options share one traced
     callable, so e.g. a fuzz suite creating many short-lived sessions pays
     one trace+compile per distinct (options, shape), not per session."""
+    if options.intensity_stereo:
+        raise NotImplementedError(
+            "intensity_stereo has no device twin yet — use backend='numpy' "
+            "(the golden backend emits mpg123-validated IS streams)"
+        )
     return _cached_chunk_encoder(options)
 
 

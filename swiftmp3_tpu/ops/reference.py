@@ -1509,6 +1509,122 @@ def stereo_decide(mode: str, left: np.ndarray, right: np.ndarray, iso_matrix: bo
     return False, left, right
 
 
+# --- Intensity stereo ENCODING (options.intensity_stereo) -------------------
+# ISO 11172-3 2.4.3.4.9.3 from the encode side (beyond-reference: the
+# reference has no intensity mode — MP3Encoder.swift:2547-2556 hardcodes
+# mode_extension 0b10). In a joint-stereo frame with mode_extension bit 0
+# set, every scalefactor band at or above the RIGHT channel's decoded zero
+# part reconstructs BOTH channels from the left channel's values, split by
+# the position in the right channel's scalefactor slot: k_l = r/(1+r),
+# k_r = 1/(1+r) with r = tan(pos*pi/12) (decoder._is_factors, the law
+# libmpg123 arbitrated in round 3). k_l + k_r = 1 is an AMPLITUDE split, so
+# the transmitted signal is the per-line SUM L+R: perfectly panned content
+# (R = c*L) reconstructs exactly when pos quantizes atan(1/c); decorrelated
+# content degrades gracefully into a mono render panned to the band's
+# energy angle — the standard intensity trade, bought to halve the coded
+# lines at starving joint rates (<= 64 kbps stereo is the useful window).
+#
+# Encoder invariants (the decoder derives the region from the zero part, so
+# these are CORRECTNESS, not tuning):
+#   - whenever mode_extension bit 0 is emitted, every band at/above the
+#     right channel's final quantized extent must carry a position in its
+#     scalefactor slot (a real scalefactor there decodes as a garbage
+#     position) — including bands below the intended bound that the walk
+#     zeroed on its own;
+#   - positions are 0..6 only (7 is the illegal marker);
+#   - the sfb21 tail rides slot 20's position, so an extent ending INSIDE
+#     (bounds[20], bounds[21]] would need slot 20 to be both band 20's real
+#     scalefactor and the tail's position — the encoder zeroes the band-20
+#     remainder on such knife-edge granules (see the encoder fixup).
+# IS_MIN_SFB swept {4, 8} x {32, 48, 64}k stereo x 3 classes (panned mix /
+# constant-pan speech / wide correlated chord; downmix SNR + downmix NMR +
+# worst-channel SNR, oracle==mpg123 decode): 8 matches 4's downmix gains
+# (+0.7..+1.8 dB at 32-48k) while fixing 4's panned-content NMR regression
+# at 32k (-1.4 -> -0.2) — collapsing the low bands buys nothing the walk
+# can spend. The same sweep pinned the RATE window: at 64k stereo IS is a
+# wash-to-loss (wide chord downmix -3.7 dB — discrete coding affords both
+# channels there), hence the <= 24 kbps/channel activity gate
+# (options.intensity_stereo_active).
+IS_MIN_SFB = 8  # never collapse the stereo image below this band
+IS_CORR = 0.5  # signed per-band correlation needed to IS-code a band
+IS_NEG = 0.02  # ...or the quieter channel under this fraction of the louder
+
+
+def intensity_positions(
+    spec_l: np.ndarray, spec_r: np.ndarray, bounds: np.ndarray
+) -> np.ndarray:
+    """Per-band intensity positions [21] from the channels' band energies:
+    pos = round((12/pi) * atan2(sqrt(El), sqrt(Er))) — the angle whose
+    tangent _is_factors inverts (0 all-right .. 6 all-left; the illegal 7
+    is never emitted). Band 20 folds in the sfb21 tail (the tail rides
+    slot 20's position in every validated decoder reading)."""
+    pos = np.zeros(21, dtype=np.int64)
+    for b in range(21):
+        lo = int(bounds[b])
+        hi = int(bounds[b + 1]) if b < 20 else 576
+        sl, sr_ = spec_l[lo:hi], spec_r[lo:hi]
+        el = float(np.dot(sl, sl))
+        er = float(np.dot(sr_, sr_))
+        p = int(np.round(np.arctan2(np.sqrt(el), np.sqrt(er)) * 12.0 / np.pi))
+        pos[b] = min(max(p, 0), 6)
+    return pos
+
+
+def intensity_encode(
+    spec_l: np.ndarray, spec_r: np.ndarray, sample_rate: int
+):
+    """Analyze + transform one long-layout granule pair for intensity
+    coding. Returns (new_l, new_r, pos21, b0): above bound band b0 the left
+    spectrum carries the per-line sum and the right is zero; b0 is None
+    (spectra unchanged) when no contiguous-from-the-top region qualifies.
+
+    Qualification per band (bands are IS-coded only as a contiguous region
+    up from b0 — the decoder's region is everything above the right
+    channel's zero part, so holes cannot be expressed): the band is
+    effectively panned (quieter channel under IS_NEG of the louder) or the
+    channels correlate positively (signed normalized correlation >=
+    IS_CORR; anti-phase content cancels in the L+R sum and must stay
+    discrete). Decorrelated stereo therefore keeps discrete coding — the
+    round-3 shared_ms_blocks lesson says decorrelation is its own content
+    axis, and the external matrix there is the measured record."""
+    bounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))]).astype(int)
+    pos = intensity_positions(spec_l, spec_r, bounds)
+    ok = np.zeros(21, dtype=bool)
+    for b in range(IS_MIN_SFB, 21):
+        lo = int(bounds[b])
+        hi = int(bounds[b + 1]) if b < 20 else 576
+        sl, sr_ = spec_l[lo:hi], spec_r[lo:hi]
+        el = float(np.dot(sl, sl))
+        er = float(np.dot(sr_, sr_))
+        if min(el, er) <= IS_NEG * max(el, er):
+            ok[b] = True  # panned hard (or silent): nothing to lose
+        else:
+            corr = float(np.dot(sl, sr_)) / np.sqrt(el * er)
+            ok[b] = corr >= IS_CORR
+    b0 = None
+    for b in range(20, IS_MIN_SFB - 1, -1):
+        if not ok[b]:
+            break
+        b0 = b
+    if b0 is None:
+        return spec_l, spec_r, pos, None
+    cut = int(bounds[b0])
+    # The savings are the right channel's coded lines removed: a region
+    # holding none of the right channel's energy (e.g. only the lowpassed
+    # zero bands qualified) saves nothing and would let the decoder
+    # synthesize phantom right-channel content above the natural zero part
+    # — no region then (the frame falls back to discrete stereo).
+    er_region = float(np.dot(spec_r[cut:], spec_r[cut:]))
+    er_total = float(np.dot(spec_r, spec_r))
+    if er_region <= IS_NEG * (er_total + 1e-30):
+        return spec_l, spec_r, pos, None
+    new_l = spec_l.copy()
+    new_l[cut:] = spec_l[cut:] + spec_r[cut:]
+    new_r = spec_r.copy()
+    new_r[cut:] = 0.0
+    return new_l, new_r, pos, b0
+
+
 def scalefactor_compress(scalefactors: np.ndarray) -> int:
     """variance/mean^2 -> 0-15 (MP3Encoder.swift:2019-2036). Unused by the
     pipeline (hardcoded 0), kept for component parity."""

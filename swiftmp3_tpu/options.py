@@ -317,6 +317,32 @@ class MP3EncoderOptions:
     #   field. Requires the strict entropy layout (the demand signal is
     #   the strict sweep's priced grid).
     demand_budget: bool = False
+    # intensity_stereo: intensity-stereo ENCODING (ISO 11172-3 2.4.3.4.9.3
+    #   from the emit side; the decode surface was built and libmpg123-
+    #   validated in round 3, tests/test_intensity.py). Frames whose
+    #   granules are all LONG emit mode_extension 0b01; per granule, the
+    #   upper spectrum (from the lowest band where the channels are panned
+    #   or positively correlated — ops.reference.intensity_encode) is coded
+    #   ONCE as the per-line L+R sum in the left channel, the right channel
+    #   is zero there, and the right channel's scalefactor slots carry the
+    #   per-band pan positions. Halves the coded lines in the IS region —
+    #   the classic very-low-joint-rate tool, rate-gated at <= 24 kbps per
+    #   channel (intensity_stereo_active; the measured window — 64 kbps
+    #   stereo is already a wash-to-loss). lame dropped IS entirely, so the
+    #   external referee is mpg123-decode downmix SNR/NMR vs the
+    #   discrete-stereo encode at equal rate; the inherent trade is
+    #   worst-channel SNR (7 pan positions quantize the image angle —
+    #   audibly benign, SNR-expensive).
+    #   Frames holding any short/transition granule fall back to the
+    #   iso_mode_ext law (discrete or M/S). MPEG-1 only (the LSF position
+    #   law differs; decode-side exists, encode is future work). Requires
+    #   mode=joint_stereo, real_scalefactors (position slots ride the
+    #   scalefactor machinery), iso_mode_ext (non-IS frames must signal
+    #   their actual matrix); mutually exclusive with scfsi (positions are
+    #   per-granule, written after the rate walk — sharing is decided on
+    #   pre-position values). Golden backend only this round (use
+    #   backend="numpy"); the device twin is a round-5 candidate.
+    intensity_stereo: bool = False
     # (noise_demand — a noise-targeted donation demand — was built here in
     #   round 4 and REMOVED after measurement: wash on every class/rate,
     #   worse on noise-bursts at 128k at every margin. Record:
@@ -423,6 +449,35 @@ class MP3EncoderOptions:
                 "(use MP3EncoderOptions.hq(distortion_control=True), "
                 "which drops scfsi)"
             )
+        if self.intensity_stereo:
+            if self.mode is not Mode.JOINT_STEREO:
+                raise ValueError(
+                    "intensity_stereo requires mode=joint_stereo (the "
+                    "mode_extension intensity bit only exists there)"
+                )
+            if not self.real_scalefactors:
+                raise ValueError(
+                    "intensity_stereo requires real_scalefactors (intensity "
+                    "positions ride the scalefactor slot machinery)"
+                )
+            if not self.iso_mode_ext:
+                raise ValueError(
+                    "intensity_stereo requires iso_mode_ext (non-IS frames "
+                    "must signal their actual matrix per frame)"
+                )
+            if self.scfsi:
+                raise ValueError(
+                    "intensity_stereo and scfsi are mutually exclusive: "
+                    "positions are written per granule after the rate walk "
+                    "(use MP3EncoderOptions.hq(intensity_stereo=True), "
+                    "which drops scfsi)"
+                )
+            if self.lsf:
+                raise ValueError(
+                    "intensity_stereo encoding is MPEG-1 only (the LSF "
+                    "2^(-pos/4) position law differs; decode support "
+                    "exists, encoding is future work)"
+                )
         if self.lsf and not (
             self.iso_quantization and self.reservoir_mode == "aligned"
         ):
@@ -468,6 +523,20 @@ class MP3EncoderOptions:
         8 bits (255) in LSF — caps the reservoir counter, the budget draw,
         and every mdb clamp."""
         return 255 if self.lsf else 511
+
+    @property
+    def intensity_stereo_active(self) -> bool:
+        """intensity_stereo, rate-gated at <= 24 kbps per channel (the base
+        bitrate under VBR). Above the gate the flag is a byte no-op: the
+        3-class x {32,48,64}k sweep (ops.reference.IS_MIN_SFB note) measured
+        IS positive at 32-48k stereo (downmix +0.7..+1.8 dB SNR, NMR up to
+        +2.5 dB on correlated wide content) and a wash-to-loss at 64k
+        stereo, where the budget affords discrete coding of both channels
+        (wide chord downmix -3.7 dB)."""
+        return bool(
+            self.intensity_stereo
+            and self.bitrate_kbps // self.channels <= 24
+        )
 
     @property
     def distortion_control_active(self) -> bool:
@@ -540,7 +609,10 @@ class MP3EncoderOptions:
         rule."""
         base = dict(
             linbits_tables=True,
-            scfsi=not kwargs.get("distortion_control", False),
+            scfsi=not (
+                kwargs.get("distortion_control", False)
+                or kwargs.get("intensity_stereo", False)
+            ),
             demand_budget=True,
             window_sequencing=True,
         )

@@ -1,0 +1,219 @@
+"""Intensity-stereo ENCODING (options.intensity_stereo).
+
+The decode surface (oracle + libmpg123 arbitration) was built in round 3
+(tests/test_intensity.py hand-assembles conforming streams); this file
+tests the ENCODER's emission of the same surface: all-LONG joint-stereo
+frames carry mode_extension 0b01, the left channel codes the per-line L+R
+sum above the per-granule bound, the right channel is zero there, and the
+right channel's scalefactor slots carry pan positions for every band at or
+above its final quantized extent (ops.reference.intensity_encode has the
+law; the reference has no intensity mode at all — MP3Encoder.swift:
+2547-2556 hardcodes mode_extension 0b10).
+
+Quality floors pin the measured sweep (reference.IS_MIN_SFB note): at the
+<= 24 kbps/channel activity window IS wins DOWNMIX SNR at equal rate; the
+per-channel SNR cost (7 quantized pan angles) is the documented trade.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from swiftmp3_tpu.decoder import decode_mp3
+from swiftmp3_tpu.encoder import EncoderSession
+from swiftmp3_tpu.options import MP3EncoderOptions, Mode
+from swiftmp3_tpu.tables import bitrate_value
+from swiftmp3_tpu.utils import quality
+from swiftmp3_tpu.utils.external import have_mpg123, mpg123_decode
+
+SR = 44100
+N = 1152 * 12
+
+
+def _panned_mix(n=N, seed=3):
+    t = np.arange(n) / SR
+    rng = np.random.default_rng(seed)
+    src = (
+        0.5 * np.sin(2 * np.pi * 440 * t)
+        + 0.3 * np.sin(2 * np.pi * 3100 * t)
+        + 0.2 * np.sin(2 * np.pi * 8200 * t)
+        + 0.05 * rng.standard_normal(n)
+    ).astype(np.float32)
+    pan = 0.25 + 0.5 * np.sin(2 * np.pi * 0.3 * t) ** 2
+    return (src * pan).astype(np.float32), (src * (1 - pan)).astype(np.float32)
+
+
+def _interleave(L, R):
+    pcm = np.empty(2 * len(L), dtype=np.float32)
+    pcm[0::2], pcm[1::2] = L, R
+    return pcm
+
+
+def _encode(pcm, kbps, **kw):
+    opts = MP3EncoderOptions.hq(mode=Mode.JOINT_STEREO, bitrate_kbps=kbps, **kw)
+    s = EncoderSession(opts, backend="numpy")
+    return s.encode(pcm) + s.flush()
+
+
+def _mode_exts(data: bytes) -> Counter:
+    c: Counter = Counter()
+    i = 0
+    while i + 4 <= len(data):
+        if data[i] == 0xFF and (data[i + 1] & 0xE0) == 0xE0:
+            c[(data[i + 3] >> 4) & 3] += 1
+            br = (data[i + 2] >> 4) & 0xF
+            pad = (data[i + 2] >> 1) & 1
+            i += 144 * bitrate_value(br) * 1000 // SR + pad
+        else:
+            i += 1
+    return c
+
+
+def test_is_frames_emitted_and_stream_decodes():
+    L, R = _panned_mix()
+    data = _encode(_interleave(L, R), 32, intensity_stereo=True)
+    exts = _mode_exts(data)
+    assert exts.get(0b01, 0) >= 5, exts  # intensity frames actually emitted
+    dec = np.asarray(decode_mp3(data, iso_conventions=True).pcm)
+    assert dec.shape[1] == 2 and dec.shape[0] >= N
+
+
+@pytest.mark.parametrize("kbps", [32, 48])
+def test_is_downmix_beats_discrete_at_equal_rate(kbps):
+    """The point of the mode: bits saved in the IS region buy a better
+    coded sum at starving joint rates (measured +1.45 / +0.78 dB downmix
+    SNR at 32/48k on the panned mix; floors leave ~0.4 dB slack)."""
+    L, R = _panned_mix()
+    pcm = _interleave(L, R)
+    d_is = _encode(pcm, kbps, intensity_stereo=True)
+    d_lr = _encode(pcm, kbps)
+    assert len(d_is) == len(d_lr)  # equal rate: CBR same size
+    dm_src = (L.astype(np.float64) + R.astype(np.float64))
+    snr = {}
+    for name, d in (("is", d_is), ("lr", d_lr)):
+        dec = np.asarray(decode_mp3(d, iso_conventions=True).pcm)
+        snr[name] = quality.measure_quality(
+            dm_src, dec[:, 0] + dec[:, 1], SR, compensate_gain=False
+        ).snr_db
+    floor = 1.0 if kbps == 32 else 0.4
+    assert snr["is"] >= snr["lr"] + floor, snr
+
+
+def test_rate_gate_is_byte_noop_above_window():
+    """intensity_stereo_active gates at <= 24 kbps/channel; at 64 kbps
+    stereo the flag must be an exact byte no-op (compare against the same
+    options minus the flag — hq(intensity_stereo=True) drops scfsi, so the
+    baseline drops it too)."""
+    L, R = _panned_mix(n=1152 * 6)
+    pcm = _interleave(L, R)
+    d_is = _encode(pcm, 64, intensity_stereo=True)
+    d_lr = _encode(pcm, 64, scfsi=False)
+    assert d_is == d_lr
+
+
+def test_decorrelated_content_falls_back_to_discrete():
+    """No granule qualifies an IS region on decorrelated noise: frames
+    fall back to discrete stereo (mode_ext 0b00/0b10), not a pointless
+    intensity signal (the region gate also rejects regions holding no
+    right-channel energy, e.g. only lowpassed zero bands)."""
+    rng = np.random.default_rng(7)
+    n = 1152 * 8
+    L = (rng.standard_normal(n) * 0.2).astype(np.float32)
+    R = (rng.standard_normal(n) * 0.2).astype(np.float32)
+    data = _encode(_interleave(L, R), 32, intensity_stereo=True)
+    exts = _mode_exts(data)
+    # overwhelmingly discrete; allow stray knife-edge engagements
+    assert exts.get(0b01, 0) <= 2, exts
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+@pytest.mark.parametrize("kbps", [32, 48])
+def test_is_stream_oracle_matches_mpg123(kbps):
+    """Conformance: the oracle and libmpg123 read the emitted IS streams
+    identically (~131 dB measured) — the same neutral-referee standard as
+    the decode-side intensity tests."""
+    L, R = _panned_mix()
+    data = _encode(_interleave(L, R), kbps, intensity_stereo=True)
+    assert _mode_exts(data).get(0b01, 0) >= 5
+    ours = np.asarray(decode_mp3(data, iso_conventions=True).pcm)
+    ext, esr = mpg123_decode(data)
+    assert esr == SR
+    for ch in range(2):
+        agree = quality.decode_agreement_snr(ext[:, ch], ours[:, ch])
+        assert agree >= 60.0, (kbps, ch, agree)
+
+
+def test_transient_frames_fall_back():
+    """Frames holding any short/transition granule are not IS frames (the
+    validated position law is long-layout); the stream still conforms."""
+    n = 1152 * 12
+    rng = np.random.default_rng(5)
+    L, R = _panned_mix(n=n, seed=5)
+    # hard clicks every ~4 frames
+    for k in range(2, n, 1152 * 4):
+        click = (rng.standard_normal(96) * 0.7).astype(np.float32)
+        L[k : k + 96] += click
+        R[k : k + 96] += click
+    data = _encode(_interleave(L, R), 32, intensity_stereo=True)
+    exts = _mode_exts(data)
+    assert exts.get(0b01, 0) >= 1  # steady frames engage
+    assert sum(v for k, v in exts.items() if k != 0b01) >= 1  # transients don't
+    dec = np.asarray(decode_mp3(data, iso_conventions=True).pcm)
+    assert dec.shape[0] >= n
+
+
+def test_options_validation():
+    with pytest.raises(ValueError, match="joint_stereo"):
+        MP3EncoderOptions.hq(intensity_stereo=True)  # default mode stereo
+    with pytest.raises(ValueError, match="scfsi"):
+        MP3EncoderOptions.hq(
+            mode=Mode.JOINT_STEREO, intensity_stereo=True, scfsi=True
+        )
+    with pytest.raises(ValueError, match="real_scalefactors"):
+        MP3EncoderOptions(
+            mode=Mode.JOINT_STEREO, intensity_stereo=True, iso_mode_ext=True
+        )
+    with pytest.raises(ValueError, match="MPEG-1"):
+        MP3EncoderOptions.hq(
+            mode=Mode.JOINT_STEREO, intensity_stereo=True, sample_rate=22050
+        )
+    # device backend refuses (golden-only this round)
+    with pytest.raises(NotImplementedError, match="device twin"):
+        EncoderSession(
+            MP3EncoderOptions.hq(
+                mode=Mode.JOINT_STEREO, bitrate_kbps=32, intensity_stereo=True
+            ),
+            backend="tpu",
+        )
+
+
+def test_position_law_roundtrip():
+    """The position quantizer inverts the decoder's tan split: for a
+    hard-panned band pos=6 keeps left exact and right zero; for equal
+    energies pos=3 splits the sum evenly."""
+    from swiftmp3_tpu.decoder.decoder import _is_factors
+    from swiftmp3_tpu.ops import reference as ref
+
+    bounds = np.array([0, 4])
+    l_ = np.array([1.0, -2.0, 0.5, 1.5], dtype=np.float32)
+    # equal energy, perfectly correlated
+    pos = ref.intensity_positions(
+        np.pad(l_, (0, 572)), np.pad(l_, (0, 572)),
+        np.concatenate([bounds, np.full(20, 576)]),
+    )
+    assert pos[0] == 3
+    kl, kr = _is_factors(3, 0, 0, 0)
+    s = l_ + l_
+    np.testing.assert_allclose(s * kl, l_, rtol=1e-6)
+    np.testing.assert_allclose(s * kr, l_, rtol=1e-6)
+    # hard pan left
+    pos = ref.intensity_positions(
+        np.pad(l_, (0, 572)), np.zeros(576, dtype=np.float32),
+        np.concatenate([bounds, np.full(20, 576)]),
+    )
+    assert pos[0] == 6
+    kl, kr = _is_factors(6, 0, 0, 0)
+    assert kl == 1.0 and kr == 0.0
