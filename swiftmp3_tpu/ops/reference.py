@@ -1199,6 +1199,11 @@ DC_BUMP = 3  # scalefactor steps per violating band (swept in-pipeline:
 # qcap clipping occurs at any bump)
 DC_MASK_OFFSET = 6  # mask = spread peak exponent - offset (~18 dB)
 _DC_SF_CAP = np.asarray([15] * 11 + [7] * 10, dtype=np.int64)  # slen1/slen2
+# Round-4-final depth probes (tools/probe_dc_depth.py; golden-side knobs —
+# the shipped device twin implements the (1, False) point only):
+DC_PASSES = 1  # probe->bump iterations before the one real walk
+DC_PROPORTIONAL = False  # bump = ceil(log2(noise/mask)/2) instead of flat
+DC_BUMP_MAX = 6  # proportional-law cap (one step ~ -6 dB error energy)
 
 
 def distortion_bumps(
@@ -1247,7 +1252,16 @@ def distortion_bumps(
         # exact: n_lines * 2^(2*thr_exp); underflows to 0 for empty bands
         thr2n = np.ldexp(np.float32(hi - lo), 2 * int(thr_exp[b]))
         if e2 > np.float32(DC_RATIO) * thr2n:
-            bumps[b] = DC_BUMP
+            if DC_PROPORTIONAL:
+                # steps to bring the band's error energy to the mask:
+                # one scalefactor step doubles the coded amplitude
+                # (~1 more bit of precision ~ -6 dB error energy)
+                r = float(e2) / max(float(thr2n), 1e-38)
+                bumps[b] = min(
+                    max(int(np.ceil(0.5 * np.log2(r))), 1), DC_BUMP_MAX
+                )
+            else:
+                bumps[b] = DC_BUMP
     return bumps
 
 
