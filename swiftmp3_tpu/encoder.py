@@ -455,6 +455,7 @@ class GoldenBackend:
                 )
                 cl["spectrum"], cr2["spectrum"] = new_l, new_r
                 cr2["is_pos"] = is_pos
+                cr2["is_b0"] = is_b0  # None = granule has no summed region
                 any_region = any_region or is_b0 is not None
             if not any_region:
                 # No granule qualified an IS region (decorrelated or
@@ -469,6 +470,7 @@ class GoldenBackend:
                 frame_mode_ext = 0b00
                 for gr in range(n_gr):
                     staged[gr * channels + 1].pop("is_pos", None)
+                    staged[gr * channels + 1].pop("is_b0", None)
 
         # Scalefactor + initial-gain pass (staged order == the historical
         # interleaved order, so the VBR history and scfsi bookkeeping see
@@ -514,10 +516,14 @@ class GoldenBackend:
                 # per slen group (the post-walk overwrite may grow slen,
                 # and actual bits beyond the priced budget overflow the
                 # real reservoir mirror — caught by the gap assert). The
-                # final compress covers a subset, so actual <= priced.
-                pad_sf = np.maximum(
-                    np.asarray(sfd["sf"], dtype=np.int64), c["is_pos"]
-                )
+                # pad is 7, not the real positions: un-summed bands above
+                # the final extent emit the ILLEGAL marker 7 (decoders keep
+                # the exact L/R reading there — splitting raw L by a
+                # raw-energy position would attenuate genuine left
+                # content), and which slots get 7 is only known after the
+                # walk. The final compress covers per-slot values <=
+                # max(sf, 7), so actual <= priced always.
+                pad_sf = np.maximum(np.asarray(sfd["sf"], dtype=np.int64), 7)
                 pad_bounds = np.concatenate(
                     [[0], np.cumsum(band_table(sr))]
                 ).astype(int)
@@ -736,10 +742,21 @@ class GoldenBackend:
                             np.searchsorted(is_bounds[:21], z_ext, side="left")
                         )
                         if sfd is not None and b_start < 21:
+                            # Bands the encoder actually SUMMED (>= the
+                            # granule's is_b0) carry real positions; bands
+                            # above the extent that were never summed — a
+                            # no-region granule, or walk-zeroed bands below
+                            # b0 — carry the ILLEGAL marker 7, keeping the
+                            # decoder's exact L/R reading there (the left
+                            # spectrum holds raw L, not L+R; a raw-energy
+                            # position would split it spuriously).
                             sf_is = np.asarray(
                                 sfd["sf"], dtype=np.int64
                             ).copy()
-                            sf_is[b_start:] = c["is_pos"][b_start:]
+                            emit = np.full(21, 7, dtype=np.int64)
+                            if c.get("is_b0") is not None:
+                                emit[c["is_b0"]:] = c["is_pos"][c["is_b0"]:]
+                            sf_is[b_start:] = emit[b_start:]
                             if not np.array_equal(sf_is, sfd["sf"]):
                                 sfd = ref._long_sfd(sf_is, is_bounds)
                                 c["sfd"] = sfd

@@ -213,32 +213,10 @@ def make_chunk_fn(options: MP3EncoderOptions):
         # scalar-ish per-granule tensors are reordered for the time scan.
         pcm_bt = pcm.reshape(B, T * pcm.shape[-1])
         use_ms = None  # per-frame M/S decision (joint stereo only)
-        if "ingest" in _ABLATE:
-            s = jnp.sum(pcm_bt, dtype=jnp.float32) * jnp.float32(1e-30)
-            ramp = jnp.arange(T * spf, dtype=jnp.float32) * jnp.float32(1e-7)
-            pcm_chunk = jnp.zeros((B, ch, T * spf), jnp.float32) + s + ramp
-        elif ch == 1:
-            pcm_chunk = pcm_bt[:, None, :]  # [B, 1, T*spf]
-        else:
+        left = right = None
+        if ch == 2:
             left = pcm_bt[:, 0::2].reshape(B, T, spf)
             right = pcm_bt[:, 1::2].reshape(B, T, spf)
-            if mode is Mode.JOINT_STEREO:
-                use_ms, c0, c1 = dsp.stereo_decide(
-                    left, right, iso_matrix=options.iso_ms_matrix
-                )  # [B, T]
-            else:
-                c0, c1 = left, right
-            pcm_chunk = jnp.stack([c0, c1], axis=1).reshape(B, ch, T * spf)
-
-        granule_pcm = pcm_chunk.reshape(B, ch, T, n_gr, 576)  # free view
-
-        # Filterbank: folded five-matmul form (full-width MXU; see
-        # dsp.polyphase_chunk_matmul) on every platform — measured faster
-        # than both the stepwise XLA fusion and the Pallas kernel (whose
-        # 32-lane minor layout idles 3/4 of each vreg), and keeps CPU-jax
-        # and chip numerics on one HLO. (36T is always a multiple of 4, so
-        # the folded form's 128-sample row packing is always exact.)
-        S, full_x = dsp.polyphase_chunk_matmul(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
 
         if win_seq:
             # ISO window sequencing (twin of GoldenBackend): shared-across-
@@ -307,7 +285,62 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 bts.reshape(B, 1, T, n_gr), (B, ch, T, n_gr)
             )
             sb_gain_b = jnp.zeros((B, ch, T, n_gr, 3), jnp.int32)
+
+        # Intensity-stereo frame gate (options.intensity_stereo; twin of
+        # GoldenBackend): frames whose every granule is LONG on the RAW
+        # pre-matrix channels are IS-eligible — they code raw L/R and may
+        # emit mode_extension 0b01 (decided after the spectra exist). The
+        # gate must not depend on the matrix choice it overrides, so it
+        # runs on raw transients (or the sequencing blocks, which are
+        # raw-derived and channel-shared already).
+        is_gate = None  # [B, T] bool
+        if options.intensity_stereo_active and ch == 2:
+            if win_seq:
+                is_gate = jnp.all(
+                    bts.reshape(B, T, n_gr) == dsp.BLOCK_LONG, axis=-1
+                )
+            else:
+                raw_g2 = jnp.stack([left, right], axis=1).reshape(
+                    B, 2, T, n_gr, 576
+                )
+                rb_raw, _ = dsp.transient_frame(raw_g2)
+                is_gate = jnp.all(rb_raw == dsp.BLOCK_LONG, axis=(1, 3))
+
+        if "ingest" in _ABLATE:
+            s = jnp.sum(pcm_bt, dtype=jnp.float32) * jnp.float32(1e-30)
+            ramp = jnp.arange(T * spf, dtype=jnp.float32) * jnp.float32(1e-7)
+            pcm_chunk = jnp.zeros((B, ch, T * spf), jnp.float32) + s + ramp
+        elif ch == 1:
+            pcm_chunk = pcm_bt[:, None, :]  # [B, 1, T*spf]
         else:
+            if mode is Mode.JOINT_STEREO:
+                use_ms, c0, c1 = dsp.stereo_decide(
+                    left, right, iso_matrix=options.iso_ms_matrix
+                )  # [B, T]
+            else:
+                c0, c1 = left, right
+            if is_gate is not None:
+                # IS-eligible frames code raw L/R (twin of GoldenBackend);
+                # use_ms is masked so the shared-blocks law and the header
+                # mode_extension see the discrete coding on those frames.
+                g = is_gate[..., None]
+                c0 = jnp.where(g, left, c0)
+                c1 = jnp.where(g, right, c1)
+                if use_ms is not None:
+                    use_ms = use_ms & ~is_gate
+            pcm_chunk = jnp.stack([c0, c1], axis=1).reshape(B, ch, T * spf)
+
+        granule_pcm = pcm_chunk.reshape(B, ch, T, n_gr, 576)  # free view
+
+        # Filterbank: folded five-matmul form (full-width MXU; see
+        # dsp.polyphase_chunk_matmul) on every platform — measured faster
+        # than both the stepwise XLA fusion and the Pallas kernel (whose
+        # 32-lane minor layout idles 3/4 of each vreg), and keeps CPU-jax
+        # and chip numerics on one HLO. (36T is always a multiple of 4, so
+        # the folded form's 128-sample row packing is always exact.)
+        S, full_x = dsp.polyphase_chunk_matmul(carry["fb_hist"], pcm_chunk)  # [B,ch,36T,32]
+
+        if not win_seq:
             block_b, sb_gain_b = dsp.transient_frame(granule_pcm)  # [B,ch,T,n_gr],[..,3]
             if lsf:
                 # the LSF encoder never emits mixed blocks (no validated
@@ -370,6 +403,38 @@ def make_chunk_fn(options: MP3EncoderOptions):
             else:
                 spectra = spectra * lp_mask
 
+        # Intensity analysis + transform (options.intensity_stereo; twin of
+        # GoldenBackend's stage between the spectra pass and scalefactors):
+        # gated frames with any qualifying granule region emit mode_ext
+        # 0b01 — their left spectrum carries the per-line L+R sum on region
+        # lines, the right is zero there; gated frames with NO region fall
+        # back to discrete stereo (channels are already raw L/R). Every
+        # decision here is a float reduction shared with the golden —
+        # knife-edge granules flip across backends (ULP-flip contract).
+        is_emit = None  # [B, T] bool — frames that emit mode_extension 0b01
+        if is_gate is not None:
+            is_pos, is_region, is_hasr, is_lmask = dsp.intensity_analyze_device(
+                spectra[:, 0], spectra[:, 1], sr
+            )  # [B,T,gr,21] i32, [B,T,gr,21] bool, [B,T,gr], [B,T,gr,576]
+            is_emit = is_gate & jnp.any(is_hasr, axis=-1)
+            m = is_lmask * (
+                (is_emit[:, :, None] & is_hasr)[..., None]
+            ).astype(jnp.float32)
+            spectra = jnp.stack(
+                [
+                    spectra[:, 0] + spectra[:, 1] * m,
+                    spectra[:, 1] * (1.0 - m),
+                ],
+                axis=1,
+            )
+            # bands actually SUMMED (carry real positions; un-summed slots
+            # above the final extent get the illegal marker 7 post-walk)
+            is_summed = is_region & is_hasr[..., None]
+            # [B, ch, T, gr] — the right channel of emitted IS frames
+            is_right = (jnp.arange(ch)[None, :, None, None] == 1) & is_emit[
+                :, None, :, None
+            ]
+
         if strict_entropy:
             is_long_b = block_b == dsp.BLOCK_LONG  # [B, ch, T, 2]
             # START/STOP granules: LONG scalefactor layout + scfsi
@@ -410,6 +475,20 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 sfd = None
                 g0 = dsp.initial_gain(spectra, iso=iso_quant)
                 mag_scale = part2 = scfsi_nib = sf_write = None
+
+            def price_part2(p2):
+                # Intensity pricing pad (twin of GoldenBackend's up-front
+                # pricing): the post-walk slot overwrite can grow any of
+                # the right channel's slens to cover the illegal marker 7,
+                # and actual emitted bits must never exceed the PRICED
+                # bits (the est-reservoir world the selection scan runs
+                # in). dc never touches IS frames, so the pad computed
+                # from the pre-dc sf is valid at both pre computations.
+                if is_emit is None or sfd is None:
+                    return p2
+                pad_p2 = dsp.intensity_padded_part2_device(sfd, spectra, sr)
+                return jnp.where(is_right, pad_p2, p2)
+
             if lsf:
                 # band-derived switching region-0 boundary (LSF only; at
                 # MPEG-1 rates both expressions are exactly 36 and the
@@ -430,7 +509,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 options.count1_coding,
                 options.region_table_select,
                 mag_scale=mag_scale,
-                part2=part2,
+                part2=price_part2(part2),
                 block=block_b,
                 iso_short=options.iso_short_blocks,
                 linbits=options.linbits_tables,
@@ -479,6 +558,10 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 frame_long = jnp.all(
                     block_b == dsp.BLOCK_LONG, axis=(1, 3)
                 )  # [B, T]
+                if is_emit is not None:
+                    # IS positions overwrite bumped slots (golden twin's
+                    # dc_frame gate excludes emitted IS frames)
+                    frame_long = frame_long & ~is_emit
                 engaged = jnp.broadcast_to(
                     frame_long[:, None, :, None], block_b.shape
                 )
@@ -498,7 +581,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     options.count1_coding,
                     options.region_table_select,
                     mag_scale=mag_scale,
-                    part2=part2,
+                    part2=price_part2(part2),
                     block=block_b,
                     iso_short=options.iso_short_blocks,
                     linbits=options.linbits_tables,
@@ -725,7 +808,32 @@ def make_chunk_fn(options: MP3EncoderOptions):
         # ---------------- Phase 3: parallel finalize (batch-major) --------
         part23_t = bits_sel  # [T, B, G]; strict mode replaces with actuals
         if strict_entropy:
-            gain_b, quantized, lay = dsp.strict_finalize(pre, bm(k_sel), bm(has_fit))
+            # Intensity post-walk fixups (twin of encoder.py stage 2): the
+            # knife-edge zeroing runs INSIDE finalize (the entropy layout
+            # must see the fixed q), then the right channel's scalefactor
+            # slots at/above the final extent become positions (real on
+            # summed bands, illegal 7 on un-summed) and the sfd rebuilds.
+            q_fixup = None
+            if is_emit is not None:
+                q_fixup = lambda q: dsp.intensity_q_fixup(q, is_right, sr)  # noqa: E731
+            gain_b, quantized, lay = dsp.strict_finalize(
+                pre, bm(k_sel), bm(has_fit), q_fixup=q_fixup
+            )
+            if is_emit is not None and sfd is not None:
+                sfd = dsp.intensity_sfd_device(
+                    sfd,
+                    quantized,
+                    jnp.broadcast_to(
+                        is_pos[:, None], (B, ch, T, n_gr, 21)
+                    ),
+                    jnp.broadcast_to(
+                        is_summed[:, None], (B, ch, T, n_gr, 21)
+                    ),
+                    is_right,
+                    spectra,
+                    sr,
+                )
+                part2 = sfd["part2"]  # actual (padded pricing dominated it)
             # part2_3_length and the reservoir accounting use the ACTUAL
             # strict bits of the selected gain (the scan's bits_sel are the
             # priced estimates — selection policy only; see
@@ -849,6 +957,20 @@ def make_chunk_fn(options: MP3EncoderOptions):
             table_sel = jnp.stack(
                 [tm(ts0_b), tm(ts1_b), tm(ts2_b)], axis=-1
             ).reshape(T, B, 3 * n_gran)
+            # per-frame header mode_extension: intensity frames signal
+            # 0b01; others the actual M/S decision under iso_mode_ext
+            # (use_ms already masked on IS-gated frames), else the
+            # reference's constant (0b10-always for joint stereo)
+            if use_ms is not None and options.iso_mode_ext:
+                mode_ext_t = jnp.where(jnp.swapaxes(use_ms, 0, 1), 2, 0)
+            else:
+                mode_ext_t = jnp.full(
+                    (T, B), mode_bits(mode.value)[1], jnp.int32
+                )
+            if is_emit is not None:
+                mode_ext_t = jnp.where(
+                    jnp.swapaxes(is_emit, 0, 1), 1, mode_ext_t
+                )
             meta = jnp.concatenate(
                 [
                     br_idx[..., None],
@@ -871,16 +993,7 @@ def make_chunk_fn(options: MP3EncoderOptions):
                         if scfsi_nib is not None
                         else jnp.zeros((T, B, ch), jnp.int32)
                     ),
-                    # per-frame header mode_extension: the actual M/S
-                    # decision under iso_mode_ext, else the reference's
-                    # constant (0b10-always for joint stereo)
-                    (
-                        jnp.where(jnp.swapaxes(use_ms, 0, 1), 2, 0)[..., None]
-                        if use_ms is not None and options.iso_mode_ext
-                        else jnp.full(
-                            (T, B, 1), mode_bits(mode.value)[1], jnp.int32
-                        )
-                    ),
+                    mode_ext_t[..., None].astype(jnp.int32),
                 ],
                 axis=-1,
             ).astype(jnp.int32)
@@ -955,11 +1068,6 @@ def make_chunk_encoder(options: MP3EncoderOptions, chunk: int):
     Cached per options value: sessions with equal options share one traced
     callable, so e.g. a fuzz suite creating many short-lived sessions pays
     one trace+compile per distinct (options, shape), not per session."""
-    if options.intensity_stereo:
-        raise NotImplementedError(
-            "intensity_stereo has no device twin yet — use backend='numpy' "
-            "(the golden backend emits mpg123-validated IS streams)"
-        )
     return _cached_chunk_encoder(options)
 
 

@@ -1704,10 +1704,14 @@ def rate_loop_precompute_strict(
 
 
 def strict_finalize(
-    pre: dict, k_sel: jax.Array, has_fit: jax.Array
+    pre: dict, k_sel: jax.Array, has_fit: jax.Array, q_fixup=None
 ) -> tuple[jax.Array, jax.Array, dict]:
     """Re-quantize at the selected gains and compute the final layout
-    integers. Returns (gain_reported, quantized, layout)."""
+    integers. Returns (gain_reported, quantized, layout).
+
+    q_fixup: optional callable applied to the selected quantization BEFORE
+    the entropy layout (intensity_q_fixup's knife-edge zeroing — the
+    layout's big_values/regions/bits must see the fixed values)."""
     sample_rate, count1_coding, region_table_select = pre["strict"]
     linbits = pre.get("linbits", False)
     gains_sel = pre["gstart"] + 4 * k_sel
@@ -1715,6 +1719,8 @@ def strict_finalize(
         pre["mag"], pre["sign_neg"], gains_sel[..., None], iso=pre["iso"],
         qcap=QCAP_LINBITS if linbits else 15, floor=not linbits,
     )[..., 0, :]
+    if q_fixup is not None:
+        q_sel = q_fixup(q_sel)
     lay = strict_layout_device(
         q_sel, sample_rate, pre["is_long"], count1_coding, region_table_select,
         linbits=linbits, b0_switch=pre.get("b0_switch"),
@@ -2053,9 +2059,19 @@ def distortion_sfd_device(
     granules (all-LONG frames) get the rebuilt long-layout sfd from the
     bumped sf vector; everything else keeps the original fields exactly
     (twin of the golden's _long_sfd rebuild on bumped granules only)."""
-    members = _BAND_MEMBERS.get(sample_rate, _BAND_MEMBERS[44100])
     sf2 = jnp.minimum(sfd["sf"] + bumps, jnp.asarray(_DC_CAPS))
     sf2 = jnp.where(engaged[..., None], sf2, sfd["sf"]).astype(jnp.int32)
+    return _rebuild_long_sfd_device(sfd, sf2, engaged, spectrum, sample_rate)
+
+
+def _rebuild_long_sfd_device(
+    sfd: dict, sf2: jax.Array, engaged: jax.Array, spectrum: jax.Array,
+    sample_rate: int,
+) -> dict:
+    """Shared merge tail of distortion_sfd_device / intensity_sfd_device:
+    rebuild the long-layout sfd fields from a replacement sf vector and
+    keep the original fields exactly on non-engaged granules."""
+    members = _BAND_MEMBERS.get(sample_rate, _BAND_MEMBERS[44100])
     fin = _sf_finish_device(sf2, members, spectrum)
     pad = jnp.zeros(sf2.shape[:-1] + (SF_SLOTS - 21,), jnp.int32)
     sf_slots2 = jnp.concatenate([sf2, pad], axis=-1)
@@ -2087,6 +2103,145 @@ def distortion_sfd_device(
         return jnp.where(e, a, b)
 
     return {k: sel(k) for k in new}
+
+
+# --- Intensity stereo ENCODING (device twins of ops.reference's laws) --------
+# Twin of reference.intensity_positions / intensity_encode and of the
+# encoder.py stage-2 position fixup; MPEG-1 only (options validation).
+# Every decision here is a float REDUCTION (band energies, correlations,
+# position rounding), so knife-edge granules can flip across backends —
+# the ULP-flip contract, same as distortion_control's bump compare.
+
+from .reference import IS_CORR, IS_MIN_SFB, IS_NEG  # noqa: E402
+
+
+def _is_members_ext(sample_rate: int) -> np.ndarray:
+    """[21, 576] f32 band membership with band 20 extended to line 576:
+    the intensity laws fold the sfb21 tail into band 20 (the tail rides
+    slot 20's position in every validated decoder reading)."""
+    bounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))]).astype(int)
+    coef = np.arange(576)
+    return np.stack(
+        [
+            (coef >= bounds[b]) & (coef < (bounds[b + 1] if b < 20 else 576))
+            for b in range(21)
+        ]
+    ).astype(np.float32)
+
+
+_IS_RATES = (44100, 48000, 32000)  # intensity encoding is MPEG-1 only
+_IS_MEMBERS_EXT = {sr: _is_members_ext(sr) for sr in _IS_RATES}
+_IS_BOUNDS = {
+    sr: np.concatenate([[0], np.cumsum(band_table(sr))]).astype(np.int32)
+    for sr in _IS_RATES
+}
+
+
+def intensity_analyze_device(
+    spec_l: jax.Array, spec_r: jax.Array, sample_rate: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-granule intensity analysis on long-layout spectra pairs
+    [..., 576]. Returns (pos [..., 21] int32 pan positions, region
+    [..., 21] bool contiguous-from-the-top qualified bands, has_region
+    [...] bool, line_mask [..., 576] f32 — 1.0 on region lines).
+
+    Qualification per band (reference.intensity_encode): effectively
+    panned (quieter channel under IS_NEG of the louder) or positively
+    correlated (>= IS_CORR); bands join only as a contiguous region up
+    from b0 >= IS_MIN_SFB, and a region holding under IS_NEG of the right
+    channel's energy is rejected (nothing saved; phantom content risk)."""
+    M = jnp.asarray(_IS_MEMBERS_EXT[sample_rate])  # [21, 576]
+    el = jnp.einsum("...l,bl->...b", spec_l * spec_l, M, precision=_HIGHEST)
+    er = jnp.einsum("...l,bl->...b", spec_r * spec_r, M, precision=_HIGHEST)
+    num = jnp.einsum("...l,bl->...b", spec_l * spec_r, M, precision=_HIGHEST)
+    pos = jnp.clip(
+        jnp.round(
+            jnp.arctan2(jnp.sqrt(el), jnp.sqrt(er)) * _F32(12.0 / np.pi)
+        ),
+        0,
+        6,
+    ).astype(jnp.int32)
+    panned = jnp.minimum(el, er) <= _F32(IS_NEG) * jnp.maximum(el, er)
+    # corr is NaN only where a band energy is zero — covered by `panned`
+    # (NaN >= IS_CORR is False, so the | stays exact)
+    corr = num / jnp.sqrt(el * er)
+    ok = (panned | (corr >= _F32(IS_CORR))) & (jnp.arange(21) >= IS_MIN_SFB)
+    # contiguous-from-the-top region: band b is in iff ok[b..20] all hold
+    region = jnp.flip(
+        jnp.cumsum(jnp.flip(~ok, -1).astype(jnp.int32), -1), -1
+    ) == 0
+    er_region = jnp.sum(jnp.where(region, er, 0.0), axis=-1)
+    er_total = jnp.sum(er, axis=-1)
+    has_region = region[..., 20] & (
+        er_region > _F32(IS_NEG) * (er_total + _F32(1e-30))
+    )
+    line_mask = jnp.einsum(
+        "...b,bl->...l", region.astype(jnp.float32), M, precision=_HIGHEST
+    )
+    return pos, region, has_region, line_mask
+
+
+def intensity_q_fixup(
+    q: jax.Array, engaged: jax.Array, sample_rate: int
+) -> jax.Array:
+    """Knife-edge fixup on selected quantizations (twin of encoder.py's
+    stage-2 zeroing): an engaged granule whose quantized extent ends
+    inside (bounds[20], bounds[21]] cannot express both band 20's real
+    scalefactor and the sfb21 tail's position in slot 20 — zero the
+    band-20 remainder (the tail is already zero in that window). Must run
+    BEFORE the entropy layout (big_values/regions/bits see the fixed q)."""
+    bounds = _IS_BOUNDS[sample_rate]
+    z_ext = jnp.max(
+        jnp.where(q != 0, jnp.arange(1, 577, dtype=jnp.int32), 0), axis=-1
+    )
+    knife = engaged & (z_ext > int(bounds[20])) & (z_ext <= int(bounds[21]))
+    keep = ~(knife[..., None] & (jnp.arange(576) >= int(bounds[20])))
+    return jnp.where(keep, q, 0)
+
+
+def intensity_sfd_device(
+    sfd: dict,
+    quantized: jax.Array,
+    pos: jax.Array,
+    summed: jax.Array,
+    engaged: jax.Array,
+    spectrum: jax.Array,
+    sample_rate: int,
+) -> dict:
+    """Post-walk intensity position slots (twin of encoder.py's stage-2
+    overwrite): for engaged granules (the right channel of emitted IS
+    frames), every scalefactor slot at/above the band containing the
+    final quantized extent is overwritten — real positions on SUMMED
+    bands, the illegal marker 7 on un-summed ones (decoders keep the
+    exact L/R reading there). `quantized` must already carry the
+    knife-edge zeroing (intensity_q_fixup)."""
+    bounds = _IS_BOUNDS[sample_rate]
+    z_ext = jnp.max(
+        jnp.where(quantized != 0, jnp.arange(1, 577, dtype=jnp.int32), 0),
+        axis=-1,
+    )
+    # first band with bounds[b] >= z_ext (numpy searchsorted 'left' twin)
+    b_start = jnp.sum(
+        jnp.asarray(bounds[:21]) < z_ext[..., None], axis=-1
+    )
+    emit = jnp.where(summed, pos, 7)
+    write = jnp.arange(21) >= b_start[..., None]
+    sf2 = jnp.where(
+        write & engaged[..., None], emit, sfd["sf"]
+    ).astype(jnp.int32)
+    return _rebuild_long_sfd_device(sfd, sf2, engaged, spectrum, sample_rate)
+
+
+def intensity_padded_part2_device(
+    sfd: dict, spectrum: jax.Array, sample_rate: int
+) -> jax.Array:
+    """Priced part2 bits covering max(scalefactor, 7) per slot (twin of
+    encoder.py's up-front pricing): the post-walk overwrite can grow any
+    slot to the illegal marker 7, and actual emitted bits must never
+    exceed the priced budget (the real reservoir mirror)."""
+    members = _BAND_MEMBERS.get(sample_rate, _BAND_MEMBERS[44100])
+    fin = _sf_finish_device(jnp.maximum(sfd["sf"], 7), members, spectrum)
+    return fin["part2"]
 
 
 def initial_gain_scaled(

@@ -1545,7 +1545,12 @@ def stereo_decide(mode: str, left: np.ndarray, right: np.ndarray, iso_matrix: bo
 #     scalefactor slot (a real scalefactor there decodes as a garbage
 #     position) — including bands below the intended bound that the walk
 #     zeroed on its own;
-#   - positions are 0..6 only (7 is the illegal marker);
+#   - SUMMED bands (>= the granule's b0) carry real positions 0..6; bands
+#     above the extent that were never summed — no-region granules, or
+#     walk-zeroed bands below b0 — carry the ILLEGAL marker 7: decoders
+#     keep the exact L/R reading there, so raw left content is never
+#     attenuated by a raw-energy pan split (round-5 law; the round-4
+#     original emitted raw-energy positions on un-summed bands);
 #   - the sfb21 tail rides slot 20's position, so an extent ending INSIDE
 #     (bounds[20], bounds[21]] would need slot 20 to be both band 20's real
 #     scalefactor and the tail's position — the encoder zeroes the band-20
