@@ -203,6 +203,7 @@ def main() -> None:
     # weather applies, hence median-of-steps.
     t_serving = None
     serving_audio = None
+    serving_detail = {}
     if os.environ.get("BENCH_SERVING", "1") != "0":
         try:
             from swiftmp3_tpu.parallel import StreamPool
@@ -232,12 +233,71 @@ def main() -> None:
                 t0 = time.perf_counter()
                 pool.step()
                 serve_times.append(time.perf_counter() - t0)
-            pool.shutdown()
             t_serving = float(np.median(serve_times))
             serving_audio = lanes * fps * 1152 / options.sample_rate
+
+            # Attribution at the pool's own (lanes, fps) configuration —
+            # a serving regression must be distinguishable from tunnel
+            # weather (VERDICT r4 weak-point 1). The pipelined step wall
+            # time is bounded below by max(upload, device compute, host
+            # render) + dispatch; measure each component:
+            #   compute — chained pool.enc._run over resident inputs
+            #   upload  — unique-content int16 device_put, forced
+            #   render  — pool.enc.drain of a ready chunk (1-core host)
+            sp_pcm = np.zeros((lanes, fps, n), dtype=np.int16)
+            for lane in range(lanes):
+                sp_pcm[lane] = (
+                    feeds[-1][lane].reshape(fps, n)
+                )
+            sp_fin = np.zeros((lanes, fps), dtype=bool)
+            sp_val = np.ones((lanes, fps), dtype=bool)
+            sp_pcm_d = jax.device_put(sp_pcm)
+            sp_fin_d = jax.device_put(sp_fin)
+            sp_val_d = jax.device_put(sp_val)
+            jax.block_until_ready((sp_pcm_d, sp_fin_d, sp_val_d))
+            c = pool.enc.carry
+            c, _ = pool.enc._run(c, sp_pcm_d, sp_fin_d, sp_val_d)  # warm
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(4):
+                c, last = pool.enc._run(c, sp_pcm_d, sp_fin_d, sp_val_d)
+            jax.block_until_ready(last)
+            sp_comp = (time.perf_counter() - t0) / 4
+            up_times = []
+            for k in range(3):
+                buf = np.stack(
+                    [f.reshape(fps, n) for f in feeds[k]]
+                ).astype(np.int16)
+                t0 = time.perf_counter()
+                jax.block_until_ready(jax.device_put(buf))
+                up_times.append(time.perf_counter() - t0)
+            sp_up = float(np.median(up_times))
+            outs_r = pool.enc._run(pool.enc.carry, sp_pcm_d, sp_fin_d, sp_val_d)[1]
+            jax.block_until_ready(outs_r)
+            t0 = time.perf_counter()
+            pool.enc.drain(outs_r, sp_val)
+            sp_render = time.perf_counter() - t0
+            pool.shutdown()
+            bound = max(
+                ("device_compute", sp_comp),
+                ("tunnel_upload", sp_up),
+                ("host_render", sp_render),
+                key=lambda kv: kv[1],
+            )[0]
+            serving_detail = {
+                "serving_ms_median": round(t_serving * 1e3, 1),
+                "serving_ms_min": round(min(serve_times) * 1e3, 1),
+                "serving_ms_max": round(max(serve_times) * 1e3, 1),
+                "serving_n": len(serve_times),
+                "serving_compute_ms": round(sp_comp * 1e3, 1),
+                "serving_upload_ms": round(sp_up * 1e3, 1),
+                "serving_render_ms": round(sp_render * 1e3, 1),
+                "serving_bound": bound,
+            }
         except Exception as e:  # never let the serving extra sink the bench
             print(f"serving bench failed: {e!r}", file=sys.stderr)
             t_serving = None
+            serving_detail = {}
 
     # ---- informational: host render alone (data already local)
     from swiftmp3_tpu.models.pipeline import fetch_outputs
@@ -266,7 +326,14 @@ def main() -> None:
         )
         + (
             f"; serving (StreamPool, saturated): "
-            f"{serving_audio / t_serving:.0f}x ({t_serving*1e3:.1f} ms/step)"
+            f"{serving_audio / t_serving:.0f}x ({t_serving*1e3:.1f} ms/step, "
+            f"min {serving_detail.get('serving_ms_min')} / max "
+            f"{serving_detail.get('serving_ms_max')} ms over "
+            f"{serving_detail.get('serving_n')} steps; components "
+            f"compute {serving_detail.get('serving_compute_ms')} / upload "
+            f"{serving_detail.get('serving_upload_ms')} / render "
+            f"{serving_detail.get('serving_render_ms')} ms -> bound: "
+            f"{serving_detail.get('serving_bound')})"
             if t_serving
             else ""
         ),
@@ -298,6 +365,7 @@ def main() -> None:
                     {
                         "serving_x_realtime": round(serving_audio / t_serving, 1),
                         "serving_ms_per_step": round(t_serving * 1e3, 2),
+                        **serving_detail,
                     }
                     if t_serving
                     else {}
