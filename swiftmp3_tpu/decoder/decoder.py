@@ -44,6 +44,7 @@ from .tables import (
     band_table,
     huffman_arrays,
     mixed_head,
+    mixed_region_bound,
     short_band_table,
     short_reorder_dest,
 )
@@ -370,16 +371,20 @@ def _decode_granule_spectrum(
 
     if g.window_switching:
         # ISO implicit regions under window switching: region2 is empty;
-        # the region0/1 boundary is BAND-DERIVED, not a fixed line count —
-        # region0_count=8 for pure short blocks -> 9 (sfb,window) units =
-        # 3x the first three short bands; region0_count=7 for
-        # start/stop/mixed -> long bands 0-7. Both are 36 lines at every
-        # MPEG-1 rate, but at LSF rates the wider bands move the boundary
-        # (start/stop: 54 at 22.05/24/16 kHz, 108 at 8 kHz; short: 72 at
-        # 8 kHz) — ffmpeg's init_short_region encodes the same law.
-        # Validated behaviorally against libmpg123 on libmp3lame streams
-        # carrying start/stop granules at MPEG-1 AND LSF rates.
-        if g.block_type == 2 and not g.mixed_block_flag:
+        # the region0/1 boundary for pure short and start/stop is
+        # BAND-DERIVED — region0_count=8 for pure short -> 3x the first
+        # three short bands (36, 72 at 8 kHz); region0_count=7 for
+        # start/stop -> long bands 0-7 (36 at MPEG-1 rates, 54 at
+        # 16-24 kHz, 108 at 8 kHz) — ffmpeg's init_short_region encodes
+        # the same law; validated against libmpg123 on libmp3lame streams
+        # at MPEG-1 AND LSF rates. MIXED granules are the exception: the
+        # de-facto decoder law is the MPEG-1 constant 36 at 16-24 kHz
+        # (NOT the ISO 8-band derivation's 54) and 108 only at 8 kHz —
+        # measured round 5 with bound-discriminating producers (see
+        # tables.iso.mixed_switch_bound; at MPEG-1 rates 36 either way).
+        if g.block_type == 2 and g.mixed_block_flag:
+            region1_start = mixed_region_bound(sample_rate)
+        elif g.block_type == 2:
             sw = short_band_table(sample_rate)
             region1_start = 3 * int(sw[0] + sw[1] + sw[2])
         else:

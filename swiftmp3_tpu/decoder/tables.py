@@ -101,6 +101,24 @@ def mixed_head(sample_rate: int) -> tuple:
     return 3 * int(sb[2]), 3
 
 
+def mixed_region_bound(sample_rate: int) -> int:
+    """Entropy region-0 line boundary for MIXED granules — the de-facto
+    decoder law, measured against libmpg123 round 5 (NOT the ISO 13818-3
+    region_address derivation, which would give 54 at every MPEG-2 rate):
+    MPEG-1 and MPEG-2 granules read the MPEG-1 constant 36; MPEG-2.5
+    granules read the band-derived first-8-long-bands law (54 at
+    11.025/12 kHz, 108 at 8 kHz). Bound-discriminating producers (region
+    tables forced distinct) agree with libmpg123 at ~128 dB at exactly
+    one candidate per rate — tests/test_lsf.py pins the matrix.
+
+    Independent transcription of the same law as the encoder's
+    tables.iso.mixed_switch_bound (decoder/encoder table independence);
+    a lockstep test asserts the two agree at every rate."""
+    if sample_rate in (11025, 12000, 8000):  # MPEG-2.5
+        return int(np.cumsum(band_table(sample_rate))[7])
+    return 36
+
+
 def short_reorder_dest(sample_rate: int, mixed: bool) -> np.ndarray:
     """ISO 2.4.3.4.8 reordering as a destination map: the Huffman stream's
     j-th requantized value lands at natural[dest[j]].

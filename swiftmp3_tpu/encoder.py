@@ -384,10 +384,14 @@ class GoldenBackend:
                     block, sb_gain = shared_blocks[gr], [0, 0, 0]
                 else:
                     block, sb_gain = ref.transient_detect(gsamples)
-                if lsf and block == ref.BLOCK_MIXED:
-                    # the LSF encoder never emits mixed blocks (the 6-band
-                    # head layout has no validated external reading and
-                    # lame never emits mixed either) — demote to SHORT
+                if (
+                    lsf and block == ref.BLOCK_MIXED
+                    and not opts.iso_short_blocks
+                ):
+                    # LSF mixed blocks need the ISO layout machinery
+                    # (6-band head reorder + ns (6,9,9,9) scalefactors,
+                    # carried by iso_short_blocks); without it, demote to
+                    # SHORT (lame never emits mixed at LSF either)
                     block = ref.BLOCK_SHORT
                 if opts.iso_quantization:
                     # unit-gain law: the quantizer applies no per-window

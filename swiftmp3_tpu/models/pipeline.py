@@ -55,7 +55,14 @@ from ..options import (
     SAMPLES_PER_FRAME,
     SAMPLES_PER_GRANULE,
 )
-from ..tables import bitrate_index, bitrate_value, bitrate_value_lsf, mode_bits, switch_bound
+from ..tables import (
+    bitrate_index,
+    bitrate_value,
+    bitrate_value_lsf,
+    mixed_switch_bound,
+    mode_bits,
+    switch_bound,
+)
 from ..ops import dsp
 # Import eagerly: importing inside a traced function would create the
 # kernel module's jnp constants under the tracer (leaked-tracer errors on
@@ -342,10 +349,11 @@ def make_chunk_fn(options: MP3EncoderOptions):
 
         if not win_seq:
             block_b, sb_gain_b = dsp.transient_frame(granule_pcm)  # [B,ch,T,n_gr],[..,3]
-            if lsf:
-                # the LSF encoder never emits mixed blocks (no validated
-                # external reading for the 6-band head; lame never emits
-                # mixed either) — demote to SHORT (golden twin does the same)
+            if lsf and not options.iso_short_blocks:
+                # LSF mixed blocks need the ISO layout machinery (6-band
+                # head reorder + ns (6,9,9,9) scalefactors, carried by
+                # iso_short_blocks); without it, demote to SHORT (golden
+                # twin does the same; lame never emits mixed at LSF)
                 block_b = jnp.where(
                     block_b == dsp.BLOCK_MIXED, dsp.BLOCK_SHORT, block_b
                 )
@@ -359,7 +367,9 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     B, 2, T, n_gr, 576
                 )
                 rb, _ = dsp.transient_frame(raw_g)  # [B, 2, T, n_gr]
-                if lsf:
+                if lsf and not options.iso_short_blocks:
+                    # pre-max demotion == the golden's post-max demotion
+                    # (MIXED=1 -> SHORT=2 commutes with the max here)
                     rb = jnp.where(rb == dsp.BLOCK_MIXED, dsp.BLOCK_SHORT, rb)
                 shared = jnp.max(rb, axis=1, keepdims=True)  # [B, 1, T, n_gr]
                 block_b = jnp.where(use_ms[:, None, :, None], shared, block_b)
@@ -490,13 +500,20 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 return jnp.where(is_right, pad_p2, p2)
 
             if lsf:
-                # band-derived switching region-0 boundary (LSF only; at
-                # MPEG-1 rates both expressions are exactly 36 and the
-                # device keeps the historical literal — see tables.switch_bound)
+                # switching region-0 boundary (LSF only; at MPEG-1 rates
+                # every expression is exactly 36 and the device keeps the
+                # historical literal): band-derived for short/start/stop
+                # (tables.switch_bound), the de-facto decoder constant
+                # for MIXED (tables.mixed_switch_bound — 36 except 108
+                # at 8 kHz, measured vs libmpg123)
                 b0_sw = jnp.where(
                     block_b == dsp.BLOCK_SHORT,
                     switch_bound(sr, True),
-                    switch_bound(sr, False),
+                    jnp.where(
+                        block_b == dsp.BLOCK_MIXED,
+                        mixed_switch_bound(sr),
+                        switch_bound(sr, False),
+                    ),
                 ).astype(jnp.int32)
             else:
                 b0_sw = None

@@ -70,6 +70,7 @@ N_GAIN_CANDIDATES = 20  # the reference's maxIterations (MP3Encoder.swift:745)
 # Strict walk respec anchors: law + rationale in ops.reference (the spec).
 from .reference import (  # noqa: E402
     LSF_NSF_LONG,
+    LSF_NSF_MIXED,
     LSF_NSF_SHORT,
     OFFSET_RATIO,
     ONSET_RATIO,
@@ -1611,16 +1612,9 @@ def rate_loop_precompute_strict(
         # START/STOP granules are long-layout: no 2.4.3.4.8 reordering
         is_long_x = ((block == BLOCK_LONG) | (block > BLOCK_SHORT))[..., None]
         is_mixed_x = (block == BLOCK_MIXED)[..., None]
-        # LSF (b0_switch passed): MIXED is demoted to SHORT upstream —
-        # never reaches here — and the 8 kHz mixed permutation is
-        # malformed anyway (line 12 is mid-band; no validated reading),
-        # so the mixed reorder is skipped entirely.
-        lsf_rate = b0_switch is not None
 
         def reorder_by_block(x):
             x_s = reorder_natural_to_stream(x, sample_rate, mixed=False)
-            if lsf_rate:
-                return jnp.where(is_long_x, x, x_s)
             x_m = reorder_natural_to_stream(x, sample_rate, mixed=True)
             return jnp.where(is_long_x, x, jnp.where(is_mixed_x, x_m, x_s))
 
@@ -2330,15 +2324,20 @@ def reorder_natural_to_stream(
     x: jax.Array, sample_rate: int, mixed: bool
 ) -> jax.Array:
     """x [..., 576] natural (subband-major) -> ISO stream order
-    (short-sfb-major, the three windows of a band consecutive). mixed keeps
-    the 36-coefficient long head in place and reorders lines >= 12."""
+    (short-sfb-major, the three windows of a band consecutive). mixed
+    keeps the stream-layout long head (the first 3 short bands' worth of
+    natural coefficients: 36, or 72 at 8 kHz — tables.mixed_reorder_src)
+    in place and reorders the lines above."""
     bounds = [int(b) for b in _short_band_bounds(sample_rate)]
     lead = x.shape[:-1]
     x3 = x.reshape(*lead, 192, 3)
     parts = []
     if mixed:
-        parts.append(x[..., :36])
-        spans = [(s, e) for s, e in zip(bounds[:-1], bounds[1:]) if e > 12]
+        head_l = bounds[3]  # lines/window covered by the long head
+        parts.append(x[..., : 3 * head_l])
+        spans = [
+            (s, e) for s, e in zip(bounds[:-1], bounds[1:]) if s >= head_l
+        ]
     else:
         spans = list(zip(bounds[:-1], bounds[1:]))
     for s, e in spans:
@@ -2454,10 +2453,14 @@ def _switching_sfd_device(
         for s in range(12)
     ]  # each [..., 3]
 
+    # mixed stream-layout long head: 8 long bands for MPEG-1, the ISO
+    # 13818-3 6-band head at LSF rates (72 natural lines at 8 kHz, 36
+    # elsewhere — the decoder's validated hybrid reading)
+    nlong = 6 if lsf else 8
     sf_parts = []
     if mixed:
         lbounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))])
-        for b in range(8):
+        for b in range(nlong):
             pb = jnp.max(
                 absx[..., int(lbounds[b]) : int(lbounds[b + 1])], axis=-1
             )
@@ -2470,26 +2473,28 @@ def _switching_sfd_device(
         cap = 15 if s < 6 else 7
         sf_parts.append(slot_sfs(short_pb[s], cap))
     n1_slots, n2_slots = (17, 18) if mixed else (18, 18)
-    sf_slots = jnp.concatenate(sf_parts, axis=-1)  # [..., 35 or 36]
+    sf_slots = jnp.concatenate(sf_parts, axis=-1)  # [..., 33/35/36]
     n_slots = sf_slots.shape[-1]
     if n_slots < SF_SLOTS:
         pad = jnp.zeros((*lead, SF_SLOTS - n_slots), jnp.int32)
         sf_slots = jnp.concatenate([sf_slots, pad], axis=-1)
     fin = (
-        _finish_slots_lsf_device(sf_slots, LSF_NSF_SHORT)
+        _finish_slots_lsf_device(
+            sf_slots, LSF_NSF_MIXED if mixed else LSF_NSF_SHORT
+        )
         if lsf
         else _finish_slots_device(sf_slots, n1_slots, n2_slots)
     )
 
     mult = sf_mult34_lookup(sf_slots)  # [..., 36], 1.0 at sf=0 exactly
     # mag_scale by broadcast+concat over the static spans (line, window)
+    head_l = bounds[3]  # lines/window under the mixed long head
     line_parts = []
     if mixed:
-        # the long head (natural 0-35) handled separately below; line rows
-        # 0-11 get placeholders that the head concat overwrites
-        line_parts.append(jnp.ones((*lead, 12, 3), jnp.float32))
-    slot = n1_slots - 9 if mixed else 0  # index of first short band's slots
-    # (mixed: slots 8..16 are short sfbs 3-5; 8 = 17-9)
+        # the long head (natural 0..3*head_l) handled separately below;
+        # its line rows get placeholders the head concat overwrites
+        line_parts.append(jnp.ones((*lead, head_l, 3), jnp.float32))
+    slot = nlong if mixed else 0  # index of first short band's slots
     for s in range(first_sfb, 12):
         width = bounds[s + 1] - bounds[s]
         m3 = mult[..., slot : slot + 3]  # [..., 3] (w order)
@@ -2501,13 +2506,15 @@ def _switching_sfd_device(
     if mixed:
         lbounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))])
         head_parts = []
-        for b in range(8):
+        for b in range(nlong):
             width = int(lbounds[b + 1]) - int(lbounds[b])
             head_parts.append(
                 jnp.broadcast_to(mult[..., b : b + 1], (*lead, width))
             )
-        head = jnp.concatenate(head_parts, axis=-1)  # [..., 36]
-        mag_scale = jnp.concatenate([head, mag_scale[..., 36:]], axis=-1)
+        head = jnp.concatenate(head_parts, axis=-1)  # [..., 3*head_l]
+        mag_scale = jnp.concatenate(
+            [head, mag_scale[..., 3 * head_l :]], axis=-1
+        )
     return {"sf_slots": sf_slots, "mag_scale": mag_scale, **fin}
 
 
@@ -2564,11 +2571,7 @@ def granule_scalefactors_device(
     if not iso_short:
         return out
     ssfd = _switching_sfd_device(spectrum, sample_rate, mixed=False, lsf=lsf)
-    # LSF granules are never MIXED (the encoder demotes; lame never emits
-    # mixed either) — skip the mixed variant's work and let pure-short win.
-    msfd = (
-        ssfd if lsf else _switching_sfd_device(spectrum, sample_rate, mixed=True)
-    )
+    msfd = _switching_sfd_device(spectrum, sample_rate, mixed=True, lsf=lsf)
     is_mixed = block == BLOCK_MIXED
 
     def sel(name, long_v):

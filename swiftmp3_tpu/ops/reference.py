@@ -26,6 +26,7 @@ from ..tables import (
     STOP_WINDOW,
     TABLE15_LEN,
     band_table,
+    mixed_switch_bound,
     switch_bound,
 )
 
@@ -601,6 +602,7 @@ def _finish_slots(sf_slots: np.ndarray, n1_slots: int, n2_slots: int) -> dict:
 # unit-gain law applies no pre-emphasis (mirrors preflag suppression).
 LSF_NSF_LONG = (6, 5, 5, 5)
 LSF_NSF_SHORT = (9, 9, 9, 9)
+LSF_NSF_MIXED = (6, 9, 9, 9)  # 6-long-band head + short sfbs 3-11
 
 
 def _finish_slots_lsf(sf_slots: np.ndarray, ns: tuple) -> dict:
@@ -770,10 +772,6 @@ def short_scalefactors(
 
     if block_type == BLOCK_LONG:
         return strict_scalefactors(spectrum, sample_rate, block_type, lsf=lsf)
-    if lsf and block_type == BLOCK_MIXED:
-        # the LSF mixed layout (6-band head, ns (6,9,9,9)) is never
-        # emitted: the LSF encoder demotes MIXED to SHORT (lame does too)
-        raise ValueError("LSF encoding does not emit mixed blocks")
     absx = np.abs(np.asarray(spectrum, dtype=np.float32))
     sbounds = short_band_bounds(sample_rate)
     lbounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))]).astype(np.int64)
@@ -788,12 +786,16 @@ def short_scalefactors(
         pe = np.frexp(pb)[1]
         return min(max((int(ge) - int(pe)) // SHORT_SF_DIV, 0), cap)
 
+    # mixed stream-layout long head: 8 long bands (boundary at 36) for
+    # MPEG-1; the ISO 13818-3 6-band head at LSF rates (boundary at
+    # lbounds[6] == 3*short_bounds[3]: 72 at 8 kHz, 36 elsewhere — the
+    # decoder's validated hybrid reading, see decoder.tables.mixed_head)
+    nlong = 6 if lsf else 8
     if gp > 0:
         ge = np.frexp(gp)[1]
         slot = 0
         if mixed:
-            # long bands 0-7 (their boundary at 36 == the long head)
-            for b in range(8):
+            for b in range(nlong):
                 pb = np.float32(absx[lbounds[b] : lbounds[b + 1]].max())
                 v = exp_sf(pb, ge, 15)
                 sf_slots[slot] = v
@@ -815,7 +817,9 @@ def short_scalefactors(
                 if v:
                     mag_scale[nat] = _SF_MULT34[v]
     if lsf:
-        fin = _finish_slots_lsf(sf_slots, LSF_NSF_SHORT)
+        fin = _finish_slots_lsf(
+            sf_slots, LSF_NSF_MIXED if mixed else LSF_NSF_SHORT
+        )
     else:
         n1, n2 = (17, 18) if mixed else (18, 18)
         fin = _finish_slots(sf_slots, n1, n2)
@@ -1350,10 +1354,16 @@ def strict_entropy_layout(
     bv2 = bv * 2
 
     r0, r1 = region_counts(bv, sample_rate)
-    if block_type != BLOCK_LONG:
+    if block_type == BLOCK_MIXED:
+        # De-facto decoder law, NOT the ISO 8-band derivation: 36 at all
+        # rates except 8 kHz -> 108 (measured against libmpg123 with
+        # bound-discriminating producers — see tables.mixed_switch_bound).
+        b0, b1 = mixed_switch_bound(sample_rate), 576
+    elif block_type != BLOCK_LONG:
         # Band-derived switching boundary (tables.switch_bound): exactly 36
         # at every MPEG-1 rate (the constant earlier rounds hardcoded is a
-        # rate coincidence); 54/72/108 in the LSF family.
+        # rate coincidence); start/stop 54 (108 @ 8 kHz), pure short 36
+        # (72 @ 8 kHz) in the LSF family.
         b0, b1 = switch_bound(sample_rate, block_type == BLOCK_SHORT), 576
     else:
         bounds = np.cumsum(band_table(sample_rate))

@@ -131,13 +131,17 @@ def short_reorder_src(sample_rate: int) -> np.ndarray:
 
 
 def mixed_reorder_src(sample_rate: int) -> np.ndarray:
-    """Reordering source permutation for mixed blocks: the long head
-    (subbands 0-1, natural coefficients 0-35, long-band order) is not
-    reordered; lines >= 12 per window follow the short-sfb law (short band
-    3 starts exactly at line 12 for every rate — ISO B.8 is built so the
-    mixed split lands on a band boundary)."""
-    bounds = [int(b) for b in short_band_bounds(sample_rate) if b >= 12]
-    src = list(range(36))
+    """Reordering source permutation for mixed blocks: the stream-layout
+    long head (the first 3 short bands' worth of natural coefficients, in
+    natural order) is not reordered; lines above follow the short-sfb law
+    from short band 3 up. The head is 3*cumsum(short_bands)[2] natural
+    coefficients — 36 at every rate except MPEG-2.5 8 kHz, whose wider
+    bands make it 72 (== the 6-long-band ISO 13818-3 head; the decoder's
+    validated hybrid reading, see decoder.tables.mixed_head). ISO B.8 is
+    built so the split lands on a band boundary at every rate."""
+    head_l = int(np.cumsum(short_band_table(sample_rate))[2])  # lines/window
+    bounds = [int(b) for b in short_band_bounds(sample_rate) if b >= head_l]
+    src = list(range(3 * head_l))
     for s, e in zip(bounds[:-1], bounds[1:]):
         for w in range(3):
             for line in range(s, e):
@@ -159,18 +163,44 @@ def band_table(sample_rate: int) -> np.ndarray:
 
 
 def switch_bound(sample_rate: int, pure_short: bool) -> int:
-    """Line boundary of entropy region 0 for window-switching granules
-    (block_type != 0): BAND-DERIVED, not a fixed 36 — the first 8 long
-    bands for start/stop/mixed granules, 3x the first 3 short bands for
+    """Line boundary of entropy region 0 for window-switching START/STOP
+    and pure-SHORT granules (MIXED granules have their own de-facto law,
+    see mixed_switch_bound): BAND-DERIVED, not a fixed 36 — the first 8
+    long bands for start/stop granules, 3x the first 3 short bands for
     pure short granules (ISO 2.4.2.7 region_address semantics as read by
     lame/mpg123/ffmpeg; validated externally in tests/test_lsf.py). At
     every MPEG-1 rate both expressions evaluate to exactly 36 — the
     constant the reference (and rounds 1-2 here) hardcoded is a
     MPEG-1-rate coincidence. LSF: 54 at 11.025-24 kHz (108 at 8 kHz) for
-    start/stop/mixed; 72 at 8 kHz for pure short."""
+    start/stop; 72 at 8 kHz for pure short."""
     if pure_short:
         return 3 * int(np.sum(short_band_table(sample_rate)[:3]))
     return int(np.sum(band_table(sample_rate)[:8]))
+
+
+def mixed_switch_bound(sample_rate: int) -> int:
+    """Entropy region-0 boundary for MIXED granules, as conforming
+    decoders actually read it — measured, not derived from ISO text.
+
+    ISO 13818-3's region_address semantics (first 8 long bands) would
+    give 54 at every MPEG-2 rate; libmpg123 instead reads by MPEG
+    VERSION: MPEG-1 and MPEG-2 granules get the MPEG-1 constant 36
+    (band-derived == 36 at MPEG-1 rates, so only MPEG-2 differs), while
+    MPEG-2.5 granules get the band-derived 8-band law (54 at
+    11.025/12 kHz, 108 at 8 kHz — the 2.5 decode path evidently carries
+    the band-derived law the MPEG-2 path never got). Measured round 5
+    with self-consistent hand-assembled mixed streams whose region-0/1
+    tables differ (a bound mismatch then desyncs the Huffman read):
+    emitting at {36,44,54,72,108} and decoding with a bound-matched
+    oracle, libmpg123 agrees at ~128 dB ONLY at 36 for 16/22.05/24 kHz,
+    ONLY at 54 for 11.025/12 kHz, and ONLY at 108 for 8 kHz; every
+    other candidate reads ~21 dB or -inf (tests/test_lsf.py pins the
+    matrix). The 8 kHz agreement is why the round-3/4 producers (8 kHz
+    only, or equal tables in both regions) never tripped it. This is
+    the de-facto law and the encoder must emit what decoders read."""
+    if lsf_version(sample_rate) == 2:  # MPEG-2.5: band-derived
+        return int(np.sum(band_table(sample_rate)[:8]))
+    return 36  # MPEG-1 (band-derived coincidence) + MPEG-2 (constant)
 
 
 def band_count(sample_rate: int, is_short: bool) -> int:

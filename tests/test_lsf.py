@@ -245,3 +245,106 @@ def test_8k_mixed_decode_agrees_with_mpg123(with_sf):
     assert m >= 2 * 576
     agree = decode_agreement_snr(ext[:m, 0], dec.pcm[:m, 0])
     assert agree > 60.0, (with_sf, agree)
+
+
+# --- MIXED region-0 boundary: de-facto decoder law (round 5) ------------------
+# ISO 13818-3's region_address derivation (first 8 long bands) would put the
+# mixed region-0/1 boundary at 54 for 16/22.05/24 kHz; libmpg123 actually
+# reads the MPEG-1 constant 36 there and the 8-band law's 108 only at 8 kHz.
+# The producers below discriminate the bound: region-0 values need table 15,
+# region-1 values a small table, so a decoder using a different bound
+# desyncs the Huffman read (~21 dB or worse). tables.mixed_switch_bound is
+# the pinned law; this test keeps both directions honest (the right bound
+# agrees at ~128 dB, the ISO-derived candidate measurably does NOT).
+
+
+def _mixed_bound_stream(sr: int, bound: int, kbps: int = 160) -> bytes:
+    from swiftmp3_tpu.io.bitwriter import BitstreamWriter
+    from swiftmp3_tpu.io.huffman_pack import pack_chunks
+    from swiftmp3_tpu.io.sideinfo import GranuleInfo, build_side_info_lsf
+    from swiftmp3_tpu.ops import reference as ref
+    from swiftmp3_tpu.tables import bitrate_index, lsf_version, sample_rate_index
+
+    rng = np.random.default_rng(9)
+    q = np.zeros(576, dtype=np.int64)
+    q[:36] = rng.integers(8, 15, 36) * rng.choice([-1, 1], 36)
+    q[36:130] = rng.integers(1, 3, 94) * rng.choice([-1, 1], 94)
+    orig = ref.switch_bound, ref.mixed_switch_bound
+    ref.switch_bound = lambda s, ps: bound
+    ref.mixed_switch_bound = lambda s: bound
+    try:
+        layout = ref.strict_entropy_layout(q, sr, ref.BLOCK_MIXED, False, True)
+    finally:
+        ref.switch_bound, ref.mixed_switch_bound = orig
+    assert layout["table_select"][0] != layout["table_select"][1], (
+        "probe needs distinct region tables to discriminate the bound"
+    )
+    ver = lsf_version(sr)
+    frame_size = (72 * kbps * 1000) // sr
+    slot = frame_size - 4 - 9
+    out = bytearray()
+    for _ in range(4):
+        gi = GranuleInfo(
+            part23_length=int(layout["part23_bits"]),
+            big_values=int(layout["big_values"]), global_gain=170,
+            scalefac_compress=0, window_switching=1, block_type=2,
+            mixed_block_flag=1, table_select=tuple(layout["table_select"]),
+            count1table_select=int(layout["count1table_select"]),
+            scalefac_scale=0)
+        h = BitstreamWriter()
+        h.write(0x7FF, 11)
+        h.write(0b00 if ver == 2 else 0b10, 2)
+        h.write(0b01, 2)
+        h.write(1, 1)
+        h.write(bitrate_index(kbps, sr), 4)
+        h.write(sample_rate_index(sr), 2)
+        h.write(0, 1); h.write(0, 1); h.write(0b11, 2); h.write(0, 2)
+        h.write(0, 1); h.write(1, 1); h.write(0, 2)
+        side = build_side_info_lsf(1, [[gi]], 0)
+        md, _ = pack_chunks(layout["chunks"], layout["nbits"])
+        assert len(md) <= slot, (len(md), slot)
+        out += h.data + side + md + bytes(slot - len(md))
+    return bytes(out)
+
+
+def test_mixed_switch_bound_values():
+    from swiftmp3_tpu.decoder.tables import mixed_region_bound
+    from swiftmp3_tpu.tables import mixed_switch_bound
+
+    for sr in (44100, 48000, 32000, 22050, 24000, 16000):
+        assert mixed_switch_bound(sr) == 36, sr
+    assert mixed_switch_bound(11025) == 54
+    assert mixed_switch_bound(12000) == 54
+    assert mixed_switch_bound(8000) == 108
+    # encoder and decoder carry INDEPENDENT transcriptions of the law
+    # (table-independence contract) — they must agree at every rate
+    for sr in (44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000):
+        assert mixed_region_bound(sr) == mixed_switch_bound(sr), sr
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+@pytest.mark.parametrize("sr", [22050, 16000, 24000, 11025, 12000, 8000])
+def test_mixed_region_bound_matches_mpg123(sr):
+    """Streams priced at tables.mixed_switch_bound decode identically in
+    the oracle and libmpg123 (~128 dB); at the MPEG-2 rates (where the
+    ISO 8-band candidate 54 differs from the de-facto 36) a 54-priced
+    stream measurably decodes to DIFFERENT audio — pinning that the
+    de-facto law, not the ISO derivation, is what decoders read."""
+    from swiftmp3_tpu.tables import mixed_switch_bound
+
+    right = mixed_switch_bound(sr)
+    blob = _mixed_bound_stream(sr, right)
+    dec = decode_mp3(blob, iso_conventions=True)
+    ext, _ = mpg123_decode(blob)
+    m = min(ext.shape[0], dec.pcm.shape[0])
+    agree = decode_agreement_snr(ext[:m, 0], dec.pcm[:m, 0])
+    assert agree > 60.0, (sr, right, agree)
+    if right != 54:  # MPEG-2 rates: the ISO candidate is measurably wrong
+        blob_iso = _mixed_bound_stream(sr, 54)
+        ext2, _ = mpg123_decode(blob_iso)
+        mm = min(m, ext2.shape[0])
+        # same spectral intent, different priced bound: mpg123 decodes
+        # them to different audio (teeth: reverting the law to the ISO
+        # derivation would make these equal and the assert fail)
+        diff = decode_agreement_snr(ext[:mm, 0], ext2[:mm, 0])
+        assert diff < 40.0, (sr, diff)
