@@ -898,6 +898,7 @@ def decode_mp3(
         gr0_sf = [None] * channels  # granule 0 scalefactors for scfsi reuse
         gr_sf = [[None] * channels for _ in range(n_gr)]  # long sf (intensity pos)
         gr_sfs = [[None] * channels for _ in range(n_gr)]  # short sf [12][3]
+        gr_sfml = [[None] * channels for _ in range(n_gr)]  # mixed long head [8]
         gr_rzero = [[0] * channels for _ in range(n_gr)]  # decoded nonzero extent
         gr_slen = [None] * n_gr  # right-ch per-band slen (LSF intensity)
         ok = True
@@ -916,10 +917,16 @@ def decode_mp3(
             # (measured: ~31 dB vs libmpg123 in the wrong order, ~130 dB in
             # ISO order). Deferral needs BOTH channels long-layout (the
             # stereo mix must see the same alias state on both).
+            # Pure short granules carry no butterflies, so deferral only
+            # matters for long-layout and MIXED granules (mixed joined
+            # round 5: the head-interior intensity reading puts IS bands
+            # under the head butterfly, which does not commute with
+            # per-band gains — same lesson as the round-3 long-IS trap).
             defer_alias = frame_is_mode and all(
                 not (
                     fi.granules[gr][c].window_switching
                     and fi.granules[gr][c].block_type == 2
+                    and not fi.granules[gr][c].mixed_block_flag
                 )
                 for c in range(channels)
             )
@@ -982,6 +989,7 @@ def decode_mp3(
                         gr0_sf[ch] = scalefacs
                 gr_sf[gr][ch] = scalefacs
                 gr_sfs[gr][ch] = sf_short
+                gr_sfml[gr][ch] = sf_mixed_long
                 try:
                     q = _decode_granule_spectrum(r, g, sr, part_start)
                 except (ValueError, IndexError):
@@ -1005,14 +1013,15 @@ def decode_mp3(
                 if not is_short_g:
                     if not defer_alias:  # intensity: alias AFTER stereo
                         xr = _alias_reduce_decode(xr)
-                elif g.mixed_block_flag:
+                elif g.mixed_block_flag and not defer_alias:
                     # conforming decoders alias-reduce ONE boundary (the
                     # subband 0/1 junction) for mixed blocks at EVERY rate
                     # — the synthesis head stays 2 subbands even at 8 kHz
                     # where the stream-layout head is 72 lines (see
                     # tables.mixed_head, mpg123-arbitrated); the legacy
                     # reading kept the full 31 (historical oracle behavior
-                    # for reference-law streams, which alias nothing)
+                    # for reference-law streams, which alias nothing).
+                    # Intensity frames defer (block-aware) past stereo.
                     xr = _alias_reduce_decode(xr, 1 if iso_conventions else 31)
                 gr_xr[gr][ch] = xr
             if not ok:
@@ -1087,15 +1096,22 @@ def decode_mp3(
                     # intensity source is the left spectrum; mixing window
                     # layouts has no defined reading — see shared_ms_blocks).
                     # MIXED granules use the same per-(band, window) law on
-                    # the short region only (lines >= 12 per window; short
-                    # sfbs 3-11). The long head (natural 0..35) stays in its
-                    # M/S or L/R reading: its only alias butterfly (subband
-                    # 0/1 boundary, lines 10..26) sits entirely below line
-                    # 36, so the pre-stereo head alias reduction commutes
-                    # with the short-region intensity gains. A bound inside
-                    # the head itself has no externally validated reading
-                    # and is deliberately not taken (mpg123-validated
-                    # surface: bound at a short-band boundary >= sfb 3).
+                    # the short region (lines >= 12 per window; short sfbs
+                    # 3-11). When the right channel's zero part reaches
+                    # INSIDE the long head (its entire short region zero),
+                    # the head bands from the zero extent up are intensity
+                    # too — the LONG-band law with positions in the right
+                    # channel's mixed long-head slots (round-5 reading,
+                    # mpg123-arbitrated: hand-assembled head-interior
+                    # producers read ~9 dB under the old head-keeps-L/R
+                    # reading and ~130 dB with this one); head bands BELOW
+                    # the extent keep their M/S or L/R reading. The head's
+                    # only alias butterfly (subband 0/1 boundary, lines
+                    # 10..26) sits entirely below line 36, so the
+                    # pre-stereo head alias reduction still commutes only
+                    # when the head is not intensity-processed; mixed IS
+                    # granules are on the defer_alias path regardless
+                    # (is_mode streams defer aliasing past stereo).
                     g2l, g2r = fi.granules[gr][0], fi.granules[gr][1]
                     both_short = all(
                         g2.window_switching and g2.block_type == 2
@@ -1139,10 +1155,64 @@ def decode_mp3(
                                 seg = m[idx]
                                 out_l[idx] = seg * kl
                                 out_r[idx] = seg * kr
+                        if (
+                            mixed
+                            and gr_sfml[gr][1] is not None
+                            and not fi.lsf
+                        ):
+                            # Head-interior bound (round 5): when the right
+                            # channel's zero part reaches inside the long
+                            # head (every short window zero), head bands
+                            # from the zero extent up are intensity with
+                            # the LONG-band law — positions in the right
+                            # channel's mixed long-head slots. The sfb21-
+                            # tail convention has no head analogue: the
+                            # head's last band ends exactly at the head
+                            # boundary. (LSF mixed head slens are not
+                            # retained — LSF head-interior stays on the
+                            # short-region-only reading.)
+                            all_zero_short = all(
+                                not np.any(s_[3 * base + w2 :: 3])
+                                for w2 in range(3)
+                            )
+                            nzh = np.nonzero(s_[: 3 * base])[0]
+                            rzh = int(nzh[-1]) + 1 if nzh.size else 0
+                            if all_zero_short:
+                                lbn = np.concatenate(
+                                    [[0], np.cumsum(band_table(sr))]
+                                ).astype(int)
+                                hpos = gr_sfml[gr][1]
+                                nlong = int(
+                                    np.searchsorted(lbn, 3 * base, "left")
+                                )
+                                for b in range(nlong):
+                                    lo = int(lbn[b])
+                                    hi = min(int(lbn[b + 1]), 3 * base)
+                                    if lo < rzh or lo >= hi:
+                                        continue
+                                    fac = _is_factors(
+                                        hpos[b], fi.lsf,
+                                        fi.granules[gr][1].scalefac_compress
+                                        & 1,
+                                        0,
+                                    )
+                                    if fac is None:
+                                        continue
+                                    kl, kr = fac
+                                    seg = m[lo:hi]
+                                    out_l[lo:hi] = seg * kl
+                                    out_r[lo:hi] = seg * kr
                 gr_xr[gr][0], gr_xr[gr][1] = out_l, out_r
             if defer_alias:
-                gr_xr[gr][0] = _alias_reduce_decode(gr_xr[gr][0])
-                gr_xr[gr][1] = _alias_reduce_decode(gr_xr[gr][1])
+                for c2 in range(2):
+                    g2 = fi.granules[gr][c2]
+                    if g2.window_switching and g2.block_type == 2:
+                        # mixed: the single head boundary (pure short never
+                        # reaches here — excluded from deferral)
+                        nb = 1 if iso_conventions else 31
+                    else:
+                        nb = 31
+                    gr_xr[gr][c2] = _alias_reduce_decode(gr_xr[gr][c2], nb)
             for ch in range(channels):
                 g = fi.granules[gr][ch]
                 sub = _imdct_granule(gr_xr[gr][ch], g, overlaps[ch])

@@ -693,16 +693,16 @@ class GoldenBackend:
                         probe_budget = min(
                             (base_main * 8) // (n_gr * channels), 4095
                         )
-                        # DC_PASSES probe->bump iterations (shipped value 1
-                        # == the historical one-shot; >1 is the probe knob
-                        # for the iterated formulation — each extra pass
+                        # options.dc_passes probe->bump iterations (1 ==
+                        # the historical one-shot) — each extra pass
                         # re-probes at the same static budget with the
                         # bumped magnitudes and bumps the still-violating
-                        # bands again, then ONE real walk runs below).
-                        for _dc_pass in range(ref.DC_PASSES):
+                        # bands again, then ONE real walk runs below.
+                        for _dc_pass in range(opts.dc_passes):
                             g1, q1, _ = _walk(probe_budget)
                             bumps = ref.distortion_bumps(
-                                spectrum, q1, g1, sfd["sf"], sr
+                                spectrum, q1, g1, sfd["sf"], sr,
+                                proportional=opts.dc_proportional,
                             )
                             if not bumps.any():
                                 break

@@ -550,27 +550,14 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     ((72 if lsf else 144) * options.bitrate_kbps * 1000)
                     // sr - 4 - crc_size - side_size
                 )
-                probe_budget = min(
-                    (base_main * 8) // (n_gran * options.channels), 4095
-                )
+                # equal share per granule-channel unit (n_gran == n_gr*ch
+                # already — golden divides by n_gr*channels; an earlier
+                # extra *channels halved the stereo probe share, latent
+                # because generous budgets saturate the finest candidate)
+                probe_budget = min((base_main * 8) // n_gran, 4095)
                 pb = jnp.full(g0.shape, probe_budget, dtype=jnp.int32)
-                kp, fitp, _ = dsp.rate_loop_select(
-                    pre["bits"], pre["evaluated"], pre["k_budget"], pb
-                )
-                gains_p = pre["gstart"] + 4 * kp
                 from ..tables import QCAP_LINBITS
 
-                q_p = dsp.quantize_at_gains(
-                    pre["mag"], pre["sign_neg"], gains_p[..., None],
-                    iso=pre["iso"],
-                    qcap=QCAP_LINBITS, floor=False,
-                )[..., 0, :]
-                gain_p = jnp.where(
-                    fitp, gains_p, jnp.minimum(gains_p + 4, 255)
-                ).astype(jnp.int32)
-                bumps = dsp.distortion_bumps_device(
-                    spectra, q_p, gain_p, sfd["sf"], sr
-                )
                 # engage per FRAME: every granule of every channel LONG
                 frame_long = jnp.all(
                     block_b == dsp.BLOCK_LONG, axis=(1, 3)
@@ -582,28 +569,49 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 engaged = jnp.broadcast_to(
                     frame_long[:, None, :, None], block_b.shape
                 )
-                sfd = dsp.distortion_sfd_device(
-                    sfd, bumps, engaged, spectra, sr
-                )
-                mag_scale, part2 = sfd["mag_scale"], sfd["part2"]
-                g0 = dsp.initial_gain_scaled(
-                    spectra, mag_scale, target=LINBITS_Q_TARGET
-                )
-                pre = dsp.rate_loop_precompute_strict(
-                    spectra,
-                    g0,
-                    sr,
-                    is_long_b,
-                    iso_quant,
-                    options.count1_coding,
-                    options.region_table_select,
-                    mag_scale=mag_scale,
-                    part2=price_part2(part2),
-                    block=block_b,
-                    iso_short=options.iso_short_blocks,
-                    linbits=options.linbits_tables,
-                    b0_switch=b0_sw,
-                )
+                # options.dc_passes probe->bump iterations, unrolled (a
+                # zero-bump pass rebuilds the identical sfd, so the fixed
+                # unroll reaches the golden's early-break fixpoint); each
+                # pass costs a full probe sweep (rate_loop_precompute).
+                for _dc_pass in range(options.dc_passes):
+                    kp, fitp, _ = dsp.rate_loop_select(
+                        pre["bits"], pre["evaluated"], pre["k_budget"], pb
+                    )
+                    gains_p = pre["gstart"] + 4 * kp
+                    q_p = dsp.quantize_at_gains(
+                        pre["mag"], pre["sign_neg"], gains_p[..., None],
+                        iso=pre["iso"],
+                        qcap=QCAP_LINBITS, floor=False,
+                    )[..., 0, :]
+                    gain_p = jnp.where(
+                        fitp, gains_p, jnp.minimum(gains_p + 4, 255)
+                    ).astype(jnp.int32)
+                    bumps = dsp.distortion_bumps_device(
+                        spectra, q_p, gain_p, sfd["sf"], sr,
+                        proportional=options.dc_proportional,
+                    )
+                    sfd = dsp.distortion_sfd_device(
+                        sfd, bumps, engaged, spectra, sr
+                    )
+                    mag_scale, part2 = sfd["mag_scale"], sfd["part2"]
+                    g0 = dsp.initial_gain_scaled(
+                        spectra, mag_scale, target=LINBITS_Q_TARGET
+                    )
+                    pre = dsp.rate_loop_precompute_strict(
+                        spectra,
+                        g0,
+                        sr,
+                        is_long_b,
+                        iso_quant,
+                        options.count1_coding,
+                        options.region_table_select,
+                        mag_scale=mag_scale,
+                        part2=price_part2(part2),
+                        block=block_b,
+                        iso_short=options.iso_short_blocks,
+                        linbits=options.linbits_tables,
+                        b0_switch=b0_sw,
+                    )
         else:
             sfd = scfsi_nib = sf_write = None
             g0 = dsp.initial_gain(spectra, iso=iso_quant)  # [B, ch, T, gr]

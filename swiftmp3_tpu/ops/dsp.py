@@ -1994,12 +1994,15 @@ _DC_CAPS = np.asarray([15] * 11 + [7] * 10, dtype=np.int32)
 
 def distortion_bumps_device(
     spectrum: jax.Array, q: jax.Array, gain: jax.Array, sf: jax.Array,
-    sample_rate: int,
+    sample_rate: int, proportional: bool = False,
 ) -> jax.Array:
     """Per-band bump vector [..., 21] int32 (twin of
     reference.distortion_bumps): reconstruct the probe quantization per
     the ISO decode law (scalefac_scale=1), measure band error energy
-    against the spread-mask target, bump violators by _DC_BUMP."""
+    against the spread-mask target, bump violators by _DC_BUMP — or,
+    proportional (options.dc_proportional), by ceil(log2(noise/mask)/2)
+    clipped to 1..DC_BUMP_MAX (the f32 log2 vs the golden's float64 is a
+    knife-edge flip surface, same contract as the bump compare)."""
     members = _BAND_MEMBERS.get(sample_rate, _BAND_MEMBERS[44100])
     # step = 2^((gain-210)/4), correctly rounded f32 via exact ldexp of the
     # quarter-power constants (matches the golden's float64-built value)
@@ -2042,6 +2045,20 @@ def distortion_bumps_device(
     thr2n = jnp.ldexp(n_lines, 2 * thr_exp)
     e2 = jnp.stack(e2s, axis=-1)
     violated = e2 > _F32(_DC_RATIO) * thr2n
+    if proportional:
+        from .reference import DC_BUMP_MAX
+
+        # Exact twin of the golden's clip(ceil(0.5*log2(e2/thr2n)), 1,
+        # cap) WITHOUT floats-on-device log2: steps >= k+1 iff the f64
+        # ratio r > 4^k, and since e2/thr2n are f32 values (exact in
+        # f64) and ldexp(thr2n, 2k) is an exact power-of-4 scale, the
+        # f32 comparison e2 > ldexp(thr2n, 2k) decides it bit-exactly —
+        # the proportional step count adds NO new flip surface beyond
+        # the existing violation compare.
+        steps = jnp.ones(e2.shape, jnp.int32)
+        for k in range(1, DC_BUMP_MAX):
+            steps = steps + (e2 > jnp.ldexp(thr2n, 2 * k)).astype(jnp.int32)
+        return jnp.where(violated, steps, 0).astype(jnp.int32)
     return jnp.where(violated, _DC_BUMP, 0).astype(jnp.int32)
 
 

@@ -1203,16 +1203,17 @@ DC_BUMP = 3  # scalefactor steps per violating band (swept in-pipeline:
 # qcap clipping occurs at any bump)
 DC_MASK_OFFSET = 6  # mask = spread peak exponent - offset (~18 dB)
 _DC_SF_CAP = np.asarray([15] * 11 + [7] * 10, dtype=np.int64)  # slen1/slen2
-# Round-4-final depth probes (tools/probe_dc_depth.py; golden-side knobs —
-# the shipped device twin implements the (1, False) point only):
-DC_PASSES = 1  # probe->bump iterations before the one real walk
-DC_PROPORTIONAL = False  # bump = ceil(log2(noise/mask)/2) instead of flat
+# Depth knobs (round 5): options.dc_passes / options.dc_proportional —
+# both with device twins (models/pipeline.py unrolls the probe loop).
+# Measured plateau (12-seed speech @128k mono, tools/probe_dc_depth.py):
+# (3, proportional) -1.95 dB mean NMR vs the one-shot's -1.08; 4/6/8
+# passes saturate at -1.85/-1.82/-1.82.
 DC_BUMP_MAX = 6  # proportional-law cap (one step ~ -6 dB error energy)
 
 
 def distortion_bumps(
     spectrum: np.ndarray, q: np.ndarray, gain: int, sf: np.ndarray,
-    sample_rate: int,
+    sample_rate: int, proportional: bool = False,
 ) -> np.ndarray:
     """Per-band bump decision from the pass-1 walk's actual error.
 
@@ -1256,7 +1257,7 @@ def distortion_bumps(
         # exact: n_lines * 2^(2*thr_exp); underflows to 0 for empty bands
         thr2n = np.ldexp(np.float32(hi - lo), 2 * int(thr_exp[b]))
         if e2 > np.float32(DC_RATIO) * thr2n:
-            if DC_PROPORTIONAL:
+            if proportional:
                 # steps to bring the band's error energy to the mask:
                 # one scalefactor step doubles the coded amplitude
                 # (~1 more bit of precision ~ -6 dB error energy)

@@ -185,3 +185,58 @@ def test_device_backend_byte_equality(mode, kbps, vbr, seed):
     golden = _encode(opts, pcm, backend="numpy")
     device = _encode(opts, pcm, backend="tpu")
     assert golden == device
+
+
+@pytest.mark.parametrize("passes,prop", [(3, True), (2, False)])
+def test_depth_device_backend_byte_equality(passes, prop):
+    """Round-5 depth knobs (options.dc_passes / dc_proportional): the
+    unrolled device probe loop + the threshold-ladder proportional step
+    count are byte-identical to golden (the ladder is EXACT vs the
+    golden's f64 log2 — see dsp.distortion_bumps_device — so depth adds
+    no new flip surface beyond the pass-1 bump compare)."""
+    pcm = _speech(8, seed=14)
+    opts = MP3EncoderOptions.hq(
+        mode=Mode.MONO, bitrate_kbps=128, distortion_control=True,
+        dc_passes=passes, dc_proportional=prop,
+    )
+    golden = _encode(opts, pcm, backend="numpy")
+    device = _encode(opts, pcm, backend="tpu")
+    assert golden == device
+
+
+def test_depth_options_validation():
+    with pytest.raises(ValueError, match="dc_passes"):
+        MP3EncoderOptions.hq(mode=Mode.MONO, dc_passes=2)
+    with pytest.raises(ValueError, match="dc_passes"):
+        MP3EncoderOptions.hq(
+            mode=Mode.MONO, distortion_control=True, dc_passes=0
+        )
+    with pytest.raises(ValueError, match="dc_"):
+        MP3EncoderOptions.hq(mode=Mode.MONO, dc_proportional=True)
+
+
+def test_depth_changes_bytes_when_engaged():
+    """Depth must actually do something: (3, proportional) diverges from
+    the one-shot on speech at 128k (the measured -1.95 vs -1.08 dB NMR
+    distribution — see tools/probe_dc_depth.py; the probe corpus's
+    synth() speech, whose every seed improved under depth)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from tune_psy import synth
+
+    pcm = synth("speech", 16 * 1152, 10)
+    base = _encode(
+        MP3EncoderOptions.hq(
+            mode=Mode.MONO, bitrate_kbps=128, distortion_control=True
+        ),
+        pcm,
+    )
+    deep = _encode(
+        MP3EncoderOptions.hq(
+            mode=Mode.MONO, bitrate_kbps=128, distortion_control=True,
+            dc_passes=3, dc_proportional=True,
+        ),
+        pcm,
+    )
+    assert base != deep

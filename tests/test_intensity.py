@@ -680,3 +680,131 @@ def test_decoder_survives_bitstream_corruption(trial):
 
     dec = decode_mp3(bytes(blob), iso_conventions=True)
     assert np.all(np.isfinite(dec.pcm))
+
+
+# --- mixed-block intensity: HEAD-INTERIOR bound (round 5) -----------------------
+# The last previously-unvalidated decoder boundary: a mixed IS granule whose
+# right channel's zero part reaches INSIDE the long head (its entire short
+# region zero). Reading (mpg123-arbitrated, ~130-132 dB at every probed
+# bound incl. mid-band and the fully-zero right channel): head bands from
+# the zero extent up apply the LONG-band intensity law with positions in
+# the right channel's mixed long-head slots; bands below the extent keep
+# M/S-or-L/R; the short region keeps the per-(band,window) law. The head's
+# alias butterfly no longer commutes (IS gains are per-band), so mixed IS
+# granules now defer alias reduction past stereo like long IS granules —
+# byte-neutral on the previously validated bound>=sfb3 surface (the
+# butterfly region is wholly non-IS there). The old head-keeps-L/R reading
+# measures ~9 dB against mpg123 on these streams, so the A/B has teeth.
+
+
+def build_mixed_head_is_stream(
+    rz_nat: int,
+    n_frames: int = 3,
+    mode_ext: int = 0b01,
+    gain: int = 170,
+    seed: int = 11,
+    head_pos=(1, 2, 3, 4, 5, 6, 2, 1),
+) -> bytes:
+    """Mixed IS stream with the right channel zero from NATURAL line
+    rz_nat (inside the long head when rz_nat < 36); positions in the right
+    channel's head long slots AND all short slots."""
+    from swiftmp3_tpu.decoder.tables import short_reorder_dest
+    from swiftmp3_tpu.io.bitwriter import BitstreamWriter
+
+    sb = _short_bounds()
+    hi_line = int(sb[10])
+    dest = short_reorder_dest(SR, True)
+    rng = np.random.default_rng(seed)
+    frame_size = (144 * KBPS * 1000) // SR
+    slot = frame_size - 4 - 32
+    out = bytearray()
+    for _ in range(n_frames):
+        granules = [[None, None], [None, None]]
+        chunks, nbits = [], []
+        for gr in range(2):
+            ql = np.zeros(576, dtype=np.int64)
+            ql[: 3 * hi_line] = rng.integers(-4, 5, 3 * hi_line)
+            qr = np.zeros(576, dtype=np.int64)
+            qr[:rz_nat] = rng.integers(-4, 5, rz_nat)
+            if rz_nat:
+                qr[rz_nat - 1] = 2  # pin the zero extent exactly
+            ql[3 * (hi_line - 1)] = 3
+            sfl = np.zeros(36, dtype=np.int64)
+            sfr = np.zeros(36, dtype=np.int64)
+            for i in range(8):
+                sfr[i] = head_pos[i % len(head_pos)]
+            for s in range(3, 12):
+                for w in range(3):
+                    sfr[8 + (s - 3) * 3 + w] = [2, 4, 6, 5, 1, 0, 3, 3, 3][
+                        (s * 3 + w) % 9
+                    ]
+            for ch, (q, sf) in enumerate(((ql, sfl), (qr, sfr))):
+                gi, c, nb = _mixed_granule(q[dest], sf, gain)
+                granules[gr][ch] = gi
+                chunks += c
+                nbits += nb
+        h = BitstreamWriter()
+        h.write(0x7FF, 11)
+        h.write(0b11, 2)
+        h.write(0b01, 2)
+        h.write(1, 1)
+        h.write(bitrate_index(KBPS, SR), 4)
+        h.write(sample_rate_index(SR), 2)
+        h.write(0, 1)
+        h.write(0, 1)
+        h.write(0b01, 2)
+        h.write(mode_ext, 2)
+        h.write(0, 1)
+        h.write(1, 1)
+        h.write(0, 2)
+        side = build_side_info(2, granules, [[0, 0, 0, 0]] * 2, 0)
+        md, _bits = pack_chunks(np.concatenate(chunks), np.concatenate(nbits))
+        assert len(md) <= slot, (len(md), slot)
+        out += h.data + side + md + bytes(slot - len(md))
+    return bytes(out)
+
+
+def test_mixed_head_is_fires():
+    """The head reading must actually reconstruct right-channel content in
+    the head's IS bands (vs the no-stereo-processing rebuild)."""
+    blob = build_mixed_head_is_stream(rz_nat=20, mode_ext=0b01)
+    dec = decode_mp3(blob, iso_conventions=True)
+    plain = decode_mp3(
+        build_mixed_head_is_stream(rz_nat=20, mode_ext=0b00),
+        iso_conventions=True,
+    )
+    assert not np.allclose(dec.pcm[:, 1], plain.pcm[:, 1])
+    el = float(np.sum(dec.pcm[:, 0] ** 2))
+    er = float(np.sum(dec.pcm[:, 1] ** 2))
+    assert 0 < er < el
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+@pytest.mark.parametrize("rz_nat", [20, 22, 2, 0])
+@pytest.mark.parametrize("mode_ext", [0b01, 0b11])
+def test_mixed_head_is_agrees_with_mpg123(rz_nat, mode_ext):
+    """Head-interior bounds at a band boundary (20), mid-band (22), line 2
+    and the fully-zero right channel (0), both mode_exts."""
+    blob = build_mixed_head_is_stream(rz_nat=rz_nat, mode_ext=mode_ext)
+    dec = decode_mp3(blob, iso_conventions=True)
+    assert np.all(np.isfinite(dec.pcm))
+    ext, _ = mpg123_decode(blob)
+    m = min(ext.shape[0], dec.pcm.shape[0])
+    for c in range(2):
+        agree = decode_agreement_snr(ext[:m, c], dec.pcm[:m, c])
+        assert agree > 60.0, (rz_nat, mode_ext, c, agree)
+
+
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+def test_mixed_head_is_illegal_position():
+    """pos=7 in a head slot keeps that band's L/R reading (the MPEG-1
+    illegal marker) — mpg123 agrees."""
+    blob = build_mixed_head_is_stream(
+        rz_nat=20, mode_ext=0b01, head_pos=(7, 7, 7, 7, 7, 7, 7, 7)
+    )
+    dec = decode_mp3(blob, iso_conventions=True)
+    ext, _ = mpg123_decode(blob)
+    m = min(ext.shape[0], dec.pcm.shape[0])
+    for c in range(2):
+        agree = decode_agreement_snr(ext[:m, c], dec.pcm[:m, c])
+        assert agree > 60.0, (c, agree)

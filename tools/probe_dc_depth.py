@@ -1,14 +1,19 @@
 """Distortion-control DEPTH probe (round 4 final / round-5 candidate).
 
-The shipped law is ONE probe->bump pass with a FLAT +3-step bump
-(ops/reference.DC_PASSES=1, DC_PROPORTIONAL=False) — the device-feasible
-form. The round-5 notes name two deeper formulations, both golden-side
-knobs here:
+The shipped default is ONE probe->bump pass with a FLAT +3-step bump
+(options dc_passes=1, dc_proportional=False). The deeper formulations are
+real options with device twins; this tool measures them:
 
   --passes N         probe->bump iterated N times (still ONE real walk)
   --proportional     bump = ceil(log2(noise/mask)/2), capped at DC_BUMP_MAX
                      (mild violations bump 1 step instead of 3; extreme
                      ones up to 6)
+
+Round-5 result (this matrix, 12-seed speech @128k mono, NMR deltas):
+(1,flat) -1.08 | (2,flat) -1.50 | (1,prop) -1.39 | (2,prop) -1.62 |
+(3,prop) -1.95 (12/12 improved, noise -1.87) | (4/6/8,prop) plateau
+-1.85/-1.82/-1.82. Shipped as options.dc_passes/dc_proportional with
+device twins; defaults stay (1, flat).
 
 Protocol: hq(distortion_control=True) at 128 kbps mono (the measured
 activity window) over the 12-seed speech distribution (the class where
@@ -68,8 +73,6 @@ def main() -> int:
         print("needs system libmpg123 + libmp3lame")
         return 1
 
-    ref.DC_PASSES = args.passes
-    ref.DC_PROPORTIONAL = args.proportional
     n = args.frames * 1152
     kbps = args.kbps
     tag = f"passes={args.passes} proportional={args.proportional}"
@@ -77,7 +80,8 @@ def main() -> int:
 
     hq_off = MP3EncoderOptions.hq(mode=Mode.MONO, bitrate_kbps=kbps)
     hq_dc = MP3EncoderOptions.hq(
-        mode=Mode.MONO, bitrate_kbps=kbps, distortion_control=True
+        mode=Mode.MONO, bitrate_kbps=kbps, distortion_control=True,
+        dc_passes=args.passes, dc_proportional=args.proportional,
     )
 
     deltas = []
