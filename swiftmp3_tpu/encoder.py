@@ -329,32 +329,44 @@ class GoldenBackend:
                 shared_blocks.append(max(bl, br))
 
         # Intensity-stereo frame gate (options.intensity_stereo): engage on
-        # frames whose every granule is LONG (the validated decode surface
-        # for positions is the long-layout law; short-window positions are
-        # per-(band, window) and stay future work on the encode side).
-        # Detection runs on the raw pre-matrix L/R — the sequencing law
-        # already does, and the gate must not depend on the matrix choice
-        # it overrides. Engaged frames code raw L/R with mode_extension
-        # 0b01; others fall back to the iso_mode_ext law above.
+        # frames whose every granule is LONG-layout (LONG/START/STOP, the
+        # long-band position law) or pure SHORT (the per-(band, window)
+        # law — round 5; both surfaces and their mixed-layout frames are
+        # mpg123-validated in tests/test_intensity.py). Only MIXED
+        # granules force the discrete fallback (encode-side mixed IS
+        # needs the head law — pinned, not hidden). Detection runs on the
+        # raw pre-matrix L/R — the sequencing law already does, and the
+        # gate must not depend on the matrix choice it overrides; on
+        # transient IS frames both channels must share ONE window layout
+        # (the decoder's short-IS contract), so the shared verdict wins.
+        # Engaged frames code raw L/R with mode_extension 0b01; others
+        # fall back to the iso_mode_ext law above.
         is_frame = False
         if opts.intensity_stereo_active and channels == 2:
             if seq_blocks is not None:
-                is_frame = all(b == ref.BLOCK_LONG for b in seq_blocks)
+                frame_blocks = list(seq_blocks)
             else:
-                is_frame = True
+                frame_blocks = []
                 for gr in range(n_gr):
                     sl = slice(
                         gr * SAMPLES_PER_GRANULE, (gr + 1) * SAMPLES_PER_GRANULE
                     )
                     b_l, _ = ref.transient_detect(left[sl])
                     b_r, _ = ref.transient_detect(right[sl])
-                    if max(b_l, b_r) != ref.BLOCK_LONG:
-                        is_frame = False
-                        break
+                    frame_blocks.append(max(b_l, b_r))
+            is_frame = all(b != ref.BLOCK_MIXED for b in frame_blocks)
             if is_frame:
                 chans = [left, right]
                 frame_mode_ext = 0b01
-                shared_blocks = None  # L/R frame: per-channel (all LONG)
+                if seq_blocks is None:
+                    # all-LONG: per-channel detection is identical to the
+                    # shared verdict (max == LONG implies both LONG);
+                    # transient frames share the layout across channels
+                    shared_blocks = (
+                        frame_blocks
+                        if any(b != ref.BLOCK_LONG for b in frame_blocks)
+                        else None
+                    )
 
         granules = [[None] * channels for _ in range(n_gr)]
         quantized = np.zeros((n_gr * channels, SAMPLES_PER_GRANULE), dtype=np.int32)
@@ -454,13 +466,28 @@ class GoldenBackend:
             any_region = False
             for gr in range(n_gr):
                 cl, cr2 = staged[gr * channels], staged[gr * channels + 1]
-                new_l, new_r, is_pos, is_b0 = ref.intensity_encode(
-                    cl["spectrum"], cr2["spectrum"], sr
-                )
+                if cr2["block"] == ref.BLOCK_SHORT:
+                    # per-(band, window) law on the natural layout (the
+                    # reorder perm applies downstream at the walk input)
+                    new_l, new_r, pos_w, b0_w = ref.intensity_encode_short(
+                        cl["spectrum"], cr2["spectrum"], sr
+                    )
+                    cr2["is_pos_w"] = pos_w
+                    cr2["is_b0_w"] = b0_w  # [3], None = window unqualified
+                    any_region = any_region or any(
+                        b is not None for b in b0_w
+                    )
+                else:
+                    # LONG/START/STOP: the long-band law (START/STOP carry
+                    # the long scalefactor layout; the decoder applies the
+                    # identical long position law to them — validated)
+                    new_l, new_r, is_pos, is_b0 = ref.intensity_encode(
+                        cl["spectrum"], cr2["spectrum"], sr
+                    )
+                    cr2["is_pos"] = is_pos
+                    cr2["is_b0"] = is_b0  # None = no summed region
+                    any_region = any_region or is_b0 is not None
                 cl["spectrum"], cr2["spectrum"] = new_l, new_r
-                cr2["is_pos"] = is_pos
-                cr2["is_b0"] = is_b0  # None = granule has no summed region
-                any_region = any_region or is_b0 is not None
             if not any_region:
                 # No granule qualified an IS region (decorrelated or
                 # anti-phase upper spectrum): the frame gains nothing from
@@ -473,8 +500,8 @@ class GoldenBackend:
                 is_frame = False
                 frame_mode_ext = 0b00
                 for gr in range(n_gr):
-                    staged[gr * channels + 1].pop("is_pos", None)
-                    staged[gr * channels + 1].pop("is_b0", None)
+                    for key in ("is_pos", "is_b0", "is_pos_w", "is_b0_w"):
+                        staged[gr * channels + 1].pop(key, None)
 
         # Scalefactor + initial-gain pass (staged order == the historical
         # interleaved order, so the VBR history and scfsi bookkeeping see
@@ -533,6 +560,18 @@ class GoldenBackend:
                 ).astype(int)
                 part2 = ref.scfsi_part2_bits(
                     ref._long_sfd(pad_sf, pad_bounds), sf_write
+                )
+            elif sfd is not None and "is_pos_w" in c:
+                # short-granule analogue of the max(sf, 7) pad: every
+                # (band, window) slot may end up carrying a position or
+                # the illegal marker 7 after the walk
+                pad_slots = np.maximum(
+                    np.asarray(sfd["sf_slots"], dtype=np.int64), 7
+                )
+                pad_slots[36:] = 0
+                fin = ref._finish_slots(pad_slots, 18, 18)
+                part2 = ref.scfsi_part2_bits(
+                    {**sfd, **fin, "sf_slots": pad_slots}, sf_write
                 )
             c.update(sfd=sfd, sf_write=sf_write, gain0=gain0, part2=part2)
 
@@ -721,7 +760,62 @@ class GoldenBackend:
                             )
                     gain, q, bits = _walk(granule_budget)
                     priced_bits = bits
-                    if is_frame and ch == 1:
+                    if is_frame and ch == 1 and "is_pos_w" in c:
+                        # Short-granule position slots (per-window twin of
+                        # the long law below): window w's decoded IS
+                        # region is everything at/above ITS OWN zero
+                        # part, so every (band, window) slot at/above the
+                        # window's final quantized extent carries a
+                        # position — real on SUMMED windows' bands (>=
+                        # b0_w), the illegal marker 7 elsewhere. The
+                        # per-window tail (lines above sb[11]) rides band
+                        # 11's position; an extent inside (sb[11], 192]
+                        # can't express both band 11's scalefactor and
+                        # the tail's position — zero the band-11
+                        # remainder in that window. q is NATURAL order
+                        # here (the perm applies at the entropy layout).
+                        from .tables import short_band_bounds
+
+                        sbb = short_band_bounds(sr)  # [0, b1..b12, 192]
+                        q = q.copy()
+                        sf_slots2 = np.asarray(
+                            sfd["sf_slots"], dtype=np.int64
+                        ).copy()
+                        changed = False
+                        for w in range(3):
+                            qw = q[w::3]
+                            nzw = np.nonzero(qw)[0]
+                            rzw = int(nzw[-1]) + 1 if nzw.size else 0
+                            if int(sbb[11]) < rzw <= 192:
+                                qw = qw.copy()
+                                qw[int(sbb[11]):] = 0
+                                q[w::3] = qw
+                                nzw = np.nonzero(qw)[0]
+                                rzw = int(nzw[-1]) + 1 if nzw.size else 0
+                            b_start = int(
+                                np.searchsorted(
+                                    sbb[:12], rzw, side="left"
+                                )
+                            )
+                            if b_start >= 12:
+                                continue
+                            emit = np.full(12, 7, dtype=np.int64)
+                            b0 = c["is_b0_w"][w]
+                            if b0 is not None:
+                                emit[b0:] = c["is_pos_w"][b0:, w]
+                            for s in range(b_start, 12):
+                                if sf_slots2[3 * s + w] != emit[s]:
+                                    sf_slots2[3 * s + w] = emit[s]
+                                    changed = True
+                        if sfd is not None and changed:
+                            fin = ref._finish_slots(sf_slots2, 18, 18)
+                            sfd = {
+                                **sfd,
+                                **fin,
+                                "sf_slots": sf_slots2,
+                            }
+                            c["sfd"] = sfd
+                    elif is_frame and ch == 1:
                         # Intensity position slots (the decode-law
                         # invariant, see reference.intensity_encode):
                         # every band at/above the right channel's FINAL

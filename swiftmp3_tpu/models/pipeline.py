@@ -294,24 +294,32 @@ def make_chunk_fn(options: MP3EncoderOptions):
             sb_gain_b = jnp.zeros((B, ch, T, n_gr, 3), jnp.int32)
 
         # Intensity-stereo frame gate (options.intensity_stereo; twin of
-        # GoldenBackend): frames whose every granule is LONG on the RAW
-        # pre-matrix channels are IS-eligible — they code raw L/R and may
-        # emit mode_extension 0b01 (decided after the spectra exist). The
-        # gate must not depend on the matrix choice it overrides, so it
-        # runs on raw transients (or the sequencing blocks, which are
-        # raw-derived and channel-shared already).
+        # GoldenBackend): frames whose every granule is LONG-layout or
+        # pure SHORT on the RAW pre-matrix channels are IS-eligible —
+        # only MIXED granules force the discrete fallback (round 5; the
+        # per-(band, window) short law joined the long law). Eligible
+        # frames code raw L/R and may emit mode_extension 0b01 (decided
+        # after the spectra exist). The gate must not depend on the
+        # matrix choice it overrides, so it runs on raw transients (or
+        # the sequencing blocks, which are raw-derived and channel-shared
+        # already); transient IS frames share ONE window layout across
+        # channels (the decoder's short-IS contract) via is_shared_blk.
         is_gate = None  # [B, T] bool
+        is_shared_blk = None  # [B, T, n_gr] shared raw verdict (non-seq)
         if options.intensity_stereo_active and ch == 2:
             if win_seq:
                 is_gate = jnp.all(
-                    bts.reshape(B, T, n_gr) == dsp.BLOCK_LONG, axis=-1
+                    bts.reshape(B, T, n_gr) != dsp.BLOCK_MIXED, axis=-1
                 )
             else:
                 raw_g2 = jnp.stack([left, right], axis=1).reshape(
                     B, 2, T, n_gr, 576
                 )
                 rb_raw, _ = dsp.transient_frame(raw_g2)
-                is_gate = jnp.all(rb_raw == dsp.BLOCK_LONG, axis=(1, 3))
+                is_shared_blk = jnp.max(rb_raw, axis=1)  # [B, T, n_gr]
+                is_gate = jnp.all(
+                    is_shared_blk != dsp.BLOCK_MIXED, axis=-1
+                )
 
         if "ingest" in _ABLATE:
             s = jnp.sum(pcm_bt, dtype=jnp.float32) * jnp.float32(1e-30)
@@ -373,6 +381,14 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     rb = jnp.where(rb == dsp.BLOCK_MIXED, dsp.BLOCK_SHORT, rb)
                 shared = jnp.max(rb, axis=1, keepdims=True)  # [B, 1, T, n_gr]
                 block_b = jnp.where(use_ms[:, None, :, None], shared, block_b)
+            if is_shared_blk is not None:
+                # IS-gated frames carry the shared raw verdict across
+                # channels (golden twin: shared_blocks on IS frames)
+                block_b = jnp.where(
+                    is_gate[:, None, :, None],
+                    is_shared_blk[:, None],
+                    block_b,
+                )
             if iso_quant:
                 # The quantizer never applies per-window gains, so the
                 # reference's heuristic subblock_gain values make conforming
@@ -423,13 +439,31 @@ def make_chunk_fn(options: MP3EncoderOptions):
         # knife-edge granules flip across backends (ULP-flip contract).
         is_emit = None  # [B, T] bool — frames that emit mode_extension 0b01
         if is_gate is not None:
+            # per-granule layout kind (blocks are channel-shared on gated
+            # frames — the gate forces the shared verdict)
+            is_short_g = block_b[:, 0] == dsp.BLOCK_SHORT  # [B, T, gr]
             is_pos, is_region, is_hasr, is_lmask = dsp.intensity_analyze_device(
                 spectra[:, 0], spectra[:, 1], sr
             )  # [B,T,gr,21] i32, [B,T,gr,21] bool, [B,T,gr], [B,T,gr,576]
-            is_emit = is_gate & jnp.any(is_hasr, axis=-1)
-            m = is_lmask * (
+            # per-(band, window) law for pure-short granules (round 5;
+            # NATURAL layout — the reorder happens inside the sweep)
+            is_pos_s, is_region_s, is_hasr_s, is_lmask_s = (
+                dsp.intensity_analyze_short_device(
+                    spectra[:, 0], spectra[:, 1], sr
+                )
+            )  # [B,T,gr,12,3], ..., [B,T,gr,3], [B,T,gr,576]
+            hasr_g = jnp.where(
+                is_short_g, jnp.any(is_hasr_s, axis=-1), is_hasr
+            )  # [B, T, gr]
+            is_emit = is_gate & jnp.any(hasr_g, axis=-1)
+            mask_l = is_lmask * (
                 (is_emit[:, :, None] & is_hasr)[..., None]
             ).astype(jnp.float32)
+            # the short line mask already folds per-window has_region
+            mask_s = is_lmask_s * is_emit[:, :, None, None].astype(
+                jnp.float32
+            )
+            m = jnp.where(is_short_g[..., None], mask_s, mask_l)
             spectra = jnp.stack(
                 [
                     spectra[:, 0] + spectra[:, 1] * m,
@@ -440,10 +474,14 @@ def make_chunk_fn(options: MP3EncoderOptions):
             # bands actually SUMMED (carry real positions; un-summed slots
             # above the final extent get the illegal marker 7 post-walk)
             is_summed = is_region & is_hasr[..., None]
-            # [B, ch, T, gr] — the right channel of emitted IS frames
+            is_summed_s = is_region_s & is_hasr_s[..., None, :]
+            # [B, ch, T, gr] — the right channel of emitted IS frames,
+            # split by granule layout kind (the two post-walk laws)
             is_right = (jnp.arange(ch)[None, :, None, None] == 1) & is_emit[
                 :, None, :, None
             ]
+            is_right_long = is_right & ~is_short_g[:, None]
+            is_right_short = is_right & is_short_g[:, None]
 
         if strict_entropy:
             is_long_b = block_b == dsp.BLOCK_LONG  # [B, ch, T, 2]
@@ -494,10 +532,17 @@ def make_chunk_fn(options: MP3EncoderOptions):
                 # bits (the est-reservoir world the selection scan runs
                 # in). dc never touches IS frames, so the pad computed
                 # from the pre-dc sf is valid at both pre computations.
+                # Long-layout granules pad the 21-band sf; pure-short
+                # granules pad all 36 (band, window) slots (round 5).
                 if is_emit is None or sfd is None:
                     return p2
-                pad_p2 = dsp.intensity_padded_part2_device(sfd, spectra, sr)
-                return jnp.where(is_right, pad_p2, p2)
+                pad_l = dsp.intensity_padded_part2_device(sfd, spectra, sr)
+                pad_s = dsp.intensity_padded_part2_short_device(sfd)
+                return jnp.where(
+                    is_right_long,
+                    pad_l,
+                    jnp.where(is_right_short, pad_s, p2),
+                )
 
             if lsf:
                 # switching region-0 boundary (LSF only; at MPEG-1 rates
@@ -840,7 +885,23 @@ def make_chunk_fn(options: MP3EncoderOptions):
             # summed bands, illegal 7 on un-summed) and the sfd rebuilds.
             q_fixup = None
             if is_emit is not None:
-                q_fixup = lambda q: dsp.intensity_q_fixup(q, is_right, sr)  # noqa: E731
+
+                def q_fixup(q):
+                    # long-layout granules: band-20/sfb21 knife edge on
+                    # the NATURAL layout (their q is unreordered). Pure
+                    # short granules: per-window band-11/tail knife edge —
+                    # their q is STREAM-ordered inside the sweep, so
+                    # round-trip through the static slice/transpose
+                    # reorder (round 5; IS frames only pay this).
+                    q = dsp.intensity_q_fixup(q, is_right_long, sr)
+                    q_nat = dsp.reorder_stream_to_natural(q, sr, False)
+                    q_nat = dsp.intensity_q_fixup_short(
+                        q_nat, is_right_short, sr
+                    )
+                    q_s = dsp.reorder_natural_to_stream(q_nat, sr, False)
+                    any_short = is_right_short[..., None]
+                    return jnp.where(any_short, q_s, q)
+
             gain_b, quantized, lay = dsp.strict_finalize(
                 pre, bm(k_sel), bm(has_fit), q_fixup=q_fixup
             )
@@ -854,8 +915,23 @@ def make_chunk_fn(options: MP3EncoderOptions):
                     jnp.broadcast_to(
                         is_summed[:, None], (B, ch, T, n_gr, 21)
                     ),
-                    is_right,
+                    is_right_long,
                     spectra,
+                    sr,
+                )
+                # pure-short granules: per-window overwrite on the
+                # NATURAL view of the fixed quantization
+                q_nat = dsp.reorder_stream_to_natural(quantized, sr, False)
+                sfd = dsp.intensity_sfd_short_device(
+                    sfd,
+                    q_nat,
+                    jnp.broadcast_to(
+                        is_pos_s[:, None], (B, ch, T, n_gr, 12, 3)
+                    ),
+                    jnp.broadcast_to(
+                        is_summed_s[:, None], (B, ch, T, n_gr, 12, 3)
+                    ),
+                    is_right_short,
                     sr,
                 )
                 part2 = sfd["part2"]  # actual (padded pricing dominated it)

@@ -2255,6 +2255,176 @@ def intensity_padded_part2_device(
     return fin["part2"]
 
 
+# --- Short-window intensity ENCODING (round 5; twins of
+# reference.intensity_encode_short and the per-window stage-2 laws) ----------
+
+from .reference import IS_MIN_SFB_SHORT  # noqa: E402
+
+
+def _is_members_short(sample_rate: int) -> np.ndarray:
+    """[36, 576] f32 per-(band, window) natural membership, slot-major
+    (row 3*s + w); band 11 folds the per-window tail to line 192."""
+    from ..tables import short_band_bounds
+
+    bounds = short_band_bounds(sample_rate)
+    line = np.arange(576) // 3
+    w_of = np.arange(576) % 3
+    rows = []
+    for s in range(12):
+        lo = int(bounds[s])
+        hi = int(bounds[s + 1]) if s < 11 else 192
+        for w in range(3):
+            rows.append((line >= lo) & (line < hi) & (w_of == w))
+    return np.stack(rows).astype(np.float32)
+
+
+def _sb_bounds_for(sample_rate: int) -> np.ndarray:
+    from ..tables import short_band_bounds
+
+    return np.asarray(short_band_bounds(sample_rate)[:13], dtype=np.int32)
+
+
+_IS_MEMBERS_SHORT = {sr: _is_members_short(sr) for sr in _IS_RATES}
+_IS_SB_BOUNDS = {sr: _sb_bounds_for(sr) for sr in _IS_RATES}
+
+
+def intensity_analyze_short_device(
+    spec_l: jax.Array, spec_r: jax.Array, sample_rate: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-(band, window) intensity analysis on NATURAL-layout pure-short
+    spectra pairs [..., 576] (twin of reference.intensity_encode_short).
+    Returns (pos [..., 12, 3] int32, region [..., 12, 3] bool, has_region
+    [..., 3] bool per window, line_mask [..., 576] f32)."""
+    M = jnp.asarray(_IS_MEMBERS_SHORT[sample_rate])  # [36, 576]
+    lead = spec_l.shape[:-1]
+    el = jnp.einsum(
+        "...l,bl->...b", spec_l * spec_l, M, precision=_HIGHEST
+    ).reshape(*lead, 12, 3)
+    er = jnp.einsum(
+        "...l,bl->...b", spec_r * spec_r, M, precision=_HIGHEST
+    ).reshape(*lead, 12, 3)
+    num = jnp.einsum(
+        "...l,bl->...b", spec_l * spec_r, M, precision=_HIGHEST
+    ).reshape(*lead, 12, 3)
+    pos = jnp.clip(
+        jnp.round(
+            jnp.arctan2(jnp.sqrt(el), jnp.sqrt(er)) * _F32(12.0 / np.pi)
+        ),
+        0,
+        6,
+    ).astype(jnp.int32)
+    panned = jnp.minimum(el, er) <= _F32(IS_NEG) * jnp.maximum(el, er)
+    corr = num / jnp.sqrt(el * er)
+    ok = (panned | (corr >= _F32(IS_CORR))) & (
+        jnp.arange(12)[:, None] >= IS_MIN_SFB_SHORT
+    )
+    # contiguous-from-the-top per window (along the band axis)
+    region = (
+        jnp.flip(
+            jnp.cumsum(jnp.flip(~ok, -2).astype(jnp.int32), -2), -2
+        )
+        == 0
+    )
+    er_region = jnp.sum(jnp.where(region, er, 0.0), axis=-2)  # [..., 3]
+    er_total = jnp.sum(er, axis=-2)
+    has_region = region[..., 11, :] & (
+        er_region > _F32(IS_NEG) * (er_total + _F32(1e-30))
+    )
+    line_mask = jnp.einsum(
+        "...b,bl->...l",
+        (region & has_region[..., None, :]).astype(jnp.float32).reshape(
+            *lead, 36
+        ),
+        M,
+        precision=_HIGHEST,
+    )
+    return pos, region, has_region, line_mask
+
+
+def intensity_q_fixup_short(
+    q: jax.Array, engaged: jax.Array, sample_rate: int
+) -> jax.Array:
+    """Per-window knife-edge fixup (twin of encoder.py's short stage-2
+    zeroing): an engaged pure-short granule whose window extent ends
+    inside (sb[11], 192] cannot express both band 11's scalefactor and
+    the per-window tail's position — zero the band-11 remainder in that
+    window. NATURAL layout; runs BEFORE the reorder/entropy layout."""
+    sbb = _IS_SB_BOUNDS[sample_rate]
+    lead = q.shape[:-1]
+    q3 = q.reshape(*lead, 192, 3)
+    z_w = jnp.max(
+        jnp.where(
+            q3 != 0, jnp.arange(1, 193, dtype=jnp.int32)[:, None], 0
+        ),
+        axis=-2,
+    )  # [..., 3] per-window line extents
+    knife = engaged[..., None] & (z_w > int(sbb[11]))
+    keep = ~(
+        knife[..., None, :]
+        & (jnp.arange(192)[:, None] >= int(sbb[11]))
+    )
+    return jnp.where(keep, q3, 0).reshape(*lead, 576)
+
+
+def intensity_sfd_short_device(
+    sfd: dict,
+    quantized: jax.Array,
+    pos: jax.Array,
+    summed: jax.Array,
+    engaged: jax.Array,
+    sample_rate: int,
+) -> dict:
+    """Per-window post-walk position slots (twin of encoder.py's short
+    stage-2 overwrite): for engaged pure-short granules, every
+    (band, window) slot at/above the window's final quantized extent is
+    overwritten — real positions on SUMMED bands, the illegal marker 7
+    elsewhere; the sfd finisher fields rebuild via the MPEG-1 short
+    grouping (18, 18). `quantized` must carry intensity_q_fixup_short.
+    Non-engaged granules keep every field exactly."""
+    sbb = _IS_SB_BOUNDS[sample_rate]
+    lead = quantized.shape[:-1]
+    q3 = quantized.reshape(*lead, 192, 3)
+    z_w = jnp.max(
+        jnp.where(
+            q3 != 0, jnp.arange(1, 193, dtype=jnp.int32)[:, None], 0
+        ),
+        axis=-2,
+    )  # [..., 3]
+    b_start = jnp.sum(
+        jnp.asarray(sbb[:12])[:, None] < z_w[..., None, :], axis=-2
+    )  # [..., 3]
+    emit = jnp.where(summed, pos, 7)  # [..., 12, 3]
+    write = jnp.arange(12)[:, None] >= b_start[..., None, :]
+    old = sfd["sf_slots"][..., :36].reshape(*lead, 12, 3)
+    slots2 = jnp.where(write & engaged[..., None, None], emit, old)
+    slots2 = slots2.reshape(*lead, 36).astype(jnp.int32)
+    sf_slots2 = slots2
+    if SF_SLOTS > 36:
+        pad = jnp.zeros((*lead, SF_SLOTS - 36), jnp.int32)
+        sf_slots2 = jnp.concatenate([slots2, pad], axis=-1)
+    fin = _finish_slots_device(sf_slots2, 18, 18)
+    new = {"sf_slots": sf_slots2, **fin}
+
+    def sel(name):
+        old_v, new_v = sfd[name], new[name]
+        extra = new_v.ndim - engaged.ndim
+        e = engaged.reshape(engaged.shape + (1,) * extra)
+        return jnp.where(e, new_v, old_v)
+
+    out = dict(sfd)
+    for k in new:
+        out[k] = sel(k)
+    return out
+
+
+def intensity_padded_part2_short_device(sfd: dict) -> jax.Array:
+    """Priced part2 covering max(slot, 7) over the 36 short slots (twin
+    of encoder.py's short pricing pad)."""
+    padded = jnp.maximum(sfd["sf_slots"][..., :36], 7).astype(jnp.int32)
+    fin = _finish_slots_device(padded, 18, 18)
+    return fin["part2"]
+
+
 def initial_gain_scaled(
     spectrum: jax.Array, mag_scale: jax.Array, target: float = 15.0
 ) -> jax.Array:
@@ -2361,6 +2531,32 @@ def reorder_natural_to_stream(
         blk = jnp.swapaxes(x3[..., s:e, :], -1, -2)  # [..., 3, width]
         parts.append(blk.reshape(*lead, 3 * (e - s)))
     return jnp.concatenate(parts, axis=-1)
+
+
+def reorder_stream_to_natural(
+    x: jax.Array, sample_rate: int, mixed: bool
+) -> jax.Array:
+    """Inverse of reorder_natural_to_stream (same static slice/transpose
+    economics, no gathers): ISO stream order -> natural subband-major."""
+    bounds = [int(b) for b in _short_band_bounds(sample_rate)]
+    lead = x.shape[:-1]
+    parts = []
+    off = 0
+    if mixed:
+        head_l = bounds[3]
+        parts.append(x[..., : 3 * head_l].reshape(*lead, head_l, 3))
+        off = 3 * head_l
+        spans = [
+            (s, e) for s, e in zip(bounds[:-1], bounds[1:]) if s >= head_l
+        ]
+    else:
+        spans = list(zip(bounds[:-1], bounds[1:]))
+    for s, e in spans:
+        width = e - s
+        blk = x[..., off : off + 3 * width].reshape(*lead, 3, width)
+        parts.append(jnp.swapaxes(blk, -1, -2))  # [..., width, 3]
+        off += 3 * width
+    return jnp.concatenate(parts, axis=-2).reshape(*lead, 576)
 
 
 def _finish_slots_device(

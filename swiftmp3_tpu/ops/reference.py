@@ -1655,6 +1655,75 @@ def intensity_encode(
     return new_l, new_r, pos, b0
 
 
+IS_MIN_SFB_SHORT = 4  # per-window minimum short band for intensity coding
+# (the long law's IS_MIN_SFB=8 starts at line 36 ~ per-window line 12 ~
+# short band 4 at 44.1 kHz; same spectral floor, per-window geometry)
+
+
+def intensity_encode_short(
+    spec_l: np.ndarray, spec_r: np.ndarray, sample_rate: int
+):
+    """Per-window intensity analysis + transform for one PURE-SHORT
+    granule pair, NATURAL (subband-major) layout — the encode twin of the
+    decoder's ISO 2.4.3.4.9.3 per-(band, window) law (natural index of
+    (line, w) is 3*line + w; the decoder derives window w's IS region
+    from that window's own zero part, so regions are per-window
+    independent). Returns (new_l, new_r, pos [12][3], b0_w [3] — each
+    window's region start band or None). Band 11 folds the per-window
+    tail to line 192 (the tail rides band 11's position, the dist10
+    convention the decoder validates).
+
+    Qualification mirrors the long law per (band, window): panned
+    (quieter channel under IS_NEG of the louder) or positively correlated
+    (>= IS_CORR), contiguous-from-the-top from IS_MIN_SFB_SHORT, and a
+    window's region must actually hold right-channel energy (else that
+    window keeps discrete coding — phantom-content risk)."""
+    from ..tables import short_band_bounds
+
+    sb = short_band_bounds(sample_rate)
+    pos = np.zeros((12, 3), dtype=np.int64)
+    ok = np.zeros((12, 3), dtype=bool)
+    for s in range(12):
+        lo = int(sb[s])
+        hi = int(sb[s + 1]) if s < 11 else 192
+        for w in range(3):
+            nat = 3 * np.arange(lo, hi, dtype=np.int64) + w
+            sl, sr_ = spec_l[nat], spec_r[nat]
+            el = float(np.dot(sl, sl))
+            er = float(np.dot(sr_, sr_))
+            p = int(np.round(np.arctan2(np.sqrt(el), np.sqrt(er)) * 12.0 / np.pi))
+            pos[s][w] = min(max(p, 0), 6)
+            if s < IS_MIN_SFB_SHORT:
+                continue
+            if min(el, er) <= IS_NEG * max(el, er):
+                ok[s][w] = True
+            else:
+                corr = float(np.dot(sl, sr_)) / np.sqrt(el * er)
+                ok[s][w] = corr >= IS_CORR
+    new_l = spec_l.copy()
+    new_r = spec_r.copy()
+    b0_w = [None, None, None]
+    for w in range(3):
+        b0 = None
+        for s in range(11, IS_MIN_SFB_SHORT - 1, -1):
+            if not ok[s][w]:
+                break
+            b0 = s
+        if b0 is None:
+            continue
+        cut = int(sb[b0])
+        nat = 3 * np.arange(cut, 192, dtype=np.int64) + w
+        er_region = float(np.dot(spec_r[nat], spec_r[nat]))
+        wnat = 3 * np.arange(0, 192, dtype=np.int64) + w
+        er_total = float(np.dot(spec_r[wnat], spec_r[wnat]))
+        if er_region <= IS_NEG * (er_total + 1e-30):
+            continue
+        new_l[nat] = spec_l[nat] + spec_r[nat]
+        new_r[nat] = 0.0
+        b0_w[w] = b0
+    return new_l, new_r, pos, b0_w
+
+
 def scalefactor_compress(scalefactors: np.ndarray) -> int:
     """variance/mean^2 -> 0-15 (MP3Encoder.swift:2019-2036). Unused by the
     pipeline (hardcoded 0), kept for component parity."""

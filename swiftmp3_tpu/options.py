@@ -499,6 +499,12 @@ class MP3EncoderOptions:
                     "intensity_stereo requires iso_mode_ext (non-IS frames "
                     "must signal their actual matrix per frame)"
                 )
+            if not self.iso_short_blocks:
+                raise ValueError(
+                    "intensity_stereo requires iso_short_blocks: transient "
+                    "IS frames write per-(band, window) positions in the "
+                    "short scalefactor slot layout (round 5)"
+                )
             if self.scfsi:
                 raise ValueError(
                     "intensity_stereo and scfsi are mutually exclusive: "
