@@ -1306,6 +1306,29 @@ def _pack_halfwords(values: np.ndarray) -> np.ndarray:
 _PAIR_CODE_WORDS = {
     tid: _pack_halfwords(_padded_table_flat(tid, "codes")) for tid in _STRICT_TIDS
 }
+
+
+def _dense_table_flat(tid: int, attr: str) -> np.ndarray:
+    """Small table packed DENSE (stride = its own n, not 16; padded to an
+    even count for halfword packing). The where-tree over the padded 16x16
+    layout costs 127 nodes per table regardless of real size; t1/t2/t5/t7
+    carry only 4/9/16/36 real entries, so dense repacking cuts the code
+    select-tree from 508 nodes to 29 across the four small tables
+    (measured -1.9 ms on the hq chunk emission at 128x64 — codes only;
+    the ANALOGOUS len repack in the sweep is a round-3 pinned NEGATIVE,
+    don't extend it there)."""
+    t = HUFFMAN_TABLES[tid]
+    n = t.max_value + 1
+    flat = np.asarray(getattr(t, attr))[:n, :n].reshape(-1).astype(np.uint32)
+    if len(flat) % 2:
+        flat = np.concatenate([flat, np.zeros(1, np.uint32)])
+    return flat
+
+
+_PAIR_CODE_WORDS_DENSE = {
+    tid: _pack_halfwords(_dense_table_flat(tid, "codes")) for tid in (1, 2, 5, 7)
+}
+_DENSE_N = {tid: HUFFMAN_TABLES[tid].max_value + 1 for tid in (1, 2, 5, 7)}
 # linbits family shared pair table (ids 24-31; options.linbits_tables).
 # Max code length 12 -> nibble-packable like the others.
 _T24_LEN_WORDS = _pack_nibbles(_padded_table_flat(24, "lengths"))
@@ -1387,10 +1410,20 @@ def _pair_len_by_tid(tid: jax.Array, idx: jax.Array, linbits: bool = False) -> j
 
 def _pair_code_by_tid(tid: jax.Array, idx: jax.Array, linbits: bool = False) -> jax.Array:
     c15 = t15_code_lookup(idx)
-    c1 = _code_lookup(_PAIR_CODE_WORDS[1], idx)
-    c2 = _code_lookup(_PAIR_CODE_WORDS[2], idx)
-    c5 = _code_lookup(_PAIR_CODE_WORDS[5], idx)
-    c7 = _code_lookup(_PAIR_CODE_WORDS[7], idx)
+    # Dense small-table trees: recover (x, y) from the 16-stride idx and
+    # re-stride by each table's own n. No clamp needed — an out-of-range
+    # dense index only happens when tid selects a DIFFERENT table, and
+    # _select_tree returns (harmless) junk beyond its last leaf.
+    x16, y16 = idx >> 4, idx & 15
+
+    def dense(tid_k):
+        n = _DENSE_N[tid_k]
+        return _code_lookup(_PAIR_CODE_WORDS_DENSE[tid_k], x16 * n + y16)
+
+    c1 = dense(1)
+    c2 = dense(2)
+    c5 = dense(5)
+    c7 = dense(7)
     out = jnp.where(
         tid == 0,
         0,
@@ -1799,34 +1832,40 @@ def strict_chunks_device(
 
     # count1 quads: positions align + 4j, align = bv2 & 2; both alignments
     # computed statically, selected per item.
+    # Select the quad/sign INPUTS between the two alignments first, then run
+    # the code lookup + sign fold ONCE (the per-variant work is only the
+    # cheap reshape/pad; bit-identical to computing both variants and
+    # selecting the outputs, since everything downstream is elementwise in
+    # the quad).
     nzs = (av > 0).astype(jnp.int32)
     sgn = (q < 0).astype(jnp.int32)
     qpos = jnp.arange(144, dtype=jnp.int32) * 4
-    variants = []
-    for align in (0, 2):
-        if align == 0:
-            quads = nzs[..., :576].reshape(*nzs.shape[:-1], 144, 4)
-            signs = sgn[..., :576].reshape(*sgn.shape[:-1], 144, 4)
-        else:
-            pad = [(0, 0)] * (nzs.ndim - 1) + [(0, 1), (0, 0)]
-            quads = jnp.pad(nzs[..., 2:574].reshape(*nzs.shape[:-1], 143, 4), pad)
-            signs = jnp.pad(sgn[..., 2:574].reshape(*sgn.shape[:-1], 143, 4), pad)
-        patt = quads[..., 0] * 8 + quads[..., 1] * 4 + quads[..., 2] * 2 + quads[..., 3]
-        code_a = _nibble_lookup(_COUNT1A_CODE_WORDS, patt)
-        len_a = _nibble_lookup(_COUNT1A_LEN_WORDS, patt)
-        use_b = lay["c1t"][..., None] == 1
-        qchunk = jnp.where(use_b, 15 - patt, code_a)
-        qnbits = jnp.where(use_b, 4, len_a)
-        for pos in range(4):
-            has = quads[..., pos] == 1
-            qchunk = jnp.where(has, (qchunk << 1) | signs[..., pos], qchunk)
-            qnbits = qnbits + quads[..., pos]
-        start = qpos + align
-        vq = (start >= bv2[..., None]) & (start < (bv2 + 4 * lay["n1"])[..., None])
-        variants.append((jnp.where(vq, qchunk, 0), jnp.where(vq, qnbits, 0)))
     use2 = ((bv2 & 2) == 2)[..., None]
-    quad_chunks = jnp.where(use2, variants[1][0], variants[0][0])
-    quad_nbits = jnp.where(use2, variants[1][1], variants[0][1])
+    pad = [(0, 0)] * (nzs.ndim - 1) + [(0, 1), (0, 0)]
+    quads = jnp.where(
+        use2[..., None],
+        jnp.pad(nzs[..., 2:574].reshape(*nzs.shape[:-1], 143, 4), pad),
+        nzs[..., :576].reshape(*nzs.shape[:-1], 144, 4),
+    )
+    signs = jnp.where(
+        use2[..., None],
+        jnp.pad(sgn[..., 2:574].reshape(*sgn.shape[:-1], 143, 4), pad),
+        sgn[..., :576].reshape(*sgn.shape[:-1], 144, 4),
+    )
+    patt = quads[..., 0] * 8 + quads[..., 1] * 4 + quads[..., 2] * 2 + quads[..., 3]
+    code_a = _nibble_lookup(_COUNT1A_CODE_WORDS, patt)
+    len_a = _nibble_lookup(_COUNT1A_LEN_WORDS, patt)
+    use_b = lay["c1t"][..., None] == 1
+    qchunk = jnp.where(use_b, 15 - patt, code_a)
+    qnbits = jnp.where(use_b, 4, len_a)
+    for pos in range(4):
+        has = quads[..., pos] == 1
+        qchunk = jnp.where(has, (qchunk << 1) | signs[..., pos], qchunk)
+        qnbits = qnbits + quads[..., pos]
+    start = qpos + jnp.where(use2, 2, 0)
+    vq = (start >= bv2[..., None]) & (start < (bv2 + 4 * lay["n1"])[..., None])
+    quad_chunks = jnp.where(vq, qchunk, 0)
+    quad_nbits = jnp.where(vq, qnbits, 0)
 
     return (
         jnp.concatenate([pair_chunks, quad_chunks], axis=-1),
@@ -1881,13 +1920,18 @@ def strict_scalefactors_device(
     vs the golden because jnp.frexp/np.frexp agree on float32 exactly.
     """
     members = _BAND_MEMBERS.get(sample_rate, _BAND_MEMBERS[44100])
+    bounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))]).astype(int)
     absx = jnp.abs(spectrum)
     gp = jnp.max(absx, axis=-1)
     _, ge = jnp.frexp(gp)
 
+    # Band peaks as STATIC SLICE maxima (bands are contiguous), not masked
+    # maxes over the full 576 — same exact f32 result; the short law
+    # (_switching_sfd_device) learned this in round 3 (71 masked maxes
+    # measured +13 ms/step at 128x64).
     sfs = []
     for b in range(21):
-        pb = jnp.max(jnp.where(members[b], absx, 0.0), axis=-1)
+        pb = jnp.max(absx[..., int(bounds[b]) : int(bounds[b + 1])], axis=-1)
         _, pe = jnp.frexp(pb)
         cap = 15 if b < 11 else 7
         sf_b = jnp.clip((ge - pe) // 3, 0, cap)
@@ -1920,11 +1964,23 @@ def _sf_finish_device(sf: jax.Array, members, spectrum: jax.Array) -> dict:
     part2 = 11 * slen1 + 10 * slen2
 
     mult_b = sf_mult34_lookup(sf)  # [..., 21]
-    mag_scale = jnp.ones(spectrum.shape, dtype=jnp.float32)
-    for b in range(21):
-        mag_scale = jnp.where(
-            members[b], jnp.where(sf[..., b : b + 1] > 0, mult_b[..., b : b + 1], 1.0), mag_scale
+    # Band->coefficient broadcast as ONE exact one-hot matmul instead of 21
+    # sequential wheres over [..., 576]: members' columns are one-hot (each
+    # coefficient belongs to at most one band), so the f32 HIGHEST dot
+    # returns the band value bit-exactly (0/1 operand is lossless in the
+    # bf16x3 decomposition) and the +tail term restores 1.0 above band 20.
+    vals = jnp.where(sf > 0, mult_b, jnp.float32(1.0))  # [..., 21]
+    members_f = jnp.asarray(members, jnp.float32)  # [21, 576]
+    tail = jnp.asarray(1.0 - members.any(axis=0), jnp.float32)  # [576]
+    mag_scale = (
+        jax.lax.dot_general(
+            vals,
+            members_f,
+            dimension_numbers=(((vals.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
         )
+        + tail
+    )
     return {
         "sf": sf,
         "compress": compress,
