@@ -299,10 +299,15 @@ def test_device_stream_mpg123():
         assert agree >= 60.0, (ch, agree)
 
 
+@pytest.mark.slow
 def test_batch_and_pool_accept_intensity():
     """encode_batch and StreamPool produce the same bytes as a per-stream
     device session under the IS flag (the VERDICT done-condition: hq/
-    batch/pool accept the flag)."""
+    batch/pool accept the flag).
+
+    Slow tier (round 5): three distinct device programs (~45 s of
+    trace+compile) for integration parity; the IS device byte surface
+    stays fast-covered by test_device_twin_bytes_panned."""
     from swiftmp3_tpu.parallel.batch import encode_batch
     from swiftmp3_tpu.parallel.pool import StreamPool
 
