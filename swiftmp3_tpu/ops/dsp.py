@@ -2179,7 +2179,26 @@ def _rebuild_long_sfd_device(
 # position rounding), so knife-edge granules can flip across backends —
 # the ULP-flip contract, same as distortion_control's bump compare.
 
-from .reference import IS_CORR, IS_MIN_SFB, IS_NEG  # noqa: E402
+from .reference import IS_CORR, IS_MIN_SFB, IS_NEG, IS_SFM  # noqa: E402
+
+
+def _carrier_noise_flat_device(c: jax.Array) -> jax.Array:
+    """Device twin of reference._carrier_noise_flat: spectral flatness of
+    the would-be carrier's upper lines over the LIVE (nonzero) lines only
+    (hq's adaptive lowpass zero-fills the tail; naturally-zero float MDCT
+    lines do not occur, so hb2 > 0 isolates the live region). c [..., W];
+    returns bool [...]. f32 reductions where golden accumulates f64 —
+    knife-edge granules flip under the ULP contract like every IS gate."""
+    hb2 = c * c
+    live = hb2 > 0
+    n_live = jnp.sum(live, axis=-1)
+    denom = jnp.maximum(n_live, 1).astype(jnp.float32)
+    m = jnp.sum(hb2, axis=-1) / denom
+    g = jnp.exp(
+        jnp.sum(jnp.where(live, jnp.log(jnp.where(live, hb2, 1.0)), 0.0), axis=-1)
+        / denom
+    )
+    return (n_live == 0) | (g / (m + _F32(1e-20)) > _F32(IS_SFM))
 
 
 def _is_members_ext(sample_rate: int) -> np.ndarray:
@@ -2239,8 +2258,14 @@ def intensity_analyze_device(
     ) == 0
     er_region = jnp.sum(jnp.where(region, er, 0.0), axis=-1)
     er_total = jnp.sum(er, axis=-1)
-    has_region = region[..., 20] & (
-        er_region > _F32(IS_NEG) * (er_total + _F32(1e-30))
+    cut0 = int(_IS_BOUNDS[sample_rate][IS_MIN_SFB])
+    noise_flat = _carrier_noise_flat_device(
+        spec_l[..., cut0:] + spec_r[..., cut0:]
+    )
+    has_region = (
+        region[..., 20]
+        & (er_region > _F32(IS_NEG) * (er_total + _F32(1e-30)))
+        & ~noise_flat
     )
     line_mask = jnp.einsum(
         "...b,bl->...l", region.astype(jnp.float32), M, precision=_HIGHEST
@@ -2383,8 +2408,20 @@ def intensity_analyze_short_device(
     )
     er_region = jnp.sum(jnp.where(region, er, 0.0), axis=-2)  # [..., 3]
     er_total = jnp.sum(er, axis=-2)
-    has_region = region[..., 11, :] & (
-        er_region > _F32(IS_NEG) * (er_total + _F32(1e-30))
+    # per-WINDOW flatness (granule-level would blind the gate on transient
+    # granules — the quiet windows' tiny lines drag the geometric mean
+    # down; see reference.intensity_encode_short)
+    cut0 = int(_short_band_bounds(sample_rate)[IS_MIN_SFB_SHORT])
+    c3 = (spec_l + spec_r)[..., 3 * cut0 :].reshape(
+        *spec_l.shape[:-1], 192 - cut0, 3
+    )
+    noise_flat = _carrier_noise_flat_device(
+        jnp.swapaxes(c3, -1, -2)
+    )  # [..., 3]
+    has_region = (
+        region[..., 11, :]
+        & (er_region > _F32(IS_NEG) * (er_total + _F32(1e-30)))
+        & ~noise_flat
     )
     line_mask = jnp.einsum(
         "...b,bl->...l",

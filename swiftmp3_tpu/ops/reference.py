@@ -1578,6 +1578,39 @@ def stereo_decide(mode: str, left: np.ndarray, right: np.ndarray, iso_matrix: bo
 IS_MIN_SFB = 8  # never collapse the stereo image below this band
 IS_CORR = 0.5  # signed per-band correlation needed to IS-code a band
 IS_NEG = 0.02  # ...or the quieter channel under this fraction of the louder
+# Noise-flat upper spectra gain nothing from intensity coding and can lose
+# catastrophically at the rate floor: the summed carrier concentrates the
+# frame's energy in one granule-channel, and on dense noise at 32 kbps
+# stereo the carrier's walk reaches total silence while the residual
+# discrete right survives — the decode then plays ONLY right-channel
+# scraps (measured: stereo-image RMS error 71.6 dB vs 2.4 discrete on
+# pan_noise@32k, tools/is_corpus.py, while downmix SNR is insensitive at
+# -0.22 dB). Demote granules whose would-be carrier upper spectrum is
+# noise-like (spectral flatness above IS_SFM over the static lines from
+# the IS floor band up; same SFM construction and calibration points as
+# ALP_SFM: Gaussian MDCT ~0.28, harmonics <0.05). Float-reduction
+# decision -> ULP-flip contract, like every other IS gate.
+IS_SFM = 0.15
+
+
+def _carrier_noise_flat(c: np.ndarray) -> bool:
+    """Spectral flatness of the would-be carrier's upper lines, over the
+    LIVE (nonzero) lines only: under hq's rate-derived adaptive lowpass
+    the upper spectrum carries an exactly-zeroed tail whose log terms
+    would drive the geometric mean to zero and blind the gate (natural
+    float MDCT lines are never exactly zero, so hb2 > 0 isolates the live
+    region cleanly). An energy-free upper region demotes (nothing to
+    intensity-code there; the er_region gate would reject it anyway)."""
+    hb2 = c * c
+    live = hb2 > 0
+    n_live = int(np.count_nonzero(live))
+    if n_live == 0:
+        return True
+    m = np.float32(np.sum(hb2, dtype=np.float64) / n_live)
+    g = np.float32(
+        np.exp(np.sum(np.log(hb2[live].astype(np.float64))) / n_live)
+    )
+    return bool(g / (m + np.float32(1e-20)) > np.float32(IS_SFM))
 
 
 def intensity_positions(
@@ -1619,6 +1652,13 @@ def intensity_encode(
     axis, and the external matrix there is the measured record."""
     bounds = np.concatenate([[0], np.cumsum(band_table(sample_rate))]).astype(int)
     pos = intensity_positions(spec_l, spec_r, bounds)
+    # Noise-flat carrier demotion (see IS_SFM): flatness of the would-be
+    # summed carrier over the static upper lines, f32 like the ALP law.
+    c = (spec_l[int(bounds[IS_MIN_SFB]):] + spec_r[int(bounds[IS_MIN_SFB]):]).astype(
+        np.float32
+    )
+    if bool(_carrier_noise_flat(c)):
+        return spec_l, spec_r, pos, None
     ok = np.zeros(21, dtype=bool)
     for b in range(IS_MIN_SFB, 21):
         lo = int(bounds[b])
@@ -1681,6 +1721,18 @@ def intensity_encode_short(
     from ..tables import short_band_bounds
 
     sb = short_band_bounds(sample_rate)
+    # Noise-flat carrier demotion, PER WINDOW (see IS_SFM): a granule-level
+    # flatness mixes the three windows, and on transient granules the quiet
+    # windows' tiny lines drag the geometric mean down — blinding the gate
+    # on exactly the granules the transient detector fires for (measured:
+    # one short decorr granule slipping through = 43 dB image RMS at 32k).
+    cut0 = int(sb[IS_MIN_SFB_SHORT])
+    window_flat = [
+        _carrier_noise_flat(
+            (spec_l[3 * np.arange(cut0, 192) + w] + spec_r[3 * np.arange(cut0, 192) + w]).astype(np.float32)
+        )
+        for w in range(3)
+    ]
     pos = np.zeros((12, 3), dtype=np.int64)
     ok = np.zeros((12, 3), dtype=bool)
     for s in range(12):
@@ -1704,6 +1756,8 @@ def intensity_encode_short(
     new_r = spec_r.copy()
     b0_w = [None, None, None]
     for w in range(3):
+        if window_flat[w]:
+            continue
         b0 = None
         for s in range(11, IS_MIN_SFB_SHORT - 1, -1):
             if not ok[s][w]:

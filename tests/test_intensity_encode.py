@@ -440,3 +440,104 @@ def test_short_is_downmix_not_worse_than_fallback():
 
     s_is, s_plain = dm_snr(with_is), dm_snr(without)
     assert s_is > s_plain - 0.5, (s_is, s_plain)
+
+
+# --- Noise-flat carrier demotion (round 5; reference.IS_SFM) -----------------
+# The corpus referee that motivated the gate is tools/is_corpus.py: per-
+# granule broadband ILD trajectory error, the stereo-image metric downmix
+# SNR cannot see. Measured record in ARCHITECTURE.md "Intensity stereo at
+# corpus scale".
+
+
+def test_noise_flat_gate_demotes_long_and_short():
+    """Noise-like uppers must NOT intensity-code (the summed carrier
+    concentrates the frame's energy and starves at the rate floor —
+    measured image RMS 71.6 dB vs 2.4 discrete on pan_noise@32k before
+    the gate); peaky harmonic uppers must keep their region."""
+    from swiftmp3_tpu.ops import reference as ref
+
+    rng = np.random.default_rng(5)
+    noise = rng.standard_normal(576).astype(np.float32) * 0.1
+    nl, nr, _, b0 = ref.intensity_encode(noise, noise * 0.5, 44100)
+    assert b0 is None
+
+    # tonal spectra carry leakage on every line (exact zeros only come
+    # from the lowpass mask) — the live-line flatness law depends on it
+    tone = (rng.standard_normal(576) * 1e-4).astype(np.float32)
+    tone[[30, 200, 400]] += np.float32(1.0), np.float32(0.5), np.float32(0.3)
+    _, _, _, b0t = ref.intensity_encode(tone * 0.7, tone * 0.3, 44100)
+    assert b0t is not None
+
+    # short law: per-WINDOW flatness (granule-level would be blinded by
+    # quiet windows' tiny lines on transient granules — the measured
+    # decorr tail). Window 2 noise, windows 0/1 tonal: only window 2
+    # demotes.
+    sl = np.zeros(576, np.float32)
+    sl[0::3] = 0.0
+    lines = np.arange(192)
+    tonal_w = (rng.standard_normal(192) * 1e-4).astype(np.float32)
+    tonal_w[[20, 60, 110]] += np.float32(1.0), np.float32(0.6), np.float32(0.4)
+    noise_w = rng.standard_normal(192).astype(np.float32) * 0.2
+    spec_l = np.zeros(576, np.float32)
+    spec_r = np.zeros(576, np.float32)
+    for w, content in ((0, tonal_w), (1, tonal_w), (2, noise_w)):
+        spec_l[3 * lines + w] = content * 0.7
+        spec_r[3 * lines + w] = content * 0.3
+    _, _, _, b0_w = ref.intensity_encode_short(spec_l, spec_r, 44100)
+    assert b0_w[0] is not None and b0_w[1] is not None, b0_w
+    assert b0_w[2] is None, b0_w
+
+
+def test_noise_flat_gate_device_parity():
+    """The gate's device twin stays byte-exact with golden on gated
+    content (noise demotes; the analysis is a float reduction under the
+    ULP-flip contract, but this fixed content sits far from the 0.15
+    threshold — Gaussian MDCT flatness ~0.28)."""
+    rng = np.random.default_rng(11)
+    n = 6 * 1152
+    L = (rng.standard_normal(n) * 0.2).astype(np.float32)
+    R = (rng.standard_normal(n) * 0.1 + 0.5 * L).astype(np.float32)
+    pcm = _interleave(np.clip(L, -0.99, 0.99), np.clip(R, -0.99, 0.99))
+    opts = MP3EncoderOptions.hq(
+        mode=Mode.JOINT_STEREO, bitrate_kbps=32, intensity_stereo=True
+    )
+    outs = {}
+    for backend in ("numpy", "tpu"):
+        s = EncoderSession(opts, backend=backend)
+        outs[backend] = s.encode(pcm) + s.flush()
+    assert outs["numpy"] == outs["tpu"]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not have_mpg123(), reason="libmpg123 not available")
+def test_is_corpus_floors():
+    """Corpus-scale IS floors (tools/is_corpus.py's referees, one seed):
+    downmix must not regress vs discrete beyond the pinned margins, the
+    image metric must hold on the classes the gate fixed, and noise-flat
+    classes must emit ZERO IS frames at 32k (the gate law)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from is_corpus import make_class, score
+
+    n = 12 * 1152
+    for kind, kbps, dmix_floor, img_ceiling in (
+        ("pan_tonal", 48, 1.5, 2.0),     # IS dmix >= disc + 1.5 (measured +2.67)
+        ("pan_speech", 32, -0.3, None),  # the pre-gate -1.14 deficit is gone
+        ("pan_noise", 32, -0.3, 6.0),    # pre-gate image RMS was 71.6
+    ):
+        L, R = make_class(kind, n, 0)
+        pcm = _interleave(L, R)
+        with_is = _encode(pcm, kbps, intensity_stereo=True)
+        without = _encode(pcm, kbps)
+        s_is, img_is = score(pcm, with_is)
+        s_d, _ = score(pcm, without)
+        assert s_is >= s_d + dmix_floor, (kind, kbps, s_is, s_d)
+        if img_ceiling is not None:
+            assert img_is <= img_ceiling, (kind, kbps, img_is)
+    # gate law: noise-flat classes emit no IS frames at the rate floor
+    for kind in ("pan_noise", "decorr"):
+        L, R = make_class(kind, n, 0)
+        pcm = _interleave(L, R)
+        blob = _encode(pcm, 32, intensity_stereo=True)
+        assert _mode_exts(blob).get(0b01, 0) == 0, kind
