@@ -236,7 +236,8 @@ class GoldenBackend:
             s = np.asarray(samples, dtype=np.float32)
             left, right = s[0::2].copy(), s[1::2].copy()
             use_ms, c0, c1 = ref.stereo_decide(
-                opts.mode.value, left, right, iso_matrix=opts.iso_ms_matrix
+                opts.mode.value, left, right, iso_matrix=opts.iso_ms_matrix,
+                symmetric=opts.ms_symmetric,
             )
             chans = [c0, c1]
             if opts.iso_mode_ext and opts.mode.value == "joint_stereo":
@@ -355,6 +356,21 @@ class GoldenBackend:
                     b_r, _ = ref.transient_detect(right[sl])
                     frame_blocks.append(max(b_l, b_r))
             is_frame = all(b != ref.BLOCK_MIXED for b in frame_blocks)
+            if is_frame and opts.ms_symmetric and use_ms:
+                # Side-dominant frames belong to the symmetric M/S arm,
+                # not intensity: anti-correlated content cancels in the
+                # L+R sum (the IS correlation gate would reject every
+                # band), so gating it into raw L/R only forfeits the
+                # measured M/S win (antiphase@32k downmix 14.5 -> 1.5 dB
+                # when pre-committed — tools/is_corpus.py). Mid-dominant
+                # M/S frames still prefer IS below the rate gate (the
+                # measured design). Scale-invariant time-domain test, so
+                # the gate stays independent of the matrix it overrides.
+                sc = ref.ISO_MS_SCALE if opts.iso_ms_matrix else np.float32(0.5)
+                mid_t = ((left + right) * sc).astype(np.float32)
+                side_t = ((left - right) * sc).astype(np.float32)
+                if ref.frame_energy(mid_t) < ref.frame_energy(side_t) * np.float32(0.4):
+                    is_frame = False
             if is_frame:
                 chans = [left, right]
                 frame_mode_ext = 0b01

@@ -330,11 +330,31 @@ def make_chunk_fn(options: MP3EncoderOptions):
         else:
             if mode is Mode.JOINT_STEREO:
                 use_ms, c0, c1 = dsp.stereo_decide(
-                    left, right, iso_matrix=options.iso_ms_matrix
+                    left, right, iso_matrix=options.iso_ms_matrix,
+                    symmetric=options.ms_symmetric,
                 )  # [B, T]
             else:
                 c0, c1 = left, right
             if is_gate is not None:
+                if options.ms_symmetric:
+                    # Side-dominant M/S frames opt OUT of the IS gate (twin
+                    # of GoldenBackend): anti-correlated content cancels in
+                    # the L+R sum, so pre-committing it to raw L/R forfeits
+                    # the symmetric-arm win (antiphase@32k downmix 14.5 ->
+                    # 1.5 dB measured). Same mid/side energies as
+                    # stereo_decide — XLA CSEs the recompute away.
+                    half = (
+                        dsp._F32(1.0 / np.sqrt(2.0))
+                        if options.iso_ms_matrix
+                        else dsp._F32(0.5)
+                    )
+                    mid_t = (left + right) * half
+                    side_t = (left - right) * half
+                    n_t = dsp._F32(left.shape[-1])
+                    sd = (jnp.sum(mid_t * mid_t, axis=-1) / n_t) < (
+                        jnp.sum(side_t * side_t, axis=-1) / n_t
+                    ) * dsp._F32(0.4)
+                    is_gate = is_gate & ~(use_ms & sd)
                 # IS-eligible frames code raw L/R (twin of GoldenBackend);
                 # use_ms is masked so the shared-blocks law and the header
                 # mode_extension see the discrete coding on those frames.

@@ -1194,7 +1194,8 @@ def preflag(spectrum: jax.Array) -> jax.Array:
 
 
 def stereo_decide(
-    left: jax.Array, right: jax.Array, iso_matrix: bool = False
+    left: jax.Array, right: jax.Array, iso_matrix: bool = False,
+    symmetric: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Joint-stereo M/S decision per frame (MP3Encoder.swift:2140-2162).
 
@@ -1202,6 +1203,9 @@ def stereo_decide(
     mid = (L+R)/2, side = (L-R)/2; M/S when side energy < 0.4 * mid energy.
     iso_matrix: (L+-R)/sqrt(2), the ISO 2.4.3.4.9.2 convention (twin of
     reference.stereo_decide; the decision is scale-invariant).
+    symmetric (options.ms_symmetric): also M/S when mid < 0.4 * side —
+    anti-correlated stereo compacts into the side channel; see the golden
+    twin's docstring for the measured record.
     """
     half = _F32(1.0 / np.sqrt(2.0)) if iso_matrix else _F32(0.5)
     mid = (left + right) * half
@@ -1210,6 +1214,8 @@ def stereo_decide(
     mid_e = jnp.sum(mid * mid, axis=-1) / n
     side_e = jnp.sum(side * side, axis=-1) / n
     use_ms = side_e < mid_e * _F32(0.4)
+    if symmetric:
+        use_ms = use_ms | (mid_e < side_e * _F32(0.4))
     ch0 = jnp.where(use_ms[..., None], mid, left)
     ch1 = jnp.where(use_ms[..., None], side, right)
     return use_ms, ch0, ch1

@@ -184,6 +184,21 @@ class MP3EncoderOptions:
     #   mid/side reconstruction to frames that actually carry L/R —
     #   garbling the stereo image whenever the per-frame decision flips.
     iso_mode_ext: bool = False
+    # ms_symmetric: extend the M/S decision with the symmetric arm — also
+    #   choose mid/side when the MID energy is under 0.4 of the side's.
+    #   The reference's one-sided test leaves anti-correlated stereo
+    #   (side-dominant: out-of-phase mics, Karaoke-style tracks) in
+    #   discrete coding, double-coding two near-inverted channels while
+    #   the small downmix residual drowns: measured downmix SNR 1.8 dB at
+    #   32k vs lame's 7.0. Energy compaction is direction-invariant (the
+    #   decoder computes L,R = (M+-S)/sqrt(2) either way); with the
+    #   symmetric arm the antiphase corpus class reads 14.7/15.8/16.8 dB
+    #   at 32/48/64k through mpg123 — above lame (tools/is_corpus.py).
+    #   Byte no-op on mid-dominant AND decorrelated content (E_mid ~
+    #   E_side there). Requires iso_mode_ext: the extra M/S frames must
+    #   signal per-frame (the compat hardcoded header would misread
+    #   discrete frames, and this flag makes the flip direction matter).
+    ms_symmetric: bool = False
     # lowpass_hz: zero all MDCT subbands whose band START is at or above
     #   this frequency before allocation (subband granularity, SR/64 per
     #   band — layout-invariant across long/short/mixed granules), so the
@@ -518,6 +533,13 @@ class MP3EncoderOptions:
                     "2^(-pos/4) position law differs; decode support "
                     "exists, encoding is future work)"
                 )
+        if self.ms_symmetric and not self.iso_mode_ext:
+            raise ValueError(
+                "ms_symmetric requires iso_mode_ext: the symmetric arm's "
+                "extra M/S frames must signal per frame (the compat "
+                "hardcoded 0b10 header already misreads discrete frames, "
+                "and this flag makes the flip direction matter)"
+            )
         if self.lsf and not (
             self.iso_quantization and self.reservoir_mode == "aligned"
         ):
@@ -624,6 +646,7 @@ class MP3EncoderOptions:
             iso_mode_ext=True,
             iso_ms_matrix=True,
             shared_ms_blocks=True,
+            ms_symmetric=True,
         )
         base.update(kwargs)
         return cls(**base)
