@@ -66,6 +66,18 @@ def main():
         "hq+dc": MP3EncoderOptions.hq(
             mode=Mode.STEREO, bitrate_kbps=kbps, distortion_control=True
         ),
+        # passes ladder: the marginal per-pass delta attributes the dc cost
+        # (each pass = probe select + 1-gain quantize + bump law + sfd
+        # rebuild + a FULL second pricing sweep; if the marginal cost ~=
+        # the sweep's stub delta, the pass is sweep-dominated)
+        "hq+dc2": MP3EncoderOptions.hq(
+            mode=Mode.STEREO, bitrate_kbps=kbps, distortion_control=True,
+            dc_passes=2,
+        ),
+        "hq+dc3": MP3EncoderOptions.hq(
+            mode=Mode.STEREO, bitrate_kbps=kbps, distortion_control=True,
+            dc_passes=3,
+        ),
     }
     runs = {}
     for name, options in configs.items():
@@ -99,6 +111,10 @@ def main():
               f"  all={[f'{t*1e3:.1f}' for t in ts[name]]}")
     print(f"dc overhead: {meds['hq+dc']/meds['hq']:.3f}x "
           f"(+{(meds['hq+dc']-meds['hq'])*1e3:.1f} ms)")
+    if "hq+dc2" in meds:
+        print(f"marginal per pass: p1 +{(meds['hq+dc']-meds['hq'])*1e3:.1f} "
+              f"p2 +{(meds['hq+dc2']-meds['hq+dc'])*1e3:.1f} "
+              f"p3 +{(meds['hq+dc3']-meds['hq+dc2'])*1e3:.1f} ms")
 
 
 if __name__ == "__main__":
