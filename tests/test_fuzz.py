@@ -40,6 +40,34 @@ def _random_signal(rng, n, kind):
                 np.float32
             )
         return x
+    if kind == 5:
+        # kind 5 — ANTI-correlated stereo (round 5: ms_symmetric): odd
+        # lanes carry a negated, noised copy of the even lanes, with a
+        # few common bursts so frames cross the transient machinery while
+        # side-dominant. Exercises the symmetric M/S arm's byte path and
+        # its interactions (shared_ms_blocks, sequencing, the IS gate
+        # opt-out) — the round-3 lesson says decorrelation/anti-phase is
+        # its own content axis; until this kind, no fuzz draw was
+        # side-dominant.
+        t = np.arange(n // 2) / 44100
+        src = (0.4 * np.sin(2 * np.pi * rng.uniform(150, 2000) * t)).astype(
+            np.float32
+        )
+        for _ in range(max(1, n // 8000)):
+            p = int(rng.integers(0, max(len(src) - 300, 1)))
+            src[p : p + 300] += (
+                rng.standard_normal(min(300, len(src) - p)) * 0.5
+            ).astype(np.float32)
+        g = np.float32(rng.uniform(0.7, 1.0))
+        x = np.empty(n, dtype=np.float32)
+        x[0::2] = np.clip(src, -0.99, 0.99)
+        x[1::2] = np.clip(
+            -g * src
+            + 0.01 * rng.standard_normal(len(src)).astype(np.float32),
+            -0.99,
+            0.99,
+        )
+        return x
     # kind 4 — M/S-hazard class (round 3: shared_ms_blocks): a correlated
     # tonal base (keeps the frame's M/S decision on) with bursts gated by
     # independent per-channel envelopes, so the channels' transient
@@ -183,7 +211,12 @@ def test_fuzz_spec_strict_flags(trial):
     )
     ch = mode.channels
     n = (int(rng.integers(3, 10)) * 1152 + int(rng.integers(0, 1152))) * ch
-    kind = int(rng.integers(1, 5))  # incl. kind 4: the M/S-hazard class
+    # kinds 4/5: the M/S-hazard and anti-correlated classes (stereo-law
+    # content axes; kind 5 is interleave-structured, so mono draws demote
+    # to the hazard class rather than encode a nyquist-alternating signal)
+    kind = int(rng.integers(1, 6))
+    if ch == 1 and kind == 5:
+        kind = 4
     pcm = _random_signal(rng, n, kind)
 
     outs = {}
@@ -224,7 +257,10 @@ def test_fuzz_spec_strict_flags(trial):
             # raw unit-gain floors by content kind (sine / noise / bursts /
             # M/S-hazard tone+bursts); sanity floors, not targets — strict
             # decode must track both values AND level
-            floor = {1: 8.0, 2: 0.0, 3: 1.0, 4: 3.0}[kind]
+            # kind 5's left channel is tonal+bursts; under the symmetric
+            # M/S arm it must decode coherently (the pre-arm law left the
+            # mid residual drowned, but the LEFT channel still tracked)
+            floor = {1: 8.0, 2: 0.0, 3: 1.0, 4: 3.0, 5: 2.0}[kind]
             assert q.snr_db > floor, (trial, be, kind, q)
 
 
@@ -305,3 +341,46 @@ def test_fuzz_aligned_partial_strict_flags(trial):
         assert dec.frame_count == len(fb), (trial, be)
         assert dec.pcm.shape[0] == len(fb) * 1152, (trial, be)
         assert np.all(np.isfinite(dec.pcm))
+
+
+N_IS_TRIALS = 3
+
+
+@pytest.mark.parametrize("trial", range(N_IS_TRIALS))
+def test_fuzz_intensity_active(trial):
+    """IS-ACTIVE fuzz (round 5): hq(intensity_stereo=True) at 32 kbps
+    joint — the rate window where the IS machinery actually runs — over
+    the stereo content classes incl. the anti-correlated kind (which must
+    route to the symmetric M/S arm, not the IS gate). Contract:
+    structural cross-backend equality (IS decisions are float reductions
+    — the ULP-flip contract), oracle acceptance, finite decode, and
+    mpg123 agreement with the oracle on the device stream."""
+    rng = np.random.default_rng(5000 + trial)
+    kind = [3, 4, 5][trial]
+    n = (int(rng.integers(4, 10)) * 1152 + int(rng.integers(0, 1152))) * 2
+    pcm = _random_signal(rng, n, kind)
+    opts = MP3EncoderOptions.hq(
+        mode=Mode.JOINT_STEREO, bitrate_kbps=32, intensity_stereo=True
+    )
+    outs = {}
+    for be in ["numpy", "tpu"]:
+        s = MP3Encoder(opts, backend=be).new_session()
+        outs[be] = s.encode(pcm) + s.flush()
+    fa = parse_frames(outs["numpy"])
+    fb = parse_frames(outs["tpu"])
+    assert len(fa) == len(fb), (trial, kind)
+    for a, b in zip(fa, fb):
+        assert (a.size, a.bitrate_kbps, a.padding, a.mode) == (
+            b.size, b.bitrate_kbps, b.padding, b.mode,
+        ), (trial, kind)
+    dec = decode_mp3(outs["tpu"], iso_conventions=True)
+    assert dec.frame_count == len(fb)
+    assert np.all(np.isfinite(dec.pcm))
+    from swiftmp3_tpu.utils.external import have_mpg123, mpg123_decode
+    from swiftmp3_tpu.utils.quality import decode_agreement_snr
+
+    if have_mpg123():
+        ext, _ = mpg123_decode(outs["tpu"])
+        if ext.shape[0] > 1152:
+            agree = decode_agreement_snr(ext[:, 0], dec.pcm[:, 0])
+            assert agree > 60.0, (trial, kind, agree)
